@@ -3,36 +3,44 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+The actual engine surface lives in the
+``inverted_index_using_the_map_reduce_paradigm_spark`` package; this module just exposes
+its registry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from inverted_index_using_the_map_reduce_paradigm_spark import registry  # noqa: E402
+from inverted_index_using_the_map_reduce_paradigm_spark.data import table  # noqa: E402
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import (  # noqa: E402
+    build_index,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full inverted index over sf0.001 documents, in the
+    reference's global output order (letter, doc_freq DESC, word ASC)."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    return build_index(docs).orderBy("letter", F.desc("doc_freq"), F.asc("word"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in registry.load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: q.oracle for name, q in registry.load_all().items() if q.oracle is not None
+    }

@@ -1,0 +1,271 @@
+"""Flagship inverted-index pipeline + query side.
+
+Reference parity (SURVEY.md §2.1): the full dataflow of
+``/root/reference/main.c++`` — tokenize (main.c++:100-104), normalize
+(:110-124), drop-empty (:125-128), per-doc distinct (:47-58,130-142),
+group-by-word posting merge (:186-203), per-letter partition (:184),
+(doc_freq DESC, word ASC) ordering (:37-44), ascending postings
+(:239-252) — expressed as one declarative DataFrame chain.  The
+reference's two barriers become Spark's two shuffle boundaries (the
+``groupBy`` exchange and the final sort exchange); its 26 bucket
+mutexes are obsolete because the shuffle gives each reducer exclusive
+partitions.
+
+Scale posture: the only required shuffle is the ``groupBy("word")``
+partial+final aggregation (map-side combine replaces the reference's
+manual per-file dedup).  Posting lists never touch the driver; the
+letter-partitioned sink (``sources/sinks.py``) writes directly from
+executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import table
+from ..functions.text import sql_tokens, tokenize_documents
+from ..registry import register
+
+# Shared DuckDB CTE: the normalized (doc_id, word) token stream.
+SQL_TOKS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({sql_tokens('text')}) AS word
+  FROM documents
+)
+"""
+
+
+def build_index(documents: DataFrame) -> DataFrame:
+    """word -> sorted posting list + doc_freq + letter partition key.
+
+    ``collect_set`` makes the per-doc distinct (reference R7) implicit in
+    the aggregation — a single shuffle with map-side partial aggregation.
+    """
+    return (
+        tokenize_documents(documents)
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+        .withColumn("doc_freq", F.size("postings"))
+        .withColumn("letter", F.substring("word", 1, 1))
+    )
+
+
+def formatted_index(documents: DataFrame) -> DataFrame:
+    """Adds the reference's output line format ``word:[d1 d2 ... dn]``
+    (main.c++:254-266); input to the partitioned text sink."""
+    return build_index(documents).withColumn(
+        "line",
+        F.concat(
+            F.col("word"),
+            F.lit(":["),
+            F.concat_ws(" ", F.transform("postings", lambda d: d.cast("string"))),
+            F.lit("]"),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# registered queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tokenize",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY word
+""",
+    description="R4+R5+R6: normalized token stream with occurrence counts",
+    tags=("reference", "text"),
+)
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    return toks.groupBy("word").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, dedup AS (SELECT DISTINCT word, doc_id FROM toks)
+SELECT word,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       count(*) AS doc_freq,
+       substr(word, 1, 1) AS letter
+FROM dedup
+GROUP BY word
+""",
+    description="flagship R7+R10+R11+R13+R14: word -> sorted postings, df, letter",
+    tags=("reference", "flagship"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_index(table(spark, sf_dir, "documents"))
+    # serialize postings for the cross-engine value hash
+    return idx.select(
+        "word",
+        F.concat_ws(" ", F.transform("postings", lambda d: d.cast("string"))).alias(
+            "postings"
+        ),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        "letter",
+    )
+
+
+@register(
+    "doc_freq_topk",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, df AS (
+  SELECT word, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY word
+)
+SELECT word, doc_freq
+FROM df
+ORDER BY doc_freq DESC, word ASC
+LIMIT 25
+""",
+    description="R13 generalized: global top-k words by document frequency",
+    tags=("reference", "topk"),
+)
+def q_doc_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    return (
+        toks.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("word"))
+        .limit(25)
+    )
+
+
+@register(
+    "letter_topk",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, df AS (
+  SELECT word, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY word
+), ranked AS (
+  SELECT word, doc_freq, substr(word, 1, 1) AS letter,
+         row_number() OVER (PARTITION BY substr(word, 1, 1)
+                            ORDER BY doc_freq DESC, word ASC) AS rank
+  FROM df
+)
+SELECT letter, rank, word, doc_freq FROM ranked WHERE rank <= 3
+""",
+    description="per-letter top-k by df (window rank; WindowGroupLimit at scale)",
+    tags=("reference", "topk", "window"),
+)
+def q_letter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    df = df.withColumn("letter", F.substring("word", 1, 1))
+    w = Window.partitionBy("letter").orderBy(F.desc("doc_freq"), F.asc("word"))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("letter", "rank", "word", "doc_freq")
+    )
+
+
+TERM = "scan"
+AND_TERMS = ("scan", "join", "vector")
+OR_TERMS = ("window", "stream")
+NOT_TERMS = ("merge",)
+
+
+def _sql_list(terms) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+@register(
+    "term_lookup",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT word,
+       array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ' ') AS postings,
+       count(DISTINCT doc_id) AS doc_freq
+FROM toks WHERE word = '{TERM}' GROUP BY word
+""",
+    description="query side: posting list for one term (letter-partition-prunable)",
+    tags=("reference", "query"),
+)
+def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Filter BEFORE the aggregation: Catalyst pushes word='scan' into the
+    # scan side of the token stream, so only matching tokens shuffle.  On
+    # a letter-partitioned stored index this is partition pruning.
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    return (
+        toks.filter(F.col("word") == TERM)
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("p"))
+        .select(
+            "word",
+            F.concat_ws(" ", F.transform("p", lambda d: d.cast("string"))).alias(
+                "postings"
+            ),
+            F.size("p").cast("long").alias("doc_freq"),
+        )
+    )
+
+
+@register(
+    "boolean_and",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT doc_id FROM toks
+WHERE word IN ({_sql_list(AND_TERMS)})
+GROUP BY doc_id
+HAVING count(DISTINCT word) = {len(AND_TERMS)}
+""",
+    description="docs containing ALL query terms (count-matching semi-join)",
+    tags=("reference", "query"),
+)
+def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AND as group-count over the term set: one shuffle on doc_id, no
+    # self-join chain (which would be len(terms)-1 shuffles).
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    return (
+        toks.filter(F.col("word").isin(*AND_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("word").alias("n"))
+        .filter(F.col("n") == len(AND_TERMS))
+        .select("doc_id")
+    )
+
+
+@register(
+    "boolean_or",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE word IN ({_sql_list(OR_TERMS)})
+""",
+    description="docs containing ANY query term",
+    tags=("reference", "query"),
+)
+def q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    return toks.filter(F.col("word").isin(*OR_TERMS)).select("doc_id").distinct()
+
+
+@register(
+    "boolean_not",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM toks WHERE word IN ({_sql_list(NOT_TERMS)})
+)
+""",
+    description="docs containing NONE of the terms (anti-join)",
+    tags=("reference", "query"),
+)
+def q_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize_documents(docs)
+    containing = toks.filter(F.col("word").isin(*NOT_TERMS)).select("doc_id")
+    return docs.select("doc_id").join(containing, "doc_id", "left_anti")

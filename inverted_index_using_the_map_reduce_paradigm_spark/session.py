@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode for tests/bench; every setting is also the right default on a
+real cluster (AQE, skew handling, partition coalescing, Arrow).  The
+shuffle-partition count is sized to cores locally; on a 1000-executor
+cluster AQE's coalescing makes the static number mostly irrelevant as
+long as it is an upper bound, so we keep it configurable via
+``SPARK_GRAFT_CPUS``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "repo_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpu_count()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # ---- planner / runtime re-optimization --------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ---- shuffle sizing --------------------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # ---- python <-> jvm data path ----------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ---- determinism for oracle comparison -------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # ---- local-mode memory (driver == the one JVM) -----------------
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

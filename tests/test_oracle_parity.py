@@ -1,0 +1,64 @@
+"""Mimics the driver's correctness gate locally: every registered query
+with an oracle runs on Spark AND DuckDB at sf0.001; results must match
+on row count, column names, and (order-insensitively) values.
+
+This is deliberately stricter than eyeballing: it sorts columns by name
+and rows by all columns, then compares cell-by-cell with a small float
+tolerance (the driver hashes after rounding; we round in the queries
+themselves so exact match is the expectation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from inverted_index_using_the_map_reduce_paradigm_spark.data import TABLES
+from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify with float rounding for a stable sort/compare
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        return str(v)
+
+    out = df.apply(lambda col: col.map(cell))
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+ORACLE_QUERIES = [(n, q) for n, q in load_all().items() if q.oracle]
+
+
+@pytest.mark.parametrize("name,q", ORACLE_QUERIES, ids=[n for n, _ in ORACLE_QUERIES])
+def test_parity(spark, name, q):
+    got = normalize(q.fn(spark, SF).toPandas())
+    con = duck_con(SF)
+    want = normalize(con.sql(q.oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    if not got.equals(want):
+        diff = (got != want).any(axis=1)
+        sample = pd.concat(
+            [got[diff].head(5).add_prefix("spark_"), want[diff].head(5).add_prefix("duck_")],
+            axis=1,
+        )
+        raise AssertionError(f"{name}: value mismatch on {int(diff.sum())} rows\n{sample}")
