@@ -1,0 +1,63 @@
+"""Benchmark harness: times every registered headline query.
+
+Runs each query at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]``; per BASELINE.md protocol: median of 3
+timed runs after 1 warm-up, execution forced with the ``noop`` sink so
+the full plan runs distributed (no driver collect in the timing).
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+from inverted_index_using_the_map_reduce_paradigm_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def run_once(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("repo_spark_bench")
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else -1.0
+
+    timings: dict[str, float] = {}
+    for name, q in load_all().items():
+        if not q.bench:
+            continue
+        df = q.fn(spark, SF_DIR)
+        run_once(df)  # warm-up (also JIT + file listing)
+        timings[name] = round(
+            statistics.median(run_once(q.fn(spark, SF_DIR)) for _ in range(RUNS)), 4
+        )
+
+    out = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
