@@ -1,1 +1,113 @@
-"""Placeholder — operators land in this round."""
+"""Multimodal-column plumbing (north-star, SURVEY.md §2.3).
+
+Treats media as opaque ``binary`` payload columns with typed metadata,
+processed by Arrow-batched ``mapInPandas`` — the pattern a 100 TB
+image/audio pipeline uses (decode / resize / frame-sample per batch on
+executors, no driver involvement, no row-at-a-time Python).
+
+The container has no image/audio libraries, so the real decoder is
+stubbed (import-gated, raises ``NotImplementedError``) and the default
+path computes DETERMINISTIC fake features from the payload bytes.  The
+Spark-side plumbing — binary schema, Arrow batch iteration, UDF
+signature, partition-parallel execution — is real and oracle-checked.
+
+Scale posture: ``mapInPandas`` is a narrow transformation (no shuffle);
+batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+so executor memory stays flat regardless of corpus size.  Feature
+extraction parallelism == input partition count.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import cloudpickle
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import table
+from ..registry import register
+
+# This module's functions execute inside Python workers (mapInPandas).
+# Serialize them BY VALUE so executors need not import this package --
+# the driver process is the only place the repo is on sys.path (and on
+# a real cluster this removes the --py-files deployment dependency for
+# the hot path).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+try:  # pragma: no cover - the real decoder needs PIL, absent in this env
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, width long, height long, checksum long"
+
+
+def real_decode(payload: bytes) -> tuple[int, int]:  # pragma: no cover
+    """Actual image decode -- only valid when PIL is installed."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decoding requires PIL; this environment ships none -- "
+            "the deterministic fake path below is used instead"
+        )
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        return im.size
+
+
+def fake_features(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for (width, height, checksum): pure
+    functions of the bytes so the DuckDB oracle can recompute them."""
+    n = len(payload)
+    width = n % 640
+    height = (n * 31) % 480
+    checksum = (payload[0] + payload[-1]) if n else 0
+    return width, height, checksum
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one Arrow batch in, one feature frame out."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len),
+                "width": payloads.map(lambda b: fake_features(b)[0]),
+                "height": payloads.map(lambda b: fake_features(b)[1]),
+                "checksum": payloads.map(lambda b: fake_features(b)[2]),
+            }
+        )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 640 AS width,
+       (octet_length(encode(text)) * 31) % 480 AS height,
+       CASE WHEN length(text) > 0
+            THEN ascii(substr(text, 1, 1)) + ascii(substr(text, length(text), 1))
+            ELSE 0 END AS checksum
+FROM documents
+""",
+    description="binary payload -> typed features via Arrow-batched mapInPandas",
+    tags=("multimodal", "udf"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture has no real media, so the binary payload is the
+    utf-8 document text; the point under test is the binary column +
+    mapInPandas batch pipeline, not the codec."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(extract_features, schema=FEATURE_SCHEMA)

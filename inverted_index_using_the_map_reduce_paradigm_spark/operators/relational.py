@@ -1,1 +1,322 @@
-"""Placeholder — operators land in this round."""
+"""Relational coverage: the standard OLAP surface (SURVEY.md §2.3
+"standard relational coverage") exercised TPC-H-style on the star
+schema — multi-way joins with broadcast dims, grouped aggregation,
+window functions, rollup, semi/anti joins, scalar subqueries.
+
+Cross-engine float discipline: money columns are exact 2-decimal
+values, so every SUM goes through ``DECIMAL`` (exact, order-independent)
+and is cast to DOUBLE only at the end — the value hash can never be
+flipped by summation order, unlike double sums.
+
+Scale posture: fact-to-fact joins (lineitem-orders) shuffle on the join
+key; every dimension (customer/nation/region/part/supplier) is
+broadcast.  Windows partition on high-cardinality keys.  AQE handles
+skewed keys and coalesces post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import table
+from ..registry import register
+
+# exact-decimal building blocks (see module docstring)
+D182 = "decimal(18,2)"
+
+
+def _dec(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(D182)
+
+
+def _disc_factor() -> F.Column:  # (1 - l_discount), exact to 2dp
+    return (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+
+
+def _tax_factor() -> F.Column:  # (1 + l_tax), exact to 2dp
+    return (F.lit(1) + F.col("l_tax")).cast("decimal(3,2)")
+
+
+SQL_DISC = "CAST(1 - l_discount AS DECIMAL(3,2))"
+SQL_TAX = "CAST(1 + l_tax AS DECIMAL(3,2))"
+SQL_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum({SQL_PRICE}) AS DOUBLE) AS sum_base_price,
+       CAST(sum({SQL_PRICE} * {SQL_DISC}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({SQL_PRICE} * {SQL_DISC} * {SQL_TAX}) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum({SQL_PRICE}) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 pricing summary (filter + 2-key groupBy + 7 aggregates)",
+    tags=("relational", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    disc_price = price * _disc_factor()
+    charge = price * _disc_factor() * _tax_factor()
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(sum({SQL_PRICE} * {SQL_DISC}) AS DOUBLE) AS revenue,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    description="TPC-H Q3 shipping priority (3-way join + agg + top-10)",
+    tags=("relational", "join", "topk"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer is a broadcast dim; orders-lineitem is the one real
+    shuffle join (on orderkey).  Revenue is exact decimal, so the
+    top-10 order (revenue DESC, orderkey ASC) is deterministic."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * _disc_factor()
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("rev_d"))
+        .orderBy(F.desc("rev_d"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_d").cast("double").alias("revenue"),
+            F.unix_timestamp("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "nation_revenue",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(sum({SQL_PRICE} * {SQL_DISC}) AS DOUBLE) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    description="TPC-H Q5-style: revenue by customer nation through a dim chain",
+    tags=("relational", "join"),
+)
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join: region->nation->customer collapse into one broadcast
+    dim before touching the facts, so the fact side shuffles once
+    (lineitem-orders) and the dim lookup is map-side."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = table(spark, sf_dir, "customer")
+    dim = (
+        cust.join(
+            F.broadcast(nation.join(
+                F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * _disc_factor()
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "top_customers_by_segment",
+    oracle="""
+WITH totals AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY total_spent DESC, c_custkey ASC) AS rank
+  FROM totals
+)
+SELECT c_mktsegment, rank, c_custkey, total_spent FROM ranked WHERE rank <= 3
+""",
+    description="per-segment top-3 customers by lifetime order value (window rank)",
+    tags=("relational", "window", "topk"),
+)
+def q_top_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders")
+    totals = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spent"), F.asc("c_custkey")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "total_spent")
+    )
+
+
+@register(
+    "customer_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+""",
+    description="running per-customer order-value total (cumulative window)",
+    tags=("relational", "window"),
+)
+def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("o_orderdate"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "orders_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    description="hierarchical totals: ROLLUP(status, priority)",
+    tags=("relational", "agg"),
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    description="anti join: customers that never ordered",
+    tags=("relational", "join"),
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "orders_above_avg",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                             / count(*) FROM orders)
+  AND o_orderstatus = 'O'
+""",
+    description="scalar-subquery filter: open orders above the average value",
+    tags=("relational", "subquery"),
+)
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expressed in SQL so Catalyst plans the scalar subquery (one extra
+    exchange-free aggregation, broadcast as a literal at runtime).
+    Comparison is on the raw double column, identical on both engines
+    (avg noise is irrelevant: it only picks the threshold, and both
+    engines see the same rows far from it -- but to be exact we compute
+    the avg from the exact decimal sum)."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                     / count(*) FROM orders_v)
+          AND o_orderstatus = 'O'
+        """
+    )

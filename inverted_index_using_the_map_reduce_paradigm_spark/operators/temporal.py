@@ -1,1 +1,244 @@
-"""Placeholder — operators land in this round."""
+"""Temporal / event-stream operators over the ``events`` table
+(north-star, SURVEY.md §2.3): tumbling & sliding windows, session
+windows, JSON prop extraction, as-of enrichment, and a pivot.
+
+These are the batch forms — their output is what the Structured
+Streaming variants in ``streaming/`` must converge to (same DataFrame
+expressions under ``readStream``; see SURVEY.md §7 step 7), and the
+batch form is what the DuckDB oracle can check.
+
+Timestamps cross engines as ``floor(epoch)`` bigints: Spark
+``unix_timestamp`` floors to seconds; DuckDB mirrors it with
+``floor(epoch(ts))``.
+
+Scale posture: every aggregation keys on (window/bucket, dimension) —
+hash-partitioned, map-side partials, no driver state.  The as-of join
+is the union-window form: one shuffle on user_id, no range join
+(a range join's O(n*m) per key explodes at 100 TB; the running-``max``
+window is linear in the sorted partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import table
+from ..registry import register
+
+GAP_MIN = 30  # session gap, minutes
+EPOCH = "CAST(floor(epoch({c})) AS BIGINT)"
+
+
+def _epoch(col) -> F.Column:
+    return F.unix_timestamp(col)
+
+
+@register(
+    "json_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       event_type
+FROM events
+""",
+    description="typed field extraction from the JSON props column",
+    tags=("temporal", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row projection (``get_json_object``) — no shuffle; at scale
+    prefer ``from_json`` with an explicit schema so Catalyst prunes
+    unused fields instead of re-parsing per extraction."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        "event_type",
+    )
+
+
+@register(
+    "events_window",
+    oracle=f"""
+SELECT {EPOCH.format(c="date_trunc('hour', ts)")} AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="tumbling 1-hour windows per event_type (count + sum)",
+    tags=("temporal", "window"),
+)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            _epoch(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+WITH slid AS (
+  SELECT e.*,
+         CAST(floor(epoch(ts)) AS BIGINT) // 900 * 900 - k.k * 900 AS ws
+  FROM events e, (SELECT unnest(generate_series(0, 3)) AS k) k
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) // 900 * 900 - k.k * 900
+        > CAST(floor(epoch(ts)) AS BIGINT) - 3600
+)
+SELECT ws AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value
+FROM slid GROUP BY 1, 2
+""",
+    description="sliding 1-hour/15-min windows per event_type",
+    tags=("temporal", "window"),
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``window(ts, 1h, 15m)`` explodes each event into 4 overlapping
+    windows map-side (the oracle mirrors it with a generate_series
+    lateral) — the aggregation still shuffles once on (window, type)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            _epoch(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       {EPOCH.format(c='min(ts)')} AS session_start,
+       {EPOCH.format(c=f"max(ts) + INTERVAL {GAP_MIN} MINUTE")} AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    description=f"session windows per user ({GAP_MIN}-minute inactivity gap)",
+    tags=("temporal", "window", "session"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` — Spark merges overlapping [ts, ts+gap)
+    intervals per user in one pass after a single shuffle on user_id.
+    The oracle derives identical sessions with the lag/cumsum idiom
+    (session end = last event + gap, matching session_window.end)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{GAP_MIN} minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            _epoch(F.col("sw.start")).alias("session_start"),
+            _epoch(F.col("sw.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "asof_enrich",
+    oracle=f"""
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       {EPOCH.format(c='ts')} AS purchase_ts,
+       {EPOCH.format(c='last_signup_ts')} AS last_signup_ts
+FROM w WHERE event_type = 'purchase'
+""",
+    description="as-of join: each purchase enriched with the latest prior signup",
+    tags=("temporal", "asof"),
+)
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of via the union-window form: a running ``max`` of signup
+    timestamps over (user_id, ts) order gives every event its most
+    recent signup at-or-before — one shuffle, linear scan, no range
+    join.  (``merge_asof`` in ``applyInPandas`` is the fallback when
+    the two sides are separate tables; here both live in ``events``.)"""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = ev.withColumn(
+        "last_signup_ts",
+        F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        _epoch(F.col("ts")).alias("purchase_ts"),
+        _epoch(F.col("last_signup_ts")).alias("last_signup_ts"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+SELECT user_id % 10 AS user_bucket,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1
+""",
+    description="pivot: event-type counts per user bucket",
+    tags=("temporal", "pivot"),
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pivot`` with an explicit value list compiles to conditional
+    aggregates (same plan as the oracle's FILTER clauses) — one shuffle;
+    never use the value-discovering form at scale (extra pass)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )

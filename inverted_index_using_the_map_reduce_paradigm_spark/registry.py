@@ -71,6 +71,7 @@ def load_all() -> dict[str, Query]:
             temporal,
             text_analysis,
         )
+        from .streaming import engine  # noqa: F401
 
         _LOADED = True
     return QUERIES

@@ -1,0 +1,54 @@
+"""Reference-native manifest ingestion (SURVEY.md §7 step 2).
+
+The reference's input is a master file whose first line is the corpus
+file count N followed by N file paths (``/root/reference/main.c++:
+307-352``, CR/LF stripped); each corpus file is plain text read line by
+line (main.c++:87-98) and doc ids are the **1-based** manifest
+positions (main.c++:74-77).
+
+The manifest itself is a tiny control file, so it is read driver-side
+(exactly like the reference's main()); the corpus files are read by
+Spark's distributed text source in ONE multi-path scan, and doc ids
+are recovered by joining ``input_file_name()`` against a broadcast
+path->id map — no per-file driver loop, so a 100 TB corpus with
+millions of files still scans with full parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_manifest_paths(manifest_path: str) -> list[str]:
+    """Parse the reference's master-file format: line 1 = N, then N paths
+    (whitespace/CR stripped, per main.c++:330-351)."""
+    with open(manifest_path) as f:
+        n = int(f.readline().strip())
+        paths = [f.readline().strip() for _ in range(n)]
+    for p in paths:
+        if not p:
+            raise ValueError(f"manifest {manifest_path} shorter than its count {n}")
+    return paths
+
+
+def read_corpus(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """documents-shaped DataFrame (doc_id, text) from a reference manifest.
+
+    doc_id is the 1-based manifest position; one row per corpus LINE
+    (the engine's tokenizer explodes lines exactly like the reference's
+    getline loop, so line vs whole-file granularity is immaterial
+    downstream of tokenization).
+    """
+    paths = read_manifest_paths(manifest_path)
+    mapping = spark.createDataFrame(
+        [(os.path.abspath(p), i + 1) for i, p in enumerate(paths)],
+        ["abs_path", "doc_id"],
+    )
+    lines = spark.read.text(paths).select(
+        F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias("abs_path"),
+        F.col("value").alias("text"),
+    )
+    return lines.join(F.broadcast(mapping), "abs_path").select("doc_id", "text")

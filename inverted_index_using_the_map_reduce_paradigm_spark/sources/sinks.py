@@ -1,0 +1,56 @@
+"""Reference-native output sink (SURVEY.md §7 step 2).
+
+The reference writes 26 text files ``a.txt`` … ``z.txt`` (all created
+even when empty, main.c++:231-233), one ``word:[d1 d2 … dn]`` line per
+word (main.c++:254-266), rows ordered (doc_freq DESC, word ASC) within
+each file (main.c++:37-44,236) and postings ascending (main.c++:239-252).
+
+Spark-side everything stays distributed: one exchange partitions by
+letter, a within-partition sort fixes the row order, and the
+partitioned text sink writes from executors.  The only driver-side step
+is ``collect_reference_layout`` — pure FILE RENAMES (no data movement)
+to flatten ``letter=x/part-*.txt`` into the reference's ``x.txt`` names.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import string
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_letter_index(formatted: DataFrame, out_dir: str) -> None:
+    """``formatted`` is operators.inverted_index.formatted_index output
+    (word, postings, doc_freq, letter, line).
+
+    repartition by letter (26 tiny partitions at any scale — the letter
+    dirs are the unit of output, and per-letter files must be ordered,
+    so this exchange is semantically required, same as the reference's
+    bucket mutex stage); sortWithinPartitions puts every letter's rows
+    in reference order inside its single task run.
+    """
+    (
+        formatted.repartition("letter")
+        .sortWithinPartitions("letter", F.desc("doc_freq"), F.asc("word"))
+        .select("line", "letter")
+        .write.mode("overwrite")
+        .partitionBy("letter")
+        .text(out_dir)
+    )
+
+
+def collect_reference_layout(out_dir: str) -> None:
+    """Flatten the partitioned sink into the reference's exact layout:
+    ``<letter>.txt`` for every letter a-z (empty file when absent)."""
+    for letter in string.ascii_lowercase:
+        target = os.path.join(out_dir, f"{letter}.txt")
+        parts = sorted(glob.glob(os.path.join(out_dir, f"letter={letter}", "part-*")))
+        with open(target, "wb") as out:
+            for p in parts:
+                with open(p, "rb") as f:
+                    shutil.copyfileobj(f, out)
+        shutil.rmtree(os.path.join(out_dir, f"letter={letter}"), ignore_errors=True)

@@ -1,0 +1,129 @@
+"""Structured Streaming variants of the temporal operators
+(SURVEY.md §7 step 7).
+
+Same DataFrame expressions as ``operators/temporal.py`` but under
+``readStream`` — the batch queries are the semantics contract (and the
+oracle-checkable surface); these run them as streams with watermarks
+and emit to an in-memory sink.  With the whole fixture arriving as one
+micro-batch, update-mode output equals the batch result, which is what
+the tests assert.
+
+At 100 TB-scale deployment the only changes are the source (kafka /
+file stream over a growing directory) and the sink (parquet/delta with
+checkpointing); the aggregation topology — watermark, window state
+store, shuffle on (window, key) — is already what these build.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+
+GAP_MIN = 30
+
+# events.parquet stores ts as TIMESTAMP(NANOS) which Spark reads as long
+# under the nanosAsLong legacy conf -- the stream schema must say long.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # readStream wants a directory: stream the sf dir with a glob filter
+    # selecting just the events table file.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))"))
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    """Drive the stream over all available input synchronously and
+    return the in-memory sink as a DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
+
+
+@register(
+    "stream_events_window",
+    oracle=None,  # streaming: rows-only for the driver; tests assert
+    # equality with the oracle-checked batch events_window query.
+    description="Structured Streaming tumbling 1-hour windows (watermark + update mode)",
+    bench=False,
+    tags=("streaming", "window"),
+)
+def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "update")
+
+
+# Session-window streaming aggregation rejects update mode
+# (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION); complete mode re-emits
+# the whole state each trigger, which with one micro-batch equals batch.
+@register(
+    "stream_sessionize",
+    oracle=None,  # streaming: rows-only; tests assert equality with the
+    # oracle-checked batch events_sessionize query.
+    description=f"Structured Streaming session windows ({GAP_MIN}-minute gap, stateful)",
+    bench=False,
+    tags=("streaming", "session"),
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{GAP_MIN} minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            F.unix_timestamp(F.col("sw.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")

@@ -1,0 +1,70 @@
+"""End-to-end reference-fidelity test (SURVEY.md §5.1): run the engine
+on the reference's NATIVE input format (manifest + text files) and
+check the 26-letter-file output layout byte-for-byte against the
+reference's documented semantics (main.c++:231-266,37-44,239-252).
+"""
+
+from __future__ import annotations
+
+import os
+import string
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import formatted_index
+from inverted_index_using_the_map_reduce_paradigm_spark.sources.manifest import read_corpus
+from inverted_index_using_the_map_reduce_paradigm_spark.sources.sinks import (
+    collect_reference_layout,
+    write_letter_index,
+)
+
+CORPUS = {
+    "f1.txt": "The quick brown fox\njumps over the lazy dog!\n",
+    "f2.txt": "the DOG barks 123\nquick-quick zebra\n",
+    "f3.txt": "apple apple apple\n",
+}
+
+
+def make_corpus(tmp_path):
+    paths = []
+    for name, text in CORPUS.items():
+        p = tmp_path / name
+        p.write_text(text)
+        paths.append(str(p))
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text(f"{len(paths)}\n" + "\n".join(paths) + "\n")
+    return str(manifest)
+
+
+def test_manifest_reader_assigns_1based_ids(spark, tmp_path):
+    docs = read_corpus(spark, make_corpus(tmp_path))
+    ids = {r.doc_id for r in docs.select("doc_id").distinct().collect()}
+    assert ids == {1, 2, 3}
+
+
+def test_reference_output_layout(spark, tmp_path):
+    manifest = make_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    docs = read_corpus(spark, manifest)
+    write_letter_index(formatted_index(docs), out)
+    collect_reference_layout(out)
+
+    files = sorted(os.listdir(out))
+    assert [f for f in files if not f.startswith(("_", "."))] == [
+        f"{c}.txt" for c in string.ascii_lowercase
+    ]
+
+    # semantics: 'the' appears in docs 1 and 2.  'quick-quick' is ONE
+    # whitespace token that normalizes to 'quickquick' (main.c++:110-124
+    # strips the '-' and joins the fragments), so 'quick' is doc-1-only.
+    t = (tmp_path / "out" / "t.txt").read_text().splitlines()
+    assert t[0] == "the:[1 2]"  # df=2 sorts above df=1 't' words
+    q = (tmp_path / "out" / "q.txt").read_text().splitlines()
+    assert "quick:[1]" in q and "quickquick:[2]" in q
+    # digits vanish: '123' must appear nowhere; letter files with no
+    # words are created empty
+    x = (tmp_path / "out" / "x.txt").read_text()
+    assert x == ""
+    a = (tmp_path / "out" / "a.txt").read_text().splitlines()
+    assert a == ["apple:[3]"]  # per-doc dedup: one posting despite 3 occurrences
+    # ordering within a letter file: df DESC then word ASC
+    d = (tmp_path / "out" / "d.txt").read_text().splitlines()
+    assert d == ["dog:[1 2]"]

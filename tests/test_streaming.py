@@ -1,0 +1,27 @@
+"""Streaming-vs-batch convergence (SURVEY.md §7 step 7): the streaming
+variants must produce exactly the batch (oracle-checked) results when
+the whole fixture arrives as one micro-batch in update mode."""
+
+from __future__ import annotations
+
+from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_window_equals_batch(spark):
+    qs = load_all()
+    batch = as_set(qs["events_window"].fn(spark, SF))
+    stream = as_set(qs["stream_events_window"].fn(spark, SF))
+    assert stream == batch
+
+
+def test_stream_sessionize_equals_batch(spark):
+    qs = load_all()
+    batch = as_set(qs["events_sessionize"].fn(spark, SF))
+    stream = as_set(qs["stream_sessionize"].fn(spark, SF))
+    assert stream == batch
