@@ -29,6 +29,27 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fact tables get scan-side parallelism repair (below); dimension tables
+# stay as-scanned — they are broadcast-joined everywhere, so extra
+# partitions only add exchange overhead.
+FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repair scan parallelism for under-partitioned inputs.
+
+    The fixture parquet files are a single row-group, so the scan stage
+    — and every narrow transformation fused onto it (tokenize, shingle,
+    vector math) — would run on ONE core.  When the scan yields fewer
+    partitions than the cluster has slots, round-robin them out.  On a
+    real multi-file 100 TB table the partition count already exceeds
+    the slot count and this is a no-op (no shuffle inserted).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -38,11 +59,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond, so read nanos as long (runtime-settable legacy
         # conf) and floor-convert -- works under any caller's session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _spread(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
         return df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread(spark, df) if name in FACT_TABLES else df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

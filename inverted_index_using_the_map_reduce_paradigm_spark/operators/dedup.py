@@ -20,12 +20,22 @@ degenerate ones.
 
 from __future__ import annotations
 
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..data import table
 from ..functions.text import sql_tokens, tokens_of
 from ..registry import register
+
+# The SimHash pandas_udf below runs in Python workers; ship it by value
+# (same rationale as operators/multimodal.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 # --------------------------------------------------------------------------
 # exact_dedup
@@ -69,15 +79,34 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_N = 3
 
 
+# DataType object (not DDL string): a string return type would need an
+# active SparkContext at import time.
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _shingle_udf(tokens: pd.Series) -> pd.Series:
+    """Distinct word-``SHINGLE_N``-grams per document, Arrow-vectorized.
+
+    The equivalent Spark higher-order expression (``transform(sequence,
+    i -> concat_ws(slice(...)))``) is interpreted per gram and gets
+    re-evaluated wherever projection collapse inlines it — measured
+    ~5 ms/doc vs ~0.5 us/gram here.  ``dict.fromkeys`` dedups while
+    keeping first-occurrence order, same as ``array_distinct``.
+    """
+    n = SHINGLE_N
+    out = []
+    for t in tokens:
+        if len(t) >= n:
+            out.append(
+                list(dict.fromkeys(" ".join(t[i : i + n]) for i in range(len(t) - n + 1)))
+            )
+        else:
+            out.append([])
+    return pd.Series(out)
+
+
 def shingles_of(text_col) -> "F.Column":
-    """Distinct word-``SHINGLE_N``-grams of a document (array-local)."""
-    t = tokens_of(text_col)
-    n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (SHINGLE_N - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, SHINGLE_N)),
-    )
-    return F.array_distinct(grams)
+    """Distinct word-``SHINGLE_N``-grams of a document (tokens stay
+    JVM-side so normalizer semantics live in one place)."""
+    return _shingle_udf(tokens_of(text_col))
 
 
 SQL_SHINGLES = f"""
@@ -233,28 +262,31 @@ SIMHASH_CHUNKS = 4  # 16-bit chunks for candidate banding
 HAMMING_MAX = 3
 
 
-def simhash_of(hashes_sql: str) -> "F.Column":
+# DataType object (not DDL string): a string return type would need an
+# active SparkContext at import time.
+@F.pandas_udf(T.LongType())
+def simhash_of(hashes: pd.Series) -> pd.Series:
     """64-bit SimHash from a pre-computed ``array<long>`` column of token
-    hashes (hoisted so the hash array is built once, not per bit): per
-    bit, sum +/-1 votes; bit set iff the vote sum is positive.
+    hashes: per bit, sum +/-1 votes over the hashes; bit set iff the
+    vote sum is positive.
 
-    Written as a SQL higher-order expression because the per-bit shift
-    amount is itself a lambda variable (the DSL's ``shiftright`` only
-    takes a literal count; the SQL function takes any expression).
+    Arrow-vectorized: the per-doc bit matrix is one numpy broadcast
+    (n_hashes x 64), so cost is a few ns per (hash, bit) cell — the
+    equivalent Spark higher-order expression is interpreted per cell
+    (~100x slower, measured).  xxhash64 stays JVM-side so the hash
+    values are engine-deterministic.
     """
-    return F.expr(
-        f"""
-        aggregate(
-          zip_with(
-            transform(sequence(0, {SIMHASH_BITS - 1}),
-              b -> aggregate({hashes_sql},
-                     0,
-                     (acc, h) -> acc + IF((shiftright(h, b) & 1L) = 1L, 1, -1))),
-            sequence(0, {SIMHASH_BITS - 1}),
-            (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
-          0L, (acc, x) -> acc | x)
-        """
-    )
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).view(np.int64)
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, h in enumerate(hashes):
+        a = np.asarray(h, dtype=np.int64).view(np.uint64)
+        if a.size == 0:
+            continue
+        ones = ((a[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+        votes = 2 * ones.astype(np.int64) - np.int64(a.size)
+        out[i] = np.bitwise_or.reduce(weights[votes > 0]) if (votes > 0).any() else 0
+    return pd.Series(out)
 
 
 @register(
@@ -275,7 +307,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(tokens_of(F.col("text"))), lambda w: F.xxhash64(w)
         ).alias("hashes"),
     )
-    s = hashed.select("doc_id", simhash_of("hashes").alias("simhash"))
+    s = hashed.select("doc_id", simhash_of(F.col("hashes")).alias("simhash"))
     chunks = s.select(
         "doc_id",
         "simhash",

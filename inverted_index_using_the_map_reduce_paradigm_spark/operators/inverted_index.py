@@ -253,6 +253,44 @@ def q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "boolean_setops",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, u AS (
+  SELECT DISTINCT doc_id FROM toks WHERE word = '{OR_TERMS[0]}'
+  UNION
+  SELECT DISTINCT doc_id FROM toks WHERE word = '{OR_TERMS[1]}'
+), i AS (
+  SELECT doc_id FROM u
+  INTERSECT
+  SELECT DISTINCT doc_id FROM toks WHERE word = '{TERM}'
+)
+SELECT doc_id FROM i
+EXCEPT
+SELECT DISTINCT doc_id FROM toks WHERE word = '{NOT_TERMS[0]}'
+""",
+    description="set algebra on posting sets: UNION then INTERSECT then EXCEPT",
+    tags=("reference", "query", "setops"),
+)
+def q_boolean_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(docs(window) ∪ docs(stream)) ∩ docs(scan) − docs(merge) through
+    the native set operators.  Catalyst plans INTERSECT/EXCEPT as
+    left-semi/left-anti hash joins — same shuffle count as the
+    hand-written join form, with dedup folded into the aggregation."""
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+
+    def docs_with(term: str) -> DataFrame:
+        return toks.filter(F.col("word") == term).select("doc_id").distinct()
+
+    return (
+        docs_with(OR_TERMS[0])
+        .union(docs_with(OR_TERMS[1]))
+        .intersect(docs_with(TERM))
+        .subtract(docs_with(NOT_TERMS[0]))
+    )
+
+
+@register(
     "boolean_not",
     oracle=f"""
 {SQL_TOKS_CTE}

@@ -111,3 +111,63 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return payloads.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# frame sampling — the 1->N shape (video frame extract / audio chunking)
+# --------------------------------------------------------------------------
+
+FRAME_BYTES = 256  # stand-in for a frame/chunk stride
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_bytes long, head_byte long"
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker emitting one row per FRAME_BYTES-sized chunk of
+    the payload — the row-expanding shape a video frame-sampler or audio
+    chunker has (a real decoder slots into the per-frame loop)."""
+    for pdf in batches:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        sizes: list[int] = []
+        heads: list[int] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            for k, off in enumerate(range(0, n, FRAME_BYTES)):
+                doc_ids.append(doc_id)
+                idxs.append(k)
+                sizes.append(min(FRAME_BYTES, n - off))
+                heads.append(payload[off])
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_bytes": sizes, "head_byte": heads}
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, text,
+         unnest(generate_series(
+           0, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS INT) - 1))
+           AS frame_idx
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+)
+SELECT doc_id, frame_idx,
+       least({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}) AS frame_bytes,
+       ascii(substr(text, frame_idx * {FRAME_BYTES} + 1, 1)) AS head_byte
+FROM f
+""",
+    description="1->N frame/chunk sampling of binary payloads via mapInPandas",
+    tags=("multimodal", "udf"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding mapInPandas: output cardinality is decoupled from
+    input cardinality (Arrow batches re-chunk downstream), which is the
+    plumbing a frame sampler needs.  The oracle recomputes the chunk
+    geometry with generate_series (fixture text is ASCII, so byte
+    offsets == char offsets)."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA)

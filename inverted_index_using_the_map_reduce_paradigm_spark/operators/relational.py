@@ -274,6 +274,82 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promo_revenue",
+    oracle=f"""
+SELECT CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN {SQL_PRICE} * {SQL_DISC}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+            / sum({SQL_PRICE} * {SQL_DISC}) AS DOUBLE) AS promo_pct,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN {SQL_PRICE} * {SQL_DISC}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+""",
+    description="TPC-H Q14-style: PROMO parts' share of discounted revenue",
+    tags=("relational", "join", "agg"),
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part is a broadcast dim keyed on partkey; the conditional sums are
+    one pass over the filtered fact — no second aggregation."""
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = _dec("l_extendedprice") * _disc_factor()
+    zero = F.lit(0).cast(D182)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double").alias("promo_pct"),
+            F.sum(promo).cast("double").alias("promo_rev"),
+        )
+    )
+
+
+@register(
+    "top_suppliers",
+    oracle=f"""
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       CAST(sum({SQL_PRICE} * {SQL_DISC}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY s.s_suppkey, s.s_name, n.n_name
+ORDER BY revenue DESC, s_suppkey ASC
+LIMIT 10
+""",
+    description="top-10 suppliers by lineitem revenue (broadcast dim chain)",
+    tags=("relational", "join", "topk"),
+)
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier+nation collapse into one broadcast dim; the fact
+    aggregates on s_suppkey (pre-agg on the join key BEFORE attaching
+    dim attributes would also work, but the dim is tiny so the single
+    hash agg after a map-side join is the cheaper plan)."""
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "n_name")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = _dec("l_extendedprice") * _disc_factor()
+    return (
+        li.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.sum(rev).alias("rev_d"))
+        .orderBy(F.desc("rev_d"), F.asc("s_suppkey"))
+        .limit(10)
+        .select("s_suppkey", "s_name", "n_name", F.col("rev_d").cast("double").alias("revenue"))
+    )
+
+
+@register(
     "customers_without_orders",
     oracle="""
 SELECT c_custkey, c_name FROM customer

@@ -21,7 +21,12 @@ is pair-joined through the bucket key too when H > 0.
 from __future__ import annotations
 
 import random
+import sys
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -29,6 +34,10 @@ from pyspark.sql.window import Window
 from ..data import table
 from ..functions.vectors import cosine_similarity
 from ..registry import register
+
+# The block-GEMM worker below runs in Python workers; ship it by value
+# (same rationale as operators/multimodal.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -100,6 +109,49 @@ def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_BLOCKS = 16  # sized so NB*(NB+1)/2 block pairs >= cluster slots
+
+
+def _unpack_block(ids, flat) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, row-major flat floats) -> (ids, L2-normalized matrix).
+    Primitive arrays cross Arrow zero-copy; a list-of-struct layout
+    would unbox per element."""
+    ids = np.asarray(ids, dtype=np.int64)
+    mat = np.asarray(flat, dtype=np.float64).reshape(len(ids), -1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def _gemm_block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One task = one (block_a, block_b) tile: a dense normalized-matrix
+    product scores every cross pair at BLAS speed, then thresholds.
+    Work per task is |A|*|B|*dim flops; output is only the surviving
+    pairs, so nothing quadratic is ever shuffled or materialized."""
+    for pdf in batches:
+        for ia_, fa_, ib_, fb_, same in zip(
+            pdf["ids_a"], pdf["flat_a"], pdf["ids_b"], pdf["flat_b"], pdf["same"]
+        ):
+            ids_a, na = _unpack_block(ia_, fa_)
+            ids_b, nb = _unpack_block(ib_, fb_)
+            cos = np.round(na @ nb.T, ROUND) + 0.0
+            sel = cos >= NEAR_DUP_COS
+            if same:
+                # diagonal tile: keep the strict upper triangle by id
+                sel &= ids_a[:, None] < ids_b[None, :]
+            ii, jj = np.nonzero(sel)
+            if ii.size == 0:
+                continue
+            ia, ib = ids_a[ii], ids_b[jj]
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.minimum(ia, ib),
+                    "vec_b": np.maximum(ia, ib),
+                    "cosine": cos[ii, jj],
+                }
+            )
+
+
 @register(
     "embedding_near_dup",
     oracle=f"""
@@ -112,18 +164,40 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, {ROUND}) >= {NEAR_DUP_COS}
     tags=("similarity", "dedup"),
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correctness-baseline form: triangular self-join.  At 100 TB the
-    same query runs through the random-projection bucket key (see
-    ``similarity_search_rp``) instead of the open pair join."""
+    """Exact all-pairs via tiled matrix product: vectors hash into
+    NEAR_DUP_BLOCKS blocks, the NB*(NB+1)/2 block pairs fan out as one
+    task each, and each task is a vectorized GEMM + threshold — the
+    interpreted per-pair expression path is ~100x slower.  At 100 TB
+    exact all-pairs is inherently quadratic in block count; the scale
+    path prefilters candidates with the ``similarity_search_rp`` bucket
+    key and uses this same tile scorer only within buckets."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("e")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _r(cosine_similarity(F.col("ea"), F.col("eb")))
-    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= NEAR_DUP_COS
+    packed = (
+        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(NEAR_DUP_BLOCKS)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "e")).alias("vs"))
+        # unzip to primitive arrays: Arrow moves these zero-copy
+        .select(
+            "blk",
+            F.transform("vs", lambda v: v["vec_id"]).alias("ids"),
+            F.flatten(F.transform("vs", lambda v: v["e"])).alias("flat"),
+        )
+    )
+    a = packed.select(
+        F.col("blk").alias("ba"), F.col("ids").alias("ids_a"), F.col("flat").alias("flat_a")
+    )
+    b = packed.select(
+        F.col("blk").alias("bb"), F.col("ids").alias("ids_b"), F.col("flat").alias("flat_b")
+    )
+    tiles = (
+        a.join(b, F.col("ba") <= F.col("bb"))
+        .withColumn("same", F.col("ba") == F.col("bb"))
+        .repartition(NEAR_DUP_BLOCKS * (NEAR_DUP_BLOCKS + 1) // 2)
+    )
+    return tiles.mapInPandas(
+        _gemm_block_pairs, schema="vec_a long, vec_b long, cosine double"
     )
 
 

@@ -39,6 +39,7 @@ def get_spark(app_name: str = "repo_spark", *, shuffle_partitions: int | None = 
         # ---- local-mode memory (driver == the one JVM) -----------------
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

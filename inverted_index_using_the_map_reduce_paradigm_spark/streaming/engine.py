@@ -16,13 +16,24 @@ store, shuffle on (window, key) — is already what these build.
 
 from __future__ import annotations
 
+import sys
 import uuid
+from collections.abc import Iterator
+from typing import Any
 
+import pandas as pd
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
+
+# applyInPandasWithState ships this module's functions to Python
+# workers; serialize by value so executors need no package import
+# (same rationale as operators/multimodal.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 GAP_MIN = 30
 
@@ -127,3 +138,55 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState
+# --------------------------------------------------------------------------
+
+USER_STATE_SCHEMA = "n LONG, total DOUBLE"
+USER_OUT_SCHEMA = "user_id LONG, n_events LONG, sum_value DOUBLE"
+
+
+def _user_stats_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum) kept in the state store — the shape
+    of any custom stateful operator (CDC rollup, online feature, anomaly
+    counter) that windowed aggregation can't express.  State is one
+    fixed-size tuple per key: memory is O(distinct users), not O(events).
+    """
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(total, 2) + 0.0],
+        }
+    )
+
+
+@register(
+    "stream_user_stats",
+    oracle=None,  # stateful streaming: rows-only; tests assert equality
+    # with the equivalent batch groupBy aggregation.
+    description="custom stateful per-user running stats (applyInPandasWithState)",
+    bench=False,
+    tags=("streaming", "stateful", "udf"),
+)
+def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _event_stream(spark, sf_dir).select("user_id", "value")
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_update,
+        outputStructType=USER_OUT_SCHEMA,
+        stateStructType=USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(stats, "update")

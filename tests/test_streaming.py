@@ -25,3 +25,22 @@ def test_stream_sessionize_equals_batch(spark):
     batch = as_set(qs["events_sessionize"].fn(spark, SF))
     stream = as_set(qs["stream_sessionize"].fn(spark, SF))
     assert stream == batch
+
+
+def test_stream_user_stats_equals_batch(spark):
+    """The applyInPandasWithState running stats must equal the batch
+    groupBy when the whole fixture arrives as one micro-batch."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    qs = load_all()
+    ev = table(spark, SF, "events")
+    batch = as_set(
+        ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+    stream = as_set(qs["stream_user_stats"].fn(spark, SF))
+    assert stream == batch
