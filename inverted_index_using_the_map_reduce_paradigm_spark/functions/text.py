@@ -29,11 +29,15 @@ def normalize_word(col: Column) -> Column:
 def tokens_of(text: Column) -> Column:
     """Array of normalized non-empty words from a text column.
 
-    Split on whitespace runs, normalize each token, drop empties --
-    ``filter`` after ``transform`` keeps it all in one projection.
+    Split on the reference's EXACT delimiter set ``" \\n\\t"``
+    (strtok_r, main.c++:102,143) — not ``\\s``: a mid-token ``\\r`` or
+    ``\\f`` is erased by the normalizer and JOINS its neighbors in the
+    reference, so it must not split here either.  Normalize each token,
+    drop empties — ``filter`` after ``transform`` keeps it all in one
+    projection.
     """
     return F.filter(
-        F.transform(F.split(text, r"\s+"), normalize_word),
+        F.transform(F.split(text, "[ \n\t]+"), normalize_word),
         lambda w: F.length(w) > 0,
     )
 
@@ -52,7 +56,7 @@ def tokenize_documents(documents: DataFrame) -> DataFrame:
 # DuckDB-side equivalents (kept adjacent so the two dialects stay in sync).
 # DuckDB regexp_replace needs the 'g' flag for global replacement.
 SQL_TOKENS = (
-    "list_filter(list_transform(regexp_split_to_array({col}, '\\s+'),"
+    "list_filter(list_transform(regexp_split_to_array({col}, '[ \\n\\t]+'),"
     " t -> regexp_replace(lower(t), '[^a-z]', '', 'g')), w -> length(w) > 0)"
 )
 

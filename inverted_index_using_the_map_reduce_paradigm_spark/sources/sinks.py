@@ -43,6 +43,35 @@ def write_letter_index(formatted: DataFrame, out_dir: str) -> None:
     )
 
 
+def write_parquet_index(index: DataFrame, out_dir: str) -> None:
+    """Columnar stored form of the inverted index, partitioned by letter.
+
+    ``index`` is ``operators.inverted_index.build_index`` output.  The
+    letter partition key is the reference's 26-bucket layout (main.c++:
+    184,302) carried into storage: a term lookup prunes to one
+    partition directory, and posting lists stay columnar (parquet
+    nested arrays) instead of the reference's text lines.
+    """
+    (
+        index.repartition("letter")
+        .sortWithinPartitions(F.desc("doc_freq"), F.asc("word"))
+        .write.mode("overwrite")
+        .partitionBy("letter")
+        .parquet(out_dir)
+    )
+
+
+def lookup_term(spark, index_dir: str, term: str) -> DataFrame:
+    """Posting-list lookup against the stored index.  The redundant
+    letter predicate makes partition pruning explicit in the plan
+    (PartitionFilters: letter = substr(term,1,1)); the word predicate
+    pushes into the parquet scan of that one directory."""
+    idx = spark.read.parquet(index_dir)
+    return idx.filter(
+        (F.col("letter") == term[:1]) & (F.col("word") == term)
+    )
+
+
 def collect_reference_layout(out_dir: str) -> None:
     """Flatten the partitioned sink into the reference's exact layout:
     ``<letter>.txt`` for every letter a-z (empty file when absent)."""

@@ -68,3 +68,24 @@ def test_reference_output_layout(spark, tmp_path):
     # ordering within a letter file: df DESC then word ASC
     d = (tmp_path / "out" / "d.txt").read_text().splitlines()
     assert d == ["dog:[1 2]"]
+
+
+def test_parquet_index_partition_pruning(spark, tmp_path):
+    """The stored columnar index prunes a term lookup to one letter
+    partition (the storage form of the reference's 26-bucket layout)."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import build_index
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.manifest import read_corpus
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.sinks import (
+        lookup_term,
+        write_parquet_index,
+    )
+
+    manifest = make_corpus(tmp_path)
+    out = str(tmp_path / "idx")
+    write_parquet_index(build_index(read_corpus(spark, manifest)), out)
+
+    hit = lookup_term(spark, out, "dog")
+    rows = hit.collect()
+    assert len(rows) == 1 and sorted(rows[0].postings) == [1, 2]
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(letter" in plan, plan[:2000]

@@ -1,0 +1,76 @@
+"""Property tests for the tokenizer/normalizer (SURVEY.md §5.3).
+
+The reference's one documented historical bug was tokens that become
+empty after normalization (README.md:18).  These check the Spark
+expression chain against an independent pure-Python model of the
+reference semantics (main.c++:100-128) over adversarial inputs:
+mixed case, digits, punctuation-only, non-ASCII, exotic whitespace.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from inverted_index_using_the_map_reduce_paradigm_spark.functions.text import tokens_of
+
+# The reference splits on EXACTLY " \n\t" (strtok_r, main.c++:102,143),
+# then per token lowercases A-Z and deletes every char outside a-z
+# (main.c++:110-124), dropping tokens that end up empty (main.c++:
+# 125-128).  NOT \s: a mid-token \r, \f, or \xa0 is erased by the
+# normalizer and joins its neighbors ("a\rb" -> "ab").
+_WS = re.compile("[ \n\t]+")
+
+
+def reference_tokens(text: str) -> list[str]:
+    out = []
+    for tok in _WS.split(text):
+        w = re.sub("[^a-z]", "", tok.lower())
+        if w:
+            out.append(w)
+    return out
+
+
+TEXTS = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "S", "Z", "C")
+    ),
+    max_size=200,
+)
+
+
+def spark_tokens_batch(spark, texts: list[str]) -> list[list[str]]:
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = df.select(tokens_of(F.col("text")).alias("t")).collect()
+    return [list(r.t) for r in rows]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(TEXTS, min_size=1, max_size=10))
+def test_tokens_match_reference_model(spark, texts):
+    got = spark_tokens_batch(spark, texts)
+    want = [reference_tokens(t) for t in texts]
+    assert got == want
+
+
+def test_tokenizer_edge_cases(spark):
+    cases = {
+        "": [],
+        "   \t\n  ": [],
+        "123 456": [],
+        "!!! ???": [],
+        "Don't don't2x": ["dont", "dontx"],
+        "quick-quick": ["quickquick"],
+        "Ünïcödé naïve": ["ncd", "nave"],
+        "MiXeD CaSe": ["mixed", "case"],
+        "a.b,c;d": ["abcd"],
+    }
+    got = spark_tokens_batch(spark, list(cases))
+    assert got == list(cases.values())
