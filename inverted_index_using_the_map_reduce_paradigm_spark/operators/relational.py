@@ -350,17 +350,49 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    description="all-subsets totals: CUBE(status, priority)",
+    tags=("relational", "agg"),
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE expands each input row into the 4 grouping-set keys
+    map-side, then one hash aggregation — same single shuffle as the
+    plain groupBy, with partial aggregation keeping the expansion from
+    inflating shuffle volume."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@register(
     "customers_without_orders",
     oracle="""
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+)
 """,
-    description="anti join: customers that never ordered",
+    description="anti join: customers with no orders since mid-1997",
     tags=("relational", "join"),
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The date restriction keeps the result non-trivially non-empty at
+    every scale factor (every fixture customer has SOME order), so the
+    anti-join path is actually exercised by the value-hash check."""
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
+    ).select("o_custkey")
     return cust.join(
         orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")

@@ -141,6 +141,47 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming exact dedup
+# --------------------------------------------------------------------------
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@register(
+    "stream_exact_dedup",
+    oracle=None,  # streaming: rows-only; tests assert the surviving
+    # hash set equals the batch exact_dedup groups.
+    description="streaming exact dedup: stateful dropDuplicates on content hash",
+    bench=False,
+    tags=("streaming", "dedup"),
+)
+def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicates`` on a stream keeps one state entry per distinct
+    content hash and emits only first-seen documents — the arrival-order
+    form of the batch ``exact_dedup``.  In production the state store
+    would carry a watermark-scoped key TTL or an RocksDB-backed store;
+    the topology (shuffle on hash, per-key state) is identical."""
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = (
+        docs.select(F.sha2("text", 256).alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+    )
+    return _run_to_memory(deduped, "append")
+
+
+# --------------------------------------------------------------------------
 # custom stateful operator: applyInPandasWithState
 # --------------------------------------------------------------------------
 

@@ -27,6 +27,19 @@ def test_stream_sessionize_equals_batch(spark):
     assert stream == batch
 
 
+def test_stream_exact_dedup_matches_batch_groups(spark):
+    """Streaming dropDuplicates must keep exactly one row per distinct
+    content hash — the same hash set the batch exact_dedup groups on."""
+    qs = load_all()
+    batch_hashes = {
+        r.content_hash for r in qs["exact_dedup"].fn(spark, SF).collect()
+    }
+    stream_hashes = {
+        r.content_hash for r in qs["stream_exact_dedup"].fn(spark, SF).collect()
+    }
+    assert stream_hashes == batch_hashes
+
+
 def test_stream_user_stats_equals_batch(spark):
     """The applyInPandasWithState running stats must equal the batch
     groupBy when the whole fixture arrives as one micro-batch."""
