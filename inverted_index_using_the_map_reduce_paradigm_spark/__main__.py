@@ -1,0 +1,52 @@
+"""Drop-in CLI for the reference binary.
+
+The reference runs as ``./program <M> <R> <manifest>`` (argv parsing at
+main.c++:277-287: M mapper threads, R reducer threads, master file) and
+writes ``a.txt`` … ``z.txt`` into the working directory (main.c++:
+231-233).  This entry point accepts the same call shape::
+
+    python -m inverted_index_using_the_map_reduce_paradigm_spark <M> <R> <manifest> <out_dir>
+
+M and R become the Spark local-mode parallelism hint (max of the two —
+Spark schedules both "phases" over one executor pool; the mapper/
+reducer split is meaningless under a shuffle engine).  ``out_dir`` is
+required and is REPLACED on each run (the partitioned sink writes in
+overwrite mode — unlike the reference, which drops its files into the
+working directory).  The output is byte-compatible
+with the reference: 26 files, ``word:[d1 d2 … dn]`` lines, rows ordered
+(doc_freq DESC, word ASC), postings ascending, 1-based doc ids in
+manifest order.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .operators.inverted_index import formatted_index
+from .session import get_spark
+from .sources.manifest import read_corpus
+from .sources.sinks import collect_reference_layout, write_letter_index
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 4:
+        print(
+            "usage: python -m inverted_index_using_the_map_reduce_paradigm_spark"
+            " <num_mappers> <num_reducers> <manifest> <out_dir>",
+            file=sys.stderr,
+        )
+        return 2
+    mappers, reducers = int(argv[0]), int(argv[1])
+    manifest = argv[2]
+    out_dir = argv[3]
+
+    parallelism = max(mappers, reducers, 1)
+    spark = get_spark("inverted_index_cli", shuffle_partitions=parallelism)
+    docs = read_corpus(spark, manifest)
+    write_letter_index(formatted_index(docs), out_dir)
+    collect_reference_layout(out_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

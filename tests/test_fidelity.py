@@ -70,6 +70,37 @@ def test_reference_output_layout(spark, tmp_path):
     assert d == ["dog:[1 2]"]
 
 
+def test_cli_drop_in_invocation(spark, tmp_path, monkeypatch):
+    """``python -m <pkg> M R manifest out`` must produce the reference
+    layout end-to-end (the reference's exact call shape, main.c++:
+    277-287)."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.__main__ import main
+
+    manifest = make_corpus(tmp_path)
+    out = str(tmp_path / "cli_out")
+    # get_spark inside main() reuses the active test session via
+    # getOrCreate, so M/R only influence shuffle partitioning.
+    assert main(["4", "2", manifest, out]) == 0
+    files = {f for f in os.listdir(out) if not f.startswith(("_", "."))}
+    assert files == {f"{c}.txt" for c in string.ascii_lowercase}
+    assert (tmp_path / "cli_out" / "a.txt").read_text() == "apple:[3]\n"
+
+
+def test_null_and_empty_text_rows(spark):
+    """Null / empty / whitespace-only documents flow through the whole
+    pipeline without rows leaking into the index (the reference's
+    empty-token segfault class, README.md:18)."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import build_index
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   \t  "), (4, "123 !!!"), (5, "real word")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(docs)
+    rows = {r.word: list(r.postings) for r in idx.collect()}
+    assert rows == {"real": [5], "word": [5]}
+
+
 def test_parquet_index_partition_pruning(spark, tmp_path):
     """The stored columnar index prunes a term lookup to one letter
     partition (the storage form of the reference's 26-bucket layout)."""
