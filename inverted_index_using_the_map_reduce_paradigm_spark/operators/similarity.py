@@ -293,6 +293,113 @@ def q_similarity_search_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF variant: coarse k-means quantizer + probed buckets
+# --------------------------------------------------------------------------
+
+IVF_CELLS = 16  # coarse centroids (≈ sqrt(n) at fixture scale)
+IVF_NPROBE = 4  # cells searched per query
+IVF_TRAIN_SAMPLE = 1024  # driver-side k-means training sample
+IVF_KMEANS_ITERS = 5
+
+
+def _train_centroids(emb: DataFrame) -> np.ndarray:
+    """Coarse-quantizer training: Lloyd iterations on a bounded driver
+    sample (the standard IVF recipe — the quantizer trains on a sample,
+    never the corpus; only `IVF_TRAIN_SAMPLE x dim` floats ever reach
+    the driver, regardless of corpus size).  Deterministic: fixed-seed
+    init + fixed iteration count."""
+    sample = np.array(
+        [
+            r.e
+            for r in emb.select("e")
+            .orderBy("vec_id")
+            .limit(IVF_TRAIN_SAMPLE)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1), 1e-12)[:, None]
+    rng = np.random.RandomState(20240101)
+    cents = sample[rng.choice(len(sample), IVF_CELLS, replace=False)]
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit vectors
+        for c in range(IVF_CELLS):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _cell_assigner(cents: np.ndarray, nprobe: int):
+    """pandas_udf: embedding -> array of the nprobe nearest cell ids.
+    The centroid matrix is baked into the closure (broadcast with the
+    task), so assignment is one small GEMM per Arrow batch."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.array(list(embs), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+        sims = mat @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+@register(
+    "similarity_search_ivf",
+    oracle=None,  # approximate by design; tests measure recall vs the
+    # exact oracle-checked similarity_search result.
+    description=f"ANN top-k via IVF: {IVF_CELLS}-cell k-means quantizer, nprobe={IVF_NPROBE}",
+    tags=("similarity", "approx"),
+)
+def q_similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: every vector lives in its nearest cell (inverted
+    list); a query scores only vectors in its ``IVF_NPROBE`` nearest
+    cells.  The cell id is a plain equi-join key, so the plan is
+    bucket-join + exact re-rank — same shape as the LSH variant but
+    with a learned partition of the space (better recall per candidate
+    at the same fan-out).  At 100 TB the inverted lists are the stored
+    partition layout (`write.partitionBy("cell")`) and this query
+    prunes to nprobe partitions."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("e")
+    )
+    cents = _train_centroids(emb)
+    home_cell = _cell_assigner(cents, 1)
+    probe_cells = _cell_assigner(cents, IVF_NPROBE)
+
+    cand = emb.select(
+        "vec_id", "e", F.explode(home_cell(F.col("e"))).alias("cell")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode(probe_cells(F.col("e"))).alias("cell"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _r(cosine_similarity(F.col("qe"), F.col("e"))).alias("cosine"),
+        )
+        # a (query, neighbor) pair can surface via several probed cells
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding_agg
 # --------------------------------------------------------------------------
 

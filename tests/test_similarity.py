@@ -27,6 +27,24 @@ def test_rp_lsh_topk_recall(spark):
     assert recall >= 0.1, recall
 
 
+def test_ivf_topk_recall_beats_plumbing_bound(spark):
+    """IVF with nprobe=4 of 16 cells must find a solid share of the true
+    top-k (learned partitions beat random hyperplanes at equal fan-out),
+    and every reported cosine is exact (re-ranked in-query)."""
+    qs = load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["similarity_search"].fn(spark, SF).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["similarity_search_ivf"].fn(spark, SF).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
+
+
 def test_embedding_agg_has_full_grid(spark):
     qs = load_all()
     out = qs["embedding_agg"].fn(spark, SF)
