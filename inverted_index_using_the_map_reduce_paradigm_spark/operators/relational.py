@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..data import table
+from ..functions.text import sql_tokens, tokenize_documents
 from ..registry import register
 
 # exact-decimal building blocks (see module docstring)
@@ -396,6 +397,85 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS order_month,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_95,
+       upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+       length(o_orderstatus) AS status_len,
+       round(sqrt(o_totalprice), 4) AS sqrt_price,
+       round(ln(o_totalprice + 1), 4) AS log_price,
+       CAST(floor(o_totalprice) AS BIGINT) // 1000 * 1000 AS price_bucket,
+       CASE WHEN o_orderstatus = 'O' THEN 'open'
+            WHEN o_orderstatus = 'F' THEN 'finished'
+            ELSE 'partial' END AS status_name
+FROM orders
+""",
+    description="scalar-function gallery: date/string/math/conditional in one projection",
+    tags=("relational", "functions"),
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row projection — the whole expression set runs inside
+    one WholeStageCodegen span with no exchange; coverage for the
+    date / string / math / conditional scalar families the reference
+    lacks entirely (SURVEY.md §2.2)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("int").alias("days_since_95"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("o_totalprice") + 1), 4).alias("log_price"),
+        # explicit floor on both sides: DuckDB's double->BIGINT cast
+        # rounds half-to-even while Spark's truncates
+        (
+            F.floor(F.floor("o_totalprice") / 1000) * 1000
+        ).cast("bigint").alias("price_bucket"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("partial")
+        .alias("status_name"),
+    )
+
+
+@register(
+    "word_count_salted",
+    oracle=f"""
+SELECT word, count(*) AS n_occurrences
+FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS word
+      FROM documents) t
+GROUP BY word
+""",
+    description="skew-safe word count: salted partial agg, then final merge",
+    tags=("text", "agg", "skew"),
+)
+def q_word_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-stage salting for Zipf-skewed keys: partial counts
+    on (word, salt) spread a hot word over SALT buckets, the final
+    merge sums per word.  Results are identical to the plain groupBy
+    (the oracle is the unsalted SQL); the plan trades one extra small
+    shuffle for bounded per-task key cardinality when a single key's
+    rows exceed an executor's share — the manual fallback for skew
+    AQE can't split (single-key hot spots in aggregations).
+    """
+    SALT = 16
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    partial = (
+        toks.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(SALT)))
+        .groupBy("word", "salt")
+        .agg(F.count("*").alias("c"))
+    )
+    return partial.groupBy("word").agg(F.sum("c").cast("long").alias("n_occurrences"))
 
 
 @register(
