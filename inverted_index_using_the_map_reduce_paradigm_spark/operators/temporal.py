@@ -47,13 +47,15 @@ FROM events
     tags=("temporal", "json"),
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row projection (``get_json_object``) — no shuffle; at scale
-    prefer ``from_json`` with an explicit schema so Catalyst prunes
-    unused fields instead of re-parsing per extraction."""
+    """Per-row projection via ``from_json`` with an explicit schema —
+    one parse per row regardless of how many fields are pulled, and
+    Catalyst's JSON schema pruning drops unused fields from the parse
+    itself (``get_json_object`` re-parses per extraction)."""
     ev = table(spark, sf_dir, "events")
+    props = F.from_json("props", "k BIGINT")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        props.getField("k").alias("k_value"),
         "event_type",
     )
 

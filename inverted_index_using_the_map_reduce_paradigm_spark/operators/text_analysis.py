@@ -306,6 +306,64 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# redact_pii — regex scrubbing for training-data hygiene
+# --------------------------------------------------------------------------
+
+# Deterministic, portable regexes (no lookaround -- RE2/Java/DuckDB safe).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+LONG_NUM_RE = "[0-9]{9,}"
+
+
+@register(
+    "redact_pii",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g'),
+           '{LONG_NUM_RE}', '<NUM>', 'g') AS redacted
+  FROM documents
+)
+SELECT doc_id,
+       length(redacted) AS n_chars_redacted,
+       len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<NUM>')) AS n_redactions,
+       md5(redacted) AS redacted_md5
+FROM r
+""",
+    description="PII scrubbing: email/phone/long-number regex redaction",
+    tags=("text", "hygiene"),
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row regexp_replace chain — no shuffle, stays in codegen; the
+    md5 of the redacted text makes the oracle compare the full output
+    without shipping document bodies through the value hash.  The
+    fixture corpus has no real PII, so redaction is usually a no-op;
+    the regex plumbing (and its determinism across engines) is what's
+    under test."""
+    docs = table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        LONG_NUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.length(redacted).alias("n_chars_redacted"),
+        F.size(
+            F.regexp_extract_all(redacted, F.lit("<EMAIL>|<PHONE>|<NUM>"), 0)
+        ).alias("n_redactions"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # doc_fingerprint — position-weighted polynomial hash mod p
 # --------------------------------------------------------------------------
 

@@ -141,6 +141,59 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# stream-stream interval join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_purchase_attribution",
+    oracle=None,  # streaming: rows-only; tests assert equality with the
+    # equivalent batch interval join.
+    description="stream-stream interval join: purchases to signups within 1h",
+    bench=False,
+    tags=("streaming", "join"),
+)
+def q_stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two watermarked streams joined on user_id with an event-time
+    interval predicate — the canonical stream-stream join: each side
+    buffers only rows inside its watermark horizon, and the interval
+    bound lets the state store evict matched/expired rows.  Batch
+    semantics (the test's contract) are the same inner join."""
+    ev = _event_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "signup_id",
+        F.unix_timestamp("p_ts").alias("purchase_ts"),
+        F.unix_timestamp("s_ts").alias("signup_ts"),
+    )
+    return _run_to_memory(joined, "append")
+
+
+# --------------------------------------------------------------------------
 # streaming exact dedup
 # --------------------------------------------------------------------------
 

@@ -27,6 +27,42 @@ def test_stream_sessionize_equals_batch(spark):
     assert stream == batch
 
 
+def test_stream_purchase_attribution_equals_batch_join(spark):
+    """The stream-stream interval join must emit exactly the rows the
+    equivalent batch inner join produces."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    qs = load_all()
+    ev = table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    batch = as_set(
+        p.join(
+            s,
+            (F.col("user_id") == F.col("s_user_id"))
+            & (F.col("s_ts") <= F.col("p_ts"))
+            & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).select(
+            "purchase_id",
+            "user_id",
+            "signup_id",
+            F.unix_timestamp("p_ts").alias("purchase_ts"),
+            F.unix_timestamp("s_ts").alias("signup_ts"),
+        )
+    )
+    stream = as_set(qs["stream_purchase_attribution"].fn(spark, SF))
+    assert len(batch) > 0
+    assert stream == batch
+
+
 def test_stream_exact_dedup_matches_batch_groups(spark):
     """Streaming dropDuplicates must keep exactly one row per distinct
     content hash — the same hash set the batch exact_dedup groups on."""
