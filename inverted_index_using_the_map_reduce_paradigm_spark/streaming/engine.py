@@ -141,6 +141,31 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# checkpointed sink: the production exactly-once path
+# --------------------------------------------------------------------------
+
+
+def run_to_parquet_once(
+    result: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available into a parquet sink with a
+    checkpoint, then stop — the production write path.  The checkpoint
+    records source offsets + sink commit log, so re-running after new
+    data arrives (or after a crash) processes each input exactly once;
+    the restart-resume contract is pinned by tests/test_streaming.py.
+    """
+    q = (
+        result.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
 # stream-stream interval join
 # --------------------------------------------------------------------------
 

@@ -76,6 +76,46 @@ def test_stream_exact_dedup_matches_batch_groups(spark):
     assert stream_hashes == batch_hashes
 
 
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Two availableNow runs over a growing source directory with one
+    checkpoint must process each input file exactly once — the batch-1
+    rows must not be re-emitted or lost when batch 2 arrives."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.streaming.engine import run_to_parquet_once
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def arrive(name, ids):
+        df = spark.range(0).sparkSession.createDataFrame(
+            [(i, i * 10.0) for i in ids], ["id", "v"]
+        )
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in __import__("os").listdir(tmp) if p.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", str(src / f"{name}.parquet"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("id LONG, v DOUBLE").parquet(str(src))
+            .withColumn("v2", F.col("v") * 2)
+        )
+        run_to_parquet_once(stream, out, ckpt)
+
+    arrive("batch1", range(0, 5))
+    drain()
+    arrive("batch2", range(5, 8))
+    drain()
+
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(8))  # each input exactly once, none twice
+
+
 def test_stream_user_stats_equals_batch(spark):
     """The applyInPandasWithState running stats must equal the batch
     groupBy when the whole fixture arrives as one micro-batch."""
