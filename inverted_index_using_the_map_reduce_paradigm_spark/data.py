@@ -35,7 +35,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+# (sf_dir, name) -> whether the scan needs the parallelism repair.
+# The probe converts the plan to an RDD, which is not free — memoized
+# because the answer is a property of the files, not the session.
+_SPREAD_MEMO: dict[tuple[str, str], bool] = {}
+
+
+def _spread(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFrame:
     """Repair scan parallelism for under-partitioned inputs.
 
     The fixture parquet files are a single row-group, so the scan stage
@@ -46,9 +52,11 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     the slot count and this is a no-op (no shuffle inserted).
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    needs = _SPREAD_MEMO.get(key)
+    if needs is None:
+        needs = df.rdd.getNumPartitions() < target
+        _SPREAD_MEMO[key] = needs
+    return df.repartition(target) if needs else df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,12 +67,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond, so read nanos as long (runtime-settable legacy
         # conf) and floor-convert -- works under any caller's session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = _spread(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = _spread(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"), (sf_dir, name))
         return df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
         )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _spread(spark, df) if name in FACT_TABLES else df
+    return _spread(spark, df, (sf_dir, name)) if name in FACT_TABLES else df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

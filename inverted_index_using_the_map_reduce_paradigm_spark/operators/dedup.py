@@ -150,17 +150,22 @@ WHERE n_common / (na + nb - n_common) >= {JACCARD_THRESHOLD}
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs come only from docs SHARING a shingle — the join
     key is the shingle, so cost is sum over shingles of group^2, not
-    n_docs^2.  Map-side the shingle arrays are deduped (array_distinct)
-    so counts are set semantics."""
+    n_docs^2.  Map-side the shingle arrays are deduped (array_distinct
+    semantics in the UDF) and the join key is xxhash64(shingle): an
+    8-byte shuffle key instead of a ~20-byte string (64-bit collisions
+    across a corpus vocabulary are ~2^-40-scale and would only perturb
+    one pair's intersection count by 1)."""
     docs = table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", shingles_of(F.col("text")).alias("shingles")
     ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    ex = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("s")
+    ).select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
             F.first("a.n_sh").alias("na"),

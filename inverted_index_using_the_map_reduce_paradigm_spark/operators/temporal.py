@@ -219,6 +219,33 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_type_stats",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value,
+       arg_max(event_id, value) AS top_event,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+    description="advanced aggregates: exact percentiles, arg-max, distinct count",
+    tags=("temporal", "agg"),
+)
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based within each group —
+    at 100 TB swap for ``approx_percentile`` t-digests, which aggregate
+    partially map-side), ``max_by`` (one-pass argmax, no self-join),
+    and a distinct count, all in one hash aggregation."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+        F.expr("max_by(event_id, value)").alias("top_event"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "event_type_pivot",
     oracle="""
 SELECT user_id % 10 AS user_bucket,
