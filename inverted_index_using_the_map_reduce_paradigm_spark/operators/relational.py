@@ -275,6 +275,42 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q6",
+    oracle=f"""
+SELECT CAST(sum({SQL_PRICE} * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 25
+""",
+    description="TPC-H Q6 forecasting revenue change (pure filter + aggregate)",
+    tags=("relational", "agg"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pushdown benchmark: every predicate reaches the
+    parquet scan (PushedFilters), the projection prunes to 4 columns,
+    and the plan is scan -> filter -> partial/final agg with no join
+    and no wide shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * F.col("l_discount").cast("decimal(3,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
     "promo_revenue",
     oracle=f"""
 SELECT CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'

@@ -246,6 +246,30 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_type_sketches",
+    oracle=None,  # sketches are engine-specific by construction; the
+    # test asserts each estimate within tolerance of the exact value.
+    description="sketch aggregates: HLL++ distinct users + t-digest-style percentile",
+    tags=("temporal", "agg", "sketch"),
+)
+def q_event_type_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch forms of the ``event_type_stats`` aggregates: HLL++
+    (``approx_count_distinct``) and quantile summaries
+    (``approx_percentile``).  Both aggregate partially map-side in
+    constant memory and merge associatively — at 100 TB these replace
+    their exact counterparts, whose memory is O(group cardinality)
+    (countDistinct) or needs a per-group sort (percentile)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias(
+            "approx_median"
+        ),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
     "event_type_pivot",
     oracle="""
 SELECT user_id % 10 AS user_bucket,

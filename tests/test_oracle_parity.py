@@ -1,4 +1,8 @@
-"""Mimics the driver's correctness gate locally: every registered query
+"""Sketch-accuracy check lives in this file too (bottom): sketches have
+no cross-engine oracle, so they validate against exact recomputation
+within tolerance.
+
+Mimics the driver's correctness gate locally: every registered query
 with an oracle runs on Spark AND DuckDB at sf0.001; results must match
 on row count, column names, and (order-insensitively) values.
 
@@ -62,3 +66,26 @@ def test_parity(spark, name, q):
             axis=1,
         )
         raise AssertionError(f"{name}: value mismatch on {int(diff.sum())} rows\n{sample}")
+
+
+def test_sketches_within_tolerance_of_exact(spark):
+    """HLL++ and approx_percentile have no cross-engine oracle; they
+    must land within their configured error bounds of the exact
+    (oracle-checked) event_type_stats values."""
+    qs = load_all()
+    exact = {
+        r.event_type: r
+        for r in qs["event_type_stats"].fn(spark, SF).collect()
+    }
+    sketch = {
+        r.event_type: r
+        for r in qs["event_type_sketches"].fn(spark, SF).collect()
+    }
+    assert set(sketch) == set(exact)
+    for et, s in sketch.items():
+        e = exact[et]
+        assert abs(s.approx_users - e.n_users) / e.n_users <= 0.05, et
+        # t-digest with accuracy=10000 on ~hundreds of rows is near-exact
+        assert abs(s.approx_median - e.median_value) <= 0.05 * max(
+            abs(e.median_value), 1.0
+        ), et
