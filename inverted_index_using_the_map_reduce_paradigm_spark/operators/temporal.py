@@ -20,12 +20,23 @@ window is linear in the sorted partition).
 
 from __future__ import annotations
 
+import sys
+from typing import TYPE_CHECKING
+
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..data import table
 from ..registry import register
+
+if TYPE_CHECKING:  # pandas used only inside worker functions
+    import pandas as pd
+
+# The cogroup merge_asof worker runs in Python workers; ship this
+# module's functions by value (same rationale as operators/multimodal.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 GAP_MIN = 30  # session gap, minutes
 EPOCH = "CAST(floor(epoch({c})) AS BIGINT)"
@@ -215,6 +226,73 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         _epoch(F.col("ts")).alias("purchase_ts"),
         _epoch(F.col("last_signup_ts")).alias("last_signup_ts"),
+    )
+
+
+ASOF_OUT_SCHEMA = (
+    "event_id long, user_id long, purchase_ts long, last_signup_ts long"
+)
+
+
+def _epoch_s(col: "pd.Series") -> "pd.Series":
+    # robust to datetime64[us] vs [ns]; NaT -> pandas NA
+    ns = col.astype("datetime64[ns]")
+    out = (ns.astype("int64") // 10**9).astype("object")
+    out[ns.isna()] = None
+    return out
+
+
+def _merge_asof_group(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+    """cogroup worker: classic sorted-merge as-of within one user's
+    partition (pandas.merge_asof, backward direction)."""
+    import pandas as pd
+
+    if len(left) == 0:  # signups-only user: no purchases to enrich
+        return pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in
+             ("event_id", "user_id", "purchase_ts", "last_signup_ts")}
+        )
+    left = left.sort_values("ts").reset_index(drop=True)
+    if len(right) == 0:  # purchases with no signup history
+        merged = left.assign(signup_ts=pd.NaT)
+    else:
+        lookup = pd.DataFrame(
+            {"ts": right["ts"], "signup_ts": right["ts"]}
+        ).sort_values("ts")
+        merged = pd.merge_asof(left, lookup, on="ts", direction="backward")
+    return pd.DataFrame(
+        {
+            "event_id": merged["event_id"],
+            "user_id": merged["user_id"],
+            "purchase_ts": _epoch_s(merged["ts"]),
+            "last_signup_ts": _epoch_s(merged["signup_ts"]),
+        }
+    )
+
+
+@register(
+    "asof_enrich_cogroup",
+    oracle=None,  # same semantics as the oracle-checked asof_enrich;
+    # tests assert row-for-row equality between the two plans.
+    description="as-of join via cogroup().applyInPandas (pandas merge_asof per key)",
+    bench=False,
+    tags=("temporal", "asof", "udf"),
+)
+def q_asof_enrich_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogroup form of ``asof_enrich``: purchases and signups are
+    co-shuffled on user_id and each group pair merges sorted in pandas.
+    This is the shape to use when the two sides are SEPARATE tables
+    (the window form needs them unioned); at 100 TB both sides shuffle
+    once on the key and each group merges linearly."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(_merge_asof_group, schema=ASOF_OUT_SCHEMA)
     )
 
 

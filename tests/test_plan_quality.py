@@ -6,14 +6,14 @@ the value checks while scanning 100x more data at scale.
 
 from __future__ import annotations
 
+from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
 from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
 
 SF = "/root/testdata/sf0.001"
 
 
 def physical_plan(spark, name: str) -> str:
-    df = load_all()[name].fn(spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return audit.physical_plan(load_all()[name].fn(spark, SF))
 
 
 def test_tpch_q1_pushes_filter_and_prunes_columns(spark):
@@ -66,9 +66,9 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         .groupBy("o_custkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    plan = audit.physical_plan(joined)
     join_part = plan.split("HashAggregate")[-1]  # below the final agg
-    assert "SortMergeJoin" in plan
+    assert audit.join_strategies(joined) == ["SortMergeJoin"]
     assert "Exchange hashpartitioning(l_orderkey" not in join_part
     assert "Exchange hashpartitioning(o_orderkey" not in join_part
     # and the result is right

@@ -1,0 +1,27 @@
+"""Temporal-operator cross-checks that the DuckDB oracle can't cover.
+
+`asof_enrich_cogroup` has no oracle entry (its semantics are identical
+to the oracle-checked `asof_enrich`); instead we assert the two plans —
+union-window vs cogroup+merge_asof — agree row for row.
+"""
+
+from __future__ import annotations
+
+from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_asof_cogroup_matches_window_form(spark):
+    qs = load_all()
+    window_form = qs["asof_enrich"].fn(spark, SF)
+    cogroup_form = qs["asof_enrich_cogroup"].fn(spark, SF)
+    assert sorted(window_form.columns) == sorted(cogroup_form.columns)
+    a, b = _rows(window_form), _rows(cogroup_form)
+    assert len(a) > 0
+    assert a == b
