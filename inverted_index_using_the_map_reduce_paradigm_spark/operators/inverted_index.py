@@ -106,16 +106,8 @@ GROUP BY word
     tags=("reference", "flagship"),
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = build_index(table(spark, sf_dir, "documents"))
     # serialize postings for the cross-engine value hash
-    return idx.select(
-        "word",
-        F.concat_ws(" ", F.transform("postings", lambda d: d.cast("string"))).alias(
-            "postings"
-        ),
-        F.col("doc_freq").cast("long").alias("doc_freq"),
-        "letter",
-    )
+    return _serialize_index(build_index(table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -288,6 +280,99 @@ def q_boolean_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(docs_with(TERM))
         .subtract(docs_with(NOT_TERMS[0]))
     )
+
+
+def merge_indexes(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental index maintenance: merge a delta index into a base
+    index (generalizes the reference's reduce-side merge-or-insert,
+    main.c++:186-203, to index-vs-index instead of record-vs-index).
+
+    One union + one ``groupBy("word")``: posting arrays concatenate,
+    dedup, and re-sort inside the aggregation.  At 100 TB the stored
+    base index is bucketed on ``word`` (sources/sinks.write_bucketed),
+    so only the (much smaller) delta shuffles — a full rebuild would
+    re-tokenize and re-shuffle the entire corpus instead.
+    """
+    cols = ("word", "postings")
+    return (
+        base.select(*cols)
+        .unionByName(delta.select(*cols))
+        .groupBy("word")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("postings")))
+            ).alias("postings")
+        )
+        .withColumn("doc_freq", F.size("postings"))
+        .withColumn("letter", F.substring("word", 1, 1))
+    )
+
+
+def _serialize_index(idx: DataFrame) -> DataFrame:
+    return idx.select(
+        "word",
+        F.concat_ws(" ", F.transform("postings", lambda d: d.cast("string"))).alias(
+            "postings"
+        ),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        "letter",
+    )
+
+
+@register(
+    "index_merge",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, dedup AS (SELECT DISTINCT word, doc_id FROM toks)
+SELECT word,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       count(*) AS doc_freq,
+       substr(word, 1, 1) AS letter
+FROM dedup
+GROUP BY word
+""",
+    description="incremental maintenance: delta index merged into base == full rebuild",
+    tags=("reference", "maintenance"),
+)
+def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a base index over 3/4 of the corpus and a delta index over
+    the remaining 1/4, merges them, and must equal the full rebuild
+    (the oracle is literally ``inverted_index``'s SQL)."""
+    docs = table(spark, sf_dir, "documents")
+    base = build_index(docs.filter(F.col("doc_id") % 4 != 0))
+    delta = build_index(docs.filter(F.col("doc_id") % 4 == 0))
+    return _serialize_index(merge_indexes(base, delta))
+
+
+@register(
+    "index_delete",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, dedup AS (
+  SELECT DISTINCT word, doc_id FROM toks WHERE doc_id % 5 != 0
+)
+SELECT word,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       count(*) AS doc_freq,
+       substr(word, 1, 1) AS letter
+FROM dedup
+GROUP BY word
+""",
+    description="index maintenance: delete docs from posting lists, no re-tokenize",
+    tags=("reference", "maintenance"),
+)
+def q_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document deletion against the STORED index: filter each posting
+    list in place and drop emptied words — no re-tokenization of the
+    corpus.  Pure per-row array work (zero shuffles beyond the index
+    build itself); at scale this runs as a partition-local rewrite of
+    the letter-bucketed index files."""
+    idx = build_index(table(spark, sf_dir, "documents"))
+    deleted = idx.withColumn(
+        "postings", F.filter("postings", lambda d: d % 5 != 0)
+    ).filter(F.size("postings") > 0)
+    deleted = deleted.withColumn("doc_freq", F.size("postings"))
+    return _serialize_index(deleted)
 
 
 @register(
