@@ -392,3 +392,121 @@ def q_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize_documents(docs)
     containing = toks.filter(F.col("word").isin(*NOT_TERMS)).select("doc_id")
     return docs.select("doc_id").join(containing, "doc_id", "left_anti")
+
+
+# --------------------------------------------------------------------------
+# positional index + phrase queries (extension: SURVEY.md §2.2 notes the
+# reference's postings are doc-level only, main.c++:138, so phrase queries
+# are impossible against it — this adds the position-aware variant)
+# --------------------------------------------------------------------------
+
+# DuckDB-side positional token stream: parallel unnest of the token array
+# and 1..n gives (word, pos) with 1-based positions.
+SQL_PTOKS_CTE = f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(words) AS word,
+         unnest(generate_series(1, len(words))) AS pos
+  FROM (SELECT doc_id, {sql_tokens('text')} AS words FROM documents)
+)
+"""
+
+
+def tokenize_with_positions(documents: DataFrame) -> DataFrame:
+    """(doc_id, word, pos) stream with 1-based token positions.
+
+    ``posexplode`` keeps position assignment inside the generate
+    operator (no window over the token stream needed) — same single
+    scan-project shape as the positionless tokenizer.
+    """
+    from ..functions.text import tokens_of
+
+    return documents.select(
+        "doc_id", F.posexplode(tokens_of(F.col("text"))).alias("pos", "word")
+    ).select("doc_id", "word", (F.col("pos") + 1).alias("pos"))
+
+
+def build_positional_index(documents: DataFrame) -> DataFrame:
+    """word -> per-doc sorted position lists (the phrase-capable index).
+
+    Same single-shuffle shape as ``build_index`` — the key is
+    (word, doc_id), so skew from a hot word spreads over its documents
+    instead of concentrating on one reducer.
+    """
+    return (
+        tokenize_with_positions(documents)
+        .groupBy("word", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+@register(
+    "positional_index",
+    oracle=f"""
+{SQL_PTOKS_CTE}
+SELECT word, doc_id,
+       array_to_string(list(pos ORDER BY pos), ' ') AS positions,
+       count(*) AS n_occurrences
+FROM ptoks
+GROUP BY word, doc_id
+""",
+    description="position-aware index: word -> per-doc sorted position lists",
+    tags=("reference", "extension", "index"),
+)
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_positional_index(table(spark, sf_dir, "documents"))
+    return idx.select(
+        "word",
+        "doc_id",
+        F.concat_ws(" ", F.transform("positions", lambda p: p.cast("string"))).alias(
+            "positions"
+        ),
+        F.size("positions").cast("long").alias("n_occurrences"),
+    )
+
+
+def phrase_search(documents: DataFrame, phrase: list[str]) -> DataFrame:
+    """Docs containing the exact consecutive word sequence ``phrase``,
+    with match counts.
+
+    Each word's occurrences are anchored to ``pos - i`` (its position
+    minus its phrase offset), so consecutive-position matching becomes a
+    pure equi-join on (doc_id, anchor) — hash-joinable, no range or
+    inequality condition.  The token stream is filtered to the phrase's
+    words BEFORE any join, so join inputs are tiny slices of the corpus;
+    at 100 TB this runs against the stored positional index instead of
+    re-tokenizing (same join shape).
+    """
+    toks = tokenize_with_positions(documents).filter(
+        F.col("word").isin(list(phrase))
+    )
+    matched = (
+        toks.filter(F.col("word") == phrase[0])
+        .select("doc_id", F.col("pos").alias("anchor"))
+    )
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("word") == w).select(
+            F.col("doc_id").alias("n_doc"), (F.col("pos") - i).alias("n_anchor")
+        )
+        matched = matched.join(
+            nxt,
+            (matched["doc_id"] == nxt["n_doc"])
+            & (matched["anchor"] == nxt["n_anchor"]),
+        ).select("doc_id", "anchor")
+    return matched.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+
+
+@register(
+    "phrase_search",
+    oracle=f"""
+{SQL_PTOKS_CTE}
+SELECT a.doc_id, count(*) AS n_matches
+FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.word = 'table' AND b.word = 'hash'
+GROUP BY a.doc_id
+""",
+    description="phrase query via positional-index join: docs containing 'table hash'",
+    tags=("reference", "extension", "query"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase_search(table(spark, sf_dir, "documents"), ["table", "hash"])

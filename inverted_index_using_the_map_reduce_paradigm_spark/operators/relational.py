@@ -544,3 +544,275 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderstatus = 'O'
         """
     )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum({SQL_PRICE} * {SQL_DISC}) AS DOUBLE) AS revenue,
+       c.c_acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    description="TPC-H Q10 returned-item reporting: top-20 customers by lost revenue",
+    tags=("relational", "join", "topk"),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned items ('R') in one quarter, revenue re-attributed to the
+    customer.  Join order: facts first (lineitem-orders shuffle on
+    orderkey), then the customer+nation dim chain attaches by broadcast
+    AFTER the fact side has been filtered and aggregated down to
+    per-custkey partials — at 100 TB the broadcast carries only dim
+    attributes, never fact rows."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name", "c_acctbal")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = _dec("l_extendedprice") * _disc_factor()
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev_d"))
+    )
+    return (
+        per_cust.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("rev_d"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("rev_d").cast("double").alias("revenue"),
+            "c_acctbal",
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+    description="TPC-H Q13 customer order-count distribution (outer join + 2-level agg)",
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join keeps zero-order customers (count() over the
+    null-extended side counts non-null keys only, matching SQL).  Two
+    aggregations: per-customer counts shuffle on custkey; the second
+    groupBy collapses onto the tiny c_count domain — AQE coalesces its
+    post-shuffle partitions."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum({SQL_PRICE} * {SQL_DISC}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    description="TPC-H Q15 top supplier: revenue view + max scalar subquery",
+    tags=("relational", "subquery", "agg"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue view is computed once and reused for both the max and
+    the equality filter (Catalyst plans the scalar subquery as an
+    independent one-row aggregate broadcast into the filter; exact
+    decimal revenue makes the max-equality deterministic)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _dec("l_extendedprice") * _disc_factor()
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("total_revenue")
+    )
+    revenue.createOrReplaceTempView("q15_revenue")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    supp.createOrReplaceTempView("q15_supplier")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM q15_supplier s JOIN q15_revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM q15_revenue)
+        """
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle=f"""
+SELECT CAST(sum({SQL_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+    description="TPC-H Q17 small-quantity revenue (correlated avg subquery -> agg join)",
+    tags=("relational", "subquery", "join"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated subquery decorrelates into a per-partkey average
+    aggregated once over lineitem, then joined back — the textbook
+    rewrite Catalyst also applies to the SQL form.  The avg side
+    aggregates BEFORE the join, so the extra pass shuffles only
+    (partkey, avg) pairs; the brand filter broadcasts."""
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_orderdate,
+       o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+    description="TPC-H Q18 large-volume orders (HAVING semi-join + 3-way join + top-100)",
+    tags=("relational", "join", "topk"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING subquery computes per-order quantity once; reusing that
+    aggregate as the semi-join filter AND the reported total_qty avoids
+    TPC-H's textual double aggregation of lineitem.  Only qualifying
+    orderkeys (top ~1%) reach the customer join, which broadcasts."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_d"))
+        .filter(F.col("qty_d") > 250)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("qty_d").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+SELECT CAST(sum({SQL_PRICE} * {SQL_DISC}) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+    description="TPC-H Q19 disjunctive-predicate revenue (OR-of-ANDs pushdown)",
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides: Catalyst extracts the
+    single-side conjuncts it can (p_brand IN (...), p_size >= 1,
+    l_quantity bounds) and pushes them below the join as scan filters,
+    leaving only the cross-side disjunction as the join residual — the
+    part side shrinks to three brands before broadcasting."""
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    rev = _dec("l_extendedprice") * _disc_factor()
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )

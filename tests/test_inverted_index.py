@@ -77,3 +77,31 @@ def test_flagship_on_fixture(spark, sf_dir):
     # postings always ascending, non-empty
     for r in rows:
         assert r.postings == sorted(r.postings) and len(r.postings) == r.doc_freq
+
+
+def test_phrase_search_multiword_and_overlaps(spark):
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import (
+        phrase_search,
+        tokenize_with_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # two matches of "a b c", including back-to-back repetition
+            Row(doc_id=1, text="a b c a b c"),
+            # words present but never consecutive in order
+            Row(doc_id=2, text="a c b a"),
+            # match across normalization (punctuation stripped, case folded)
+            Row(doc_id=3, text="x A! B? C. y"),
+            # partial phrase only
+            Row(doc_id=4, text="a b a b"),
+        ]
+    )
+    got = {r.doc_id: r.n_matches for r in phrase_search(docs, ["a", "b", "c"]).collect()}
+    assert got == {1: 2, 3: 1}
+
+    # positions are 1-based over normalized non-empty tokens
+    pos = tokenize_with_positions(
+        spark.createDataFrame([Row(doc_id=7, text="  !!  one two  ")])
+    ).collect()
+    assert {(r.word, r.pos) for r in pos} == {("one", 1), ("two", 2)}
