@@ -28,6 +28,7 @@ from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..data import table
 from ..functions.text import sql_tokens, tokens_of
@@ -148,14 +149,19 @@ WHERE n_common / (na + nb - n_common) >= {JACCARD_THRESHOLD}
     tags=("dedup",),
 )
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs come only from docs SHARING a shingle — the join
+    return jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact-Jaccard near-dup pairs (doc_a, doc_b, jaccard).
+
+    Candidate pairs come only from docs SHARING a shingle — the join
     key is the shingle, so cost is sum over shingles of group^2, not
     n_docs^2.  Map-side the shingle arrays are deduped (array_distinct
     semantics in the UDF) and the join key is xxhash64(shingle): an
     8-byte shuffle key instead of a ~20-byte string (64-bit collisions
     across a corpus vocabulary are ~2^-40-scale and would only perturb
     one pair's intersection count by 1)."""
-    docs = table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", shingles_of(F.col("text")).alias("shingles")
     ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
@@ -350,4 +356,114 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return cand.filter(ham <= HAMMING_MAX).select(
         "doc_a", "doc_b", ham.alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# near_dup_clusters — connected components over the near-dup pair graph
+# --------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation to a fixpoint: (doc_id, cluster_id) where
+    cluster_id is the minimum doc_id in the component.
+
+    ``edges`` must be undirected (both directions present).  Each round
+    every node adopts min(own label, neighbors' labels); convergence
+    takes at most ``diameter`` rounds (near-dup components are shallow —
+    dup clusters are quasi-cliques, so 2-4 rounds in practice; the
+    large-star/small-star variant that halves round count is not worth
+    its extra shuffles here).
+
+    Iterative lineage is truncated every round with ``localCheckpoint``
+    (on a cluster with a checkpoint dir, swap for reliable
+    ``checkpoint``) — without it each round's plan re-plans all prior
+    rounds and driver planning time grows quadratically.
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                "old_label",
+                F.least(
+                    F.col("old_label"), F.coalesce("nlabel", "old_label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        labels = new.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@register(
+    "near_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles FROM documents
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+         count(*) AS n_common
+  FROM (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) a
+  JOIN (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE n_common / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac
+), reach AS (
+  SELECT src AS doc_id, src AS root FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.root
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+), assign AS (
+  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assign
+""",
+    description="near-dup clustering: connected components over Jaccard pairs",
+    tags=("dedup", "iterative"),
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline a training corpus needs: pair candidates
+    (exact Jaccard >= JACCARD_THRESHOLD) -> transitive closure ->
+    one keeper per cluster (cluster_id IS the min doc_id, so "keep
+    cluster_id, drop the rest" is the retention policy).  The oracle
+    computes the same closure as a recursive CTE — exhaustive
+    transitive reachability, feasible only at oracle scale; the engine
+    side is the scalable iterative min-label propagation."""
+    pairs = jaccard_pairs(table(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    assign = connected_components(edges)
+    w_size = Window.partitionBy("cluster_id")
+    return assign.select(
+        "doc_id", "cluster_id", F.count("*").over(w_size).alias("cluster_size")
     )

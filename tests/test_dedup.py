@@ -49,3 +49,20 @@ def test_exact_dedup_keeps_every_distinct_content(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     n_distinct = docs.select("text").distinct().count()
     assert out.count() == n_distinct
+
+
+def test_connected_components_chain_and_clique(spark):
+    from pyspark.sql import Row
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    # triangle 10-11-12, isolated pair 20-21
+    und = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in und] + [Row(src=b, dst=a) for a, b in und]
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
