@@ -82,3 +82,61 @@ def test_similarity_search_broadcasts_queries_not_corpus(spark):
     # the corpus side must not be exchanged for the join itself: no
     # sort-merge join of the full embedding table against queries
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q19_extracts_singleside_conjuncts_from_disjunction(spark):
+    """The OR-of-ANDs predicate spans both join sides; Catalyst must
+    still derive per-side filters (brand IN (...) on part, quantity
+    bounds on lineitem) and push them below the broadcast join."""
+    plan = physical_plan(spark, "tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    # each scan's DataFilters carry that side's extracted disjunction —
+    # the filters run below the join, not only as the join residual
+    li_scan = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "lineitem" in ln
+    ][0]
+    assert "l_quantity" in li_scan and "DataFilters" in li_scan
+    part_scan = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "part.parquet" in ln
+    ][0]
+    assert "p_brand" in part_scan or "p_size" in part_scan
+
+
+def test_tpch_q18_semi_aggregates_before_joining(spark):
+    """The HAVING filter must run on the per-orderkey aggregate BEFORE
+    any join touches orders — qualifying keys are ~1% of orders, so
+    filtering first keeps the join input small."""
+    plan = physical_plan(spark, "tpch_q18")
+    agg_side = plan.split("Join")[-1]
+    assert "HashAggregate" in agg_side  # deepest subtree aggregates first
+
+
+def test_phrase_search_plans_hash_equijoins_only(spark):
+    """Anchored positions turn consecutive-word matching into pure
+    equi-joins: no nested-loop join (the giveaway of a non-equi
+    condition) may appear."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    df = load_all()["phrase_search"].fn(spark, SF)
+    strategies = audit.join_strategies(df)
+    assert strategies, "phrase join missing"
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_positional_index_single_shuffle(spark):
+    """The positional index is one groupBy((word, doc_id)) — exactly one
+    exchange beyond AQE reads, same budget as the flagship index."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    df = load_all()["positional_index"].fn(spark, SF)
+    # one hash exchange for the groupBy; the RoundRobin spread that
+    # repairs single-row-group scan parallelism doesn't count — it
+    # disappears on properly-partitioned production input
+    plan = audit.physical_plan(df)
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1
