@@ -1,0 +1,99 @@
+"""Uniform source/sink surface over Spark's file formats.
+
+The reference reads exactly one format — manifest-listed plain text
+(``/root/reference/main.c++:87-98,307-352``, covered by
+``sources/manifest.py``) — and writes one — the 26 letter files
+(``sources/sinks.py``).  A drop-in engine needs the standard
+interchange formats too; this module is the thin, opinionated wrapper:
+
+  * **schemas are always explicit** for text-ish formats — ``inferSchema``
+    is a full extra pass over the data (unacceptable at 100 TB) and
+    type-guesses per file, so CSV/JSON without a schema is an error
+    here, not a default;
+  * **reads are splittable or loudly not**: parquet/orc split per
+    row-group for free; uncompressed/bzip2 CSV and line-delimited JSON
+    split per block; a gzip input is ONE task regardless of size — the
+    classic silent scale killer, so ``read_table`` warns on it;
+  * **writes partition** via ``partition_by`` so downstream scans prune.
+
+Everything funnels through the ordinary ``DataFrameReader/Writer`` —
+Catalyst sees a plain relation and pushdown/pruning work identically
+across formats.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "orc", "csv", "json", "text")
+_SELF_DESCRIBING = ("parquet", "orc")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str | list[str],
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Read ``path`` as ``fmt`` with an explicit schema where required.
+
+    CSV defaults: ``header=true`` (ignored when a schema names the
+    columns), ``mode=FAILFAST`` — silently null-ing malformed rows
+    (Spark's default PERMISSIVE) corrupts a training corpus without a
+    trace, so corrupt input fails the job unless the caller opts into
+    ``mode=PERMISSIVE`` plus a ``columnNameOfCorruptRecord`` quarantine
+    column.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if fmt not in _SELF_DESCRIBING and fmt != "text" and schema is None:
+        raise ValueError(
+            f"{fmt} requires an explicit schema: inferSchema is an extra "
+            "full pass over the input and per-file type guessing"
+        )
+    paths = [path] if isinstance(path, str) else list(path)
+    if any(str(p).endswith(".gz") for p in paths):
+        warnings.warn(
+            "gzip input is not splittable: each .gz file is a single task "
+            "regardless of size; prefer uncompressed, bzip2, or parquet",
+            stacklevel=2,
+        )
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+        reader = reader.option("mode", options.pop("mode", "FAILFAST"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(paths if len(paths) > 1 else paths[0])
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Write ``df`` as ``fmt``, optionally hive-partitioned.
+
+    Text sink quirk: Spark's text writer takes exactly one string
+    column (plus partition columns) — the caller formats the line, as
+    ``sinks.write_letter_index`` does.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
