@@ -1,0 +1,196 @@
+"""Corpus-preparation operators: the steps between a raw document table
+and a training-ready dataset (north-star extension, SURVEY.md §2.3) —
+deterministic split assignment, fixed-size chunking, and distribution-
+aware quality filtering.
+
+Scale posture: split assignment and chunking are pure per-row
+projections (no shuffle at any scale); the quality filter's only
+shuffle is a per-source aggregate whose output is one row per source —
+broadcast back over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import table
+from ..functions.text import sql_tokens, tokens_of
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# dataset_split — deterministic, engine-portable train/val/test assignment
+# --------------------------------------------------------------------------
+
+# Knuth multiplicative hash: portable int64 arithmetic (identical in
+# Spark and any SQL engine), unlike seeded sample() whose RNG stream is
+# engine-private.  At trillion-doc scale swap for
+# pmod(xxhash64(id), 100) — same plan shape, not portable to the oracle.
+_SPLIT_MULT = 2654435761
+_TRAIN_PCT, _VAL_PCT = 80, 10
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ((doc_id * {_SPLIT_MULT}) % 4294967296) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < {_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+    description="deterministic train/val/test split via multiplicative hash",
+    tags=("pipeline", "sampling"),
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split, stable across runs, engines, and partitionings —
+    membership depends only on doc_id, so adding documents never
+    reshuffles existing assignments (the property seeded ``sample()``
+    lacks).  Pure projection: zero shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % 4294967296 % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_chunking — fixed-token-budget sequence chunks
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS words FROM documents
+), idx AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, CAST(ceil(len(words) / {CHUNK_TOKENS}.0) AS BIGINT)))
+           AS i
+  FROM t
+  WHERE len(words) > 0
+)
+SELECT doc_id,
+       i - 1 AS chunk_id,
+       array_to_string(words[(i-1)*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       least({CHUNK_TOKENS}, len(words) - (i-1)*{CHUNK_TOKENS}) AS n_tokens
+FROM idx
+""",
+    description=f"split docs into <= {CHUNK_TOKENS}-token training chunks",
+    tags=("pipeline", "text"),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing prep: each document becomes ceil(n/CHUNK) rows of
+    at most CHUNK_TOKENS tokens, order-preserving.  The slice runs as a
+    higher-order expression inside one projection + one generate — no
+    shuffle, no UDF; chunk boundaries are deterministic functions of
+    the token stream."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_of(F.col("text")).alias("words")).filter(
+        F.size("words") > 0
+    )
+    n_chunks = F.ceil(F.size("words") / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("words"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+        ),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.size("words").alias("n_words"),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+            F.least(
+                F.lit(CHUNK_TOKENS),
+                F.col("n_words") - F.col("chunk_id") * CHUNK_TOKENS,
+            ).alias("n_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_filter — keep docs above their source's median quality
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_filter",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars_text,
+         len({sql_tokens('text')}) AS n_tokens,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         least(n_tokens / 64.0, 1.0) * (1 - n_punct / greatest(n_chars_text, 1))
+           AS quality
+  FROM base
+), med AS (
+  SELECT source, quantile_cont(quality, 0.5) AS source_median
+  FROM scored GROUP BY source
+)
+SELECT s.doc_id, s.source,
+       round(s.quality, 6) AS quality,
+       round(m.source_median, 6) AS source_median
+FROM scored s JOIN med m ON s.source = m.source
+WHERE s.quality > m.source_median
+""",
+    description="per-source quality gate: keep docs above their source's median",
+    tags=("pipeline", "text", "filter"),
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-aware filtering (a fixed global threshold would
+    empty strict sources and admit everything from lax ones).  The
+    median aggregate produces one row per source — broadcast back, so
+    the corpus itself is scanned once and never shuffled.  ``percentile``
+    is Spark's exact interpolating quantile, same definition as
+    DuckDB's quantile_cont."""
+    docs = table(spark, sf_dir, "documents")
+    t = tokens_of(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.least(F.size(t) / F.lit(64.0), F.lit(1.0))
+            * (
+                1
+                - F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
+                / F.greatest(F.length("text"), F.lit(1))
+            )
+        ).alias("quality"),
+    )
+    med = scored.groupBy(F.col("source").alias("m_source")).agg(
+        F.expr("percentile(quality, 0.5)").alias("source_median")
+    )
+    return (
+        scored.join(F.broadcast(med), F.col("source") == F.col("m_source"))
+        .filter(F.col("quality") > F.col("source_median"))
+        .select(
+            "doc_id",
+            "source",
+            F.round("quality", 6).alias("quality"),
+            F.round("source_median", 6).alias("source_median"),
+        )
+    )

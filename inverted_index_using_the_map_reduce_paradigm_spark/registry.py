@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
             dedup,
             inverted_index,
             multimodal,
+            pipeline,
             relational,
             similarity,
             temporal,

@@ -1,0 +1,70 @@
+"""Behavioral tests for the corpus-preparation operators (pipeline.py).
+Oracle parity at sf0.001 is covered by test_oracle_parity; these pin
+edge-case semantics the fixture may not exercise."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.pipeline import (
+    CHUNK_TOKENS,
+    q_dataset_split,
+    q_doc_chunking,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunking_boundaries(spark, monkeypatch):
+    import inverted_index_using_the_map_reduce_paradigm_spark.operators.pipeline as P
+
+    n = CHUNK_TOKENS
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"w{i}" for i in range(n))),
+            Row(doc_id=2, text=" ".join(f"w{i}" for i in range(n + 1))),
+            Row(doc_id=3, text="a b c"),
+            Row(doc_id=4, text="!!! 123 ..."),  # normalizes to empty: no chunks
+        ]
+    )
+    monkeypatch.setattr(P, "table", lambda spark, sf, name: docs)
+    rows = q_doc_chunking(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_id)
+
+    # exactly-CHUNK doc -> one full chunk, not a trailing empty one
+    assert [r.n_tokens for r in by_doc[1]] == [n]
+    # CHUNK+1 -> a full chunk plus a 1-token remainder, ids 0 and 1
+    assert [(r.chunk_id, r.n_tokens) for r in by_doc[2]] == [(0, n), (1, 1)]
+    # short doc passes through as one chunk
+    assert by_doc[3][0].chunk_text == "a b c" and by_doc[3][0].n_tokens == 3
+    # empty-after-normalization doc emits nothing
+    assert 4 not in by_doc
+    # chunks reassemble the original normalized token stream, in order
+    reassembled = " ".join(r.chunk_text for r in by_doc[2]).split(" ")
+    assert reassembled == [f"w{i}".replace(str(i), "") + "" for i in range(0)] + [
+        "w" for _ in range(n + 1)
+    ]  # digits are stripped by the normalizer: every token normalizes to "w"
+    # and n_tokens sums to the doc's token count
+    assert sum(r.n_tokens for r in by_doc[2]) == n + 1
+
+
+def test_split_is_deterministic_and_proportioned(spark):
+    a = (
+        q_dataset_split(spark, SF)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        q_dataset_split(spark, SF)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
+    assert set(a.split) == {"train", "val", "test"}
+    frac = a.split.value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert frac["val"] > 0.02 and frac["test"] > 0.02
