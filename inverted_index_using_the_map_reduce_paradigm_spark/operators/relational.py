@@ -816,3 +816,124 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register(
+    "orders_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    description="explicit GROUPING SETS with grouping_id disambiguation",
+    tags=("relational", "agg"),
+)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets (neither a rollup nor a cube): per-status
+    totals, per-priority totals, and the grand total in ONE pass —
+    grouping_id distinguishes a NULL key value from a rolled-up key.
+    Same single-shuffle expand-then-aggregate plan as CUBE."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS INT)
+                 AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "customers_intersect_except",
+    oracle="""
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+UNION ALL
+SELECT 'churned' AS cohort, o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+""",
+    description="relational INTERSECT / EXCEPT: retained vs churned 1996 customers",
+    tags=("relational", "setops"),
+)
+def q_customers_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True set operators on row sets (vs boolean_setops' array algebra
+    on posting lists): INTERSECT plans as a left-semi join, EXCEPT as a
+    left-anti join, both on the deduplicated yearly cohorts."""
+    orders = table(spark, sf_dir, "orders")
+
+    def cohort(y0: str, y1: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96 = cohort("1996-01-01", "1997-01-01")
+    y97 = cohort("1997-01-01", "1998-01-01")
+    both = y96.intersect(y97).select(F.lit("both").alias("cohort"), "o_custkey")
+    churned = y96.exceptAll(y97).select(
+        F.lit("churned").alias("cohort"), "o_custkey"
+    )
+    return both.unionByName(churned)
+
+
+@register(
+    "window_functions",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       CAST(o_totalprice - lag(o_totalprice) OVER w AS DOUBLE) AS price_delta,
+       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         AS price_quartile,
+       round(percent_rank() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice, o_orderkey), 6)
+         AS price_pct_rank,
+       first_value(o_orderkey) OVER w AS first_order,
+       CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    description="window gallery: lag/lead/ntile/percent_rank/first_value",
+    tags=("relational", "window", "functions"),
+)
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The navigation/distribution window families over one partition
+    spec — Spark evaluates all same-spec functions in a single Window
+    operator, so the whole gallery costs one shuffle + one sort."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("o_orderdate"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+        .cast("double")
+        .alias("price_delta"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    )

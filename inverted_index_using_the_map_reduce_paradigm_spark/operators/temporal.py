@@ -373,3 +373,104 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@register(
+    "events_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT t.event_type, h.hour FROM hours h CROSS JOIN types t
+), actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n, round(sum(value), 4) AS total
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT g.event_type,
+       CAST(floor(epoch(g.hour)) AS BIGINT) AS hour,
+       coalesce(a.n, 0) AS n,
+       coalesce(a.total, 0.0) AS total
+FROM grid g LEFT JOIN actual a
+  ON g.event_type = a.event_type AND g.hour = a.hour
+""",
+    description="time-series gap filling: dense hourly grid, zeros for missing hours",
+    tags=("temporal", "window", "gapfill"),
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid densification — every (event_type, hour) cell exists
+    even when no event landed in it, the precondition for rolling
+    windows and charting.  The grid is sequence()-generated from the
+    global [min, max] hour bounds (a one-row aggregate, broadcast);
+    the left join against hourly counts is the only shuffle.  Grid
+    cardinality is hours x types — tiny relative to the events
+    themselves at any scale."""
+    ev = table(spark, sf_dir, "events")
+    actual = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    return (
+        grid.join(actual, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("hour").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )
+
+
+@register(
+    "events_rolling_avg",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ), 4) AS rolling_avg_1h,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS n_events_1h
+FROM events
+""",
+    description="per-user 1h trailing average via RANGE window frame",
+    tags=("temporal", "window"),
+)
+def q_events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True time-based frame (RANGE on epoch seconds), not a row-count
+    frame: each event averages every event of the same user in the
+    trailing hour, however many there were.  One shuffle on user_id;
+    within a partition the frame is a sliding two-pointer pass over
+    the sorted run."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts"),
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg_1h"),
+        F.count("*").over(w).alias("n_events_1h"),
+    )
