@@ -194,3 +194,67 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("source_median", 6).alias("source_median"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# table_profile — one-pass column statistics (the ANALYZE step)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "table_profile",
+    oracle="""
+SELECT 'doc_id' AS column_name,
+       count(*) AS n_rows,
+       count(doc_id) AS n_nonnull,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS DOUBLE) AS min_val,
+       CAST(max(doc_id) AS DOUBLE) AS max_val
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(lang), count(DISTINCT lang), NULL, NULL
+FROM documents
+UNION ALL
+SELECT 'source', count(*), count(source), count(DISTINCT source), NULL, NULL
+FROM documents
+""",
+    description="one-pass column profile: rows, nulls, distincts, min/max",
+    tags=("pipeline", "profile", "agg"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling before a training run: every column's stats
+    computed in ONE scan + one aggregation (all count/min/max
+    accumulators ride the same hash-agg), then unpivoted driver-free
+    with a stack() projection — vs the oracle's readable 4-scan UNION.
+    At 100 TB swap count(DISTINCT) for approx_count_distinct and the
+    shape is unchanged."""
+    docs = table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count("*").alias("n_rows"),
+        F.count("doc_id").alias("nn_doc_id"),
+        F.countDistinct("doc_id").alias("nd_doc_id"),
+        F.min("doc_id").cast("double").alias("mn_doc_id"),
+        F.max("doc_id").cast("double").alias("mx_doc_id"),
+        F.count("n_chars").alias("nn_n_chars"),
+        F.countDistinct("n_chars").alias("nd_n_chars"),
+        F.min("n_chars").cast("double").alias("mn_n_chars"),
+        F.max("n_chars").cast("double").alias("mx_n_chars"),
+        F.count("lang").alias("nn_lang"),
+        F.countDistinct("lang").alias("nd_lang"),
+        F.count("source").alias("nn_source"),
+        F.countDistinct("source").alias("nd_source"),
+    )
+    return agg.select(
+        F.expr(
+            """stack(4,
+               'doc_id',  n_rows, nn_doc_id,  nd_doc_id,  mn_doc_id,          mx_doc_id,
+               'n_chars', n_rows, nn_n_chars, nd_n_chars, mn_n_chars,         mx_n_chars,
+               'lang',    n_rows, nn_lang,    nd_lang,    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               'source',  n_rows, nn_source,  nd_source,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+             ) AS (column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"""
+        )
+    )

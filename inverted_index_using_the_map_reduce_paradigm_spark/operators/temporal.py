@@ -474,3 +474,47 @@ def q_events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 4).alias("rolling_avg_1h"),
         F.count("*").over(w).alias("n_events_1h"),
     )
+
+
+@register(
+    "signup_purchase_full_outer",
+    oracle="""
+WITH s AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n_signups
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(floor(epoch(coalesce(s.day, p.day))) AS BIGINT) AS day,
+       coalesce(s.n_signups, 0) AS n_signups,
+       coalesce(p.n_purchases, 0) AS n_purchases
+FROM s FULL OUTER JOIN p ON s.day = p.day
+""",
+    description="FULL OUTER join of daily signup and purchase counts",
+    tags=("temporal", "join"),
+)
+def q_signup_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer completeness: days with only signups and days with
+    only purchases both survive, zeros filled.  Both inputs are already
+    aggregated to day grain before the join, so the outer join touches
+    two tiny relations regardless of event volume."""
+    ev = table(spark, sf_dir, "events")
+
+    def daily(etype: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count("*").alias(out))
+        )
+
+    s = daily("signup", "n_signups")
+    p = daily("purchase", "n_purchases")
+    return (
+        s.join(p, "day", "full_outer")
+        .select(
+            F.unix_timestamp("day").alias("day"),
+            F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
