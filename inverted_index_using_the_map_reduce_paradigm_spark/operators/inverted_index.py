@@ -510,3 +510,72 @@ GROUP BY a.doc_id
 )
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(table(spark, sf_dir, "documents"), ["table", "hash"])
+
+
+# --------------------------------------------------------------------------
+# segmented index — the head-word scale path (SCALE.md §7.1)
+# --------------------------------------------------------------------------
+
+SEGMENT_DOCS = 8  # postings per segment; 64k in production — small here so
+# the fixture actually produces multi-segment words
+
+
+@register(
+    "inverted_index_segmented",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, dedup AS (SELECT DISTINCT word, doc_id FROM toks)
+, numbered AS (
+  SELECT word, doc_id,
+         row_number() OVER (PARTITION BY word ORDER BY doc_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY word) AS doc_freq
+  FROM dedup
+)
+SELECT word,
+       rn // {SEGMENT_DOCS} AS segment_id,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       count(*) AS segment_len,
+       any_value(doc_freq) AS doc_freq
+FROM numbered
+GROUP BY word, rn // {SEGMENT_DOCS}
+""",
+    description=f"segmented posting lists ({SEGMENT_DOCS}/segment): bounded agg state",
+    tags=("reference", "flagship", "scale"),
+)
+def q_inverted_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The head-word fix: a word appearing in every document produces a
+    posting array the size of the corpus inside ONE aggregation buffer
+    in the flat index (`collect_set` state is unbounded).  Segmenting
+    first assigns each (word, doc) its rank within the word via a
+    window, then aggregates per (word, segment) — state is bounded by
+    SEGMENT_DOCS regardless of document frequency, and doc_freq rides
+    the same window at no extra shuffle.  The letter sink concatenates
+    a word's segments in segment_id order to reproduce the reference's
+    full lines."""
+    toks = tokenize_documents(table(spark, sf_dir, "documents")).dropDuplicates(
+        ["word", "doc_id"]
+    )
+    w = Window.partitionBy("word").orderBy("doc_id")
+    wc = Window.partitionBy("word")
+    numbered = toks.select(
+        "word",
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(wc).alias("doc_freq"),
+    )
+    return (
+        numbered.groupBy(
+            "word", F.floor(F.col("rn") / SEGMENT_DOCS).alias("segment_id")
+        )
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda d: d.cast("string")
+                ),
+            ).alias("postings"),
+            F.count("*").alias("segment_len"),
+            F.first("doc_freq").alias("doc_freq"),
+        )
+        .select("word", "segment_id", "postings", "segment_len", "doc_freq")
+    )
