@@ -140,3 +140,20 @@ def test_positional_index_single_shuffle(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(hash_exchanges) == 1
+
+
+def test_segmented_index_grouping_reuses_word_partitioning(spark):
+    """The final (word, segment_id) aggregation must ride the window's
+    hashpartitioning(word) — a word subset satisfies the clustered
+    distribution — so segmentation costs no exchange beyond dedup +
+    window."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    plan = audit.physical_plan(
+        load_all()["inverted_index_segmented"].fn(spark, SF)
+    )
+    hash_ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 2  # dedup on (word, doc_id) + window on (word)
+    # nothing re-partitions on the grouping expression/segment key
+    assert not any("_groupingexpression" in ln or "segment" in ln for ln in hash_ex)
