@@ -397,3 +397,45 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a: a["s"] % MOD,
     )
     return docs.select("doc_id", acc.alias("fingerprint"))
+
+
+@register(
+    "collection_functions",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS words FROM documents
+)
+SELECT doc_id,
+       len(words) AS n_words,
+       array_to_string(words[1:3], ' ') AS first3,
+       array_to_string(list_reverse(words)[1:3], ' ') AS last3_rev,
+       array_to_string(list_sort(list_distinct(words)), ' ') AS vocab,
+       len(list_filter(words, w -> length(w) >= 5)) AS n_long,
+       list_sort(list_distinct(words))[1] AS first_alpha,
+       array_to_string(list_transform(words[1:1], w -> upper(w)), ' ') AS head_upper
+FROM t WHERE len(words) > 0
+""",
+    description="collection-function gallery: slice/reverse/distinct/filter/transform",
+    tags=("text", "functions", "collection"),
+)
+def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array scalar family the reference lacks entirely (SURVEY.md
+    §2.2) over the token arrays: slicing, reversal, dedup + sort,
+    predicate counting, element access, per-element transforms — all
+    one shuffle-free projection."""
+    docs = table(spark, sf_dir, "documents")
+    words = tokens_of(F.col("text"))
+    base = docs.select("doc_id", words.alias("words")).filter(F.size("words") > 0)
+    vocab = F.array_sort(F.array_distinct("words"))
+    return base.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.concat_ws(" ", F.slice("words", 1, 3)).alias("first3"),
+        F.concat_ws(" ", F.slice(F.reverse("words"), 1, 3)).alias("last3_rev"),
+        F.concat_ws(" ", vocab).alias("vocab"),
+        F.size(F.filter("words", lambda w: F.length(w) >= 5)).alias("n_long"),
+        F.element_at(vocab, 1).alias("first_alpha"),
+        F.concat_ws(
+            " ", F.transform(F.slice("words", 1, 1), lambda w: F.upper(w))
+        ).alias("head_upper"),
+    )
