@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..data import table
 from ..functions.text import sql_tokens, tokens_of
 from ..registry import register
+from .dedup import JACCARD_THRESHOLD, sql_shingles
 
 # --------------------------------------------------------------------------
 # dataset_split — deterministic, engine-portable train/val/test assignment
@@ -256,5 +257,168 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                'lang',    n_rows, nn_lang,    nd_lang,    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                'source',  n_rows, nn_source,  nd_source,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
              ) AS (column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"""
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_pipeline — the whole prep DAG composed end-to-end
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_pipeline",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, text,
+         length(text) AS n_chars_text,
+         {{toks}} AS words,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, text, words,
+         least(len(words) / 64.0, 1.0) * (1 - n_punct / greatest(n_chars_text, 1))
+           AS quality
+  FROM base
+), med AS (
+  SELECT source, quantile_cont(quality, 0.5) AS m FROM scored GROUP BY source
+), gated AS (
+  SELECT s.* FROM scored s JOIN med ON s.source = med.source
+  WHERE s.quality > med.m
+), exact_kept AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
+), survivors AS (
+  SELECT g.doc_id, g.words FROM gated g
+  JOIN exact_kept k ON g.doc_id = k.doc_id
+), sh AS (
+  SELECT doc_id, {{shingles}} AS shingles FROM survivors
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb, count(*) AS n_common
+  FROM (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) a
+  JOIN (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE n_common / (na + nb - n_common) >= {{thr}}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL SELECT doc_b, doc_a FROM jac
+), reach AS (
+  SELECT src AS doc_id, src AS root FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+), assign AS (
+  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+), near_kept AS (
+  SELECT s.doc_id, s.words FROM survivors s
+  LEFT JOIN assign a ON s.doc_id = a.doc_id
+  WHERE a.doc_id IS NULL OR a.cluster_id = s.doc_id
+), chunked AS (
+  SELECT doc_id,
+         unnest(generate_series(1, CAST(ceil(len(words) / {{chunk}}.0) AS BIGINT))) AS i,
+         len(words) AS n_words
+  FROM near_kept WHERE len(words) > 0
+)
+SELECT CASE WHEN ((doc_id * {{mult}}) % 4294967296) % 100 < {{train}} THEN 'train'
+            WHEN ((doc_id * {{mult}}) % 4294967296) % 100 < {{trainval}} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(least({{chunk}}, n_words - (i-1)*{{chunk}})) AS BIGINT) AS n_tokens
+FROM chunked
+GROUP BY 1
+""".format(
+        toks=sql_tokens("text"),
+        shingles=sql_shingles("words"),
+        thr=JACCARD_THRESHOLD,
+        chunk=CHUNK_TOKENS,
+        mult=_SPLIT_MULT,
+        train=_TRAIN_PCT,
+        trainval=_TRAIN_PCT + _VAL_PCT,
+    ),
+    description="end-to-end corpus prep: gate -> dedup -> cluster-keep -> chunk -> split",
+    tags=("pipeline", "dedup", "composition"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data DAG — every stage is the already-
+    verified operator, chained: per-source quality gate, exact dedup
+    (keep min doc_id per content hash), near-dup clustering (keep each
+    cluster's min doc_id), fixed-token chunking, split assignment;
+    output is the per-split chunk/doc/token census.  Catalyst plans the
+    whole chain as one DAG — stages fuse where shuffle-free (gate,
+    chunk, split are projections) and the corpus is scanned once."""
+    from .dedup import connected_components, jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    t = tokens_of(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (
+            F.least(F.size(t) / F.lit(64.0), F.lit(1.0))
+            * (
+                1
+                - F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
+                / F.greatest(F.length("text"), F.lit(1))
+            )
+        ).alias("quality"),
+    )
+    med = scored.groupBy(F.col("source").alias("m_source")).agg(
+        F.expr("percentile(quality, 0.5)").alias("m")
+    )
+    gated = (
+        scored.join(F.broadcast(med), F.col("source") == F.col("m_source"))
+        .filter(F.col("quality") > F.col("m"))
+        .select("doc_id", "text")
+    )
+    exact_kept = gated.groupBy(F.sha2("text", 256)).agg(
+        F.min("doc_id").alias("k_doc")
+    ).select("k_doc")
+    survivors = gated.join(
+        exact_kept, gated["doc_id"] == exact_kept["k_doc"]
+    ).select("doc_id", "text")
+
+    pairs = jaccard_pairs(survivors).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    assign = connected_components(edges).withColumnRenamed("doc_id", "a_doc")
+    near_kept = (
+        survivors.join(assign, survivors["doc_id"] == assign["a_doc"], "left")
+        .filter(F.col("a_doc").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", tokens_of(F.col("text")).alias("words"))
+        .filter(F.size("words") > 0)
+    )
+
+    n_chunks = F.ceil(F.size("words") / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunked = near_kept.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("i"),
+    )
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % 4294967296 % 100
+    split = (
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        chunked.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(
+                F.least(
+                    F.lit(CHUNK_TOKENS),
+                    F.col("n_words") - (F.col("i") - 1) * CHUNK_TOKENS,
+                )
+            ).alias("n_tokens"),
         )
     )
