@@ -42,7 +42,10 @@ def main(argv: list[str]) -> int:
 
     parallelism = max(mappers, reducers, 1)
     spark = get_spark("inverted_index_cli", shuffle_partitions=parallelism)
-    docs = read_corpus(spark, manifest)
+    # validate: every manifest entry must surface in the scan (loud
+    # failure beats silently dropping a document on a path-encoding
+    # mismatch; the extra scan is acceptable in the CLI entry point)
+    docs = read_corpus(spark, manifest, validate=True)
     write_letter_index(formatted_index(docs), out_dir)
     collect_reference_layout(out_dir)
     return 0

@@ -35,10 +35,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
 
 
-# (sf_dir, name) -> whether the scan needs the parallelism repair.
-# The probe converts the plan to an RDD, which is not free — memoized
-# because the answer is a property of the files, not the session.
-_SPREAD_MEMO: dict[tuple[str, str], bool] = {}
+# (sf_dir, name, target) -> whether the scan needs the parallelism
+# repair.  The probe converts the plan to an RDD, which is not free —
+# memoized because the answer is a property of the files AND the
+# session's core count (the target is part of the key so a later
+# session with different parallelism doesn't reuse a stale answer).
+_SPREAD_MEMO: dict[tuple[str, str, int], bool] = {}
 
 
 def _spread(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFrame:
@@ -52,10 +54,11 @@ def _spread(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFra
     the slot count and this is a no-op (no shuffle inserted).
     """
     target = spark.sparkContext.defaultParallelism
-    needs = _SPREAD_MEMO.get(key)
+    memo_key = (*key, target)
+    needs = _SPREAD_MEMO.get(memo_key)
     if needs is None:
         needs = df.rdd.getNumPartitions() < target
-        _SPREAD_MEMO[key] = needs
+        _SPREAD_MEMO[memo_key] = needs
     return df.repartition(target) if needs else df
 
 

@@ -25,11 +25,19 @@ _DDL = [
     """CREATE OR REPLACE TEMPORARY FUNCTION norm_word(w STRING)
        RETURNS STRING
        RETURN regexp_replace(lower(w), '[^a-z]', '')""",
-    # reference tokenizer: split on the exact " \n\t" delimiter set,
-    # normalize each token, drop empties
+    # reference tokenizer: per line, tabs split only around the FIRST
+    # token (strtok_r " \n\t" then " ", main.c++:102,143) — rewrite each
+    # line (keep the strtok head, delete joining tail tabs), then one
+    # uniform split; normalize each token, drop empties
     """CREATE OR REPLACE TEMPORARY FUNCTION tokens(t STRING)
        RETURNS ARRAY<STRING>
-       RETURN filter(transform(split(t, '[ \n\t]+'),
+       RETURN filter(transform(split(
+                array_join(transform(split(t, '\n'),
+                  l -> concat(regexp_extract(l, '^[ \t]*[^ \t]*[ \t]?', 0),
+                              translate(regexp_replace(l, '^[ \t]*[^ \t]*[ \t]?', ''),
+                                        '\t', ''))),
+                  '\n'),
+                '[ \n\t]+'),
                                w -> regexp_replace(lower(w), '[^a-z]', '')),
                      w -> length(w) > 0)""",
     # cosine similarity over double arrays (sequential fold -> the same

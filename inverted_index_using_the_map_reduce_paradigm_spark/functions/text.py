@@ -3,8 +3,14 @@
 Reproduces the reference tokenizer semantics exactly
 (``/root/reference/main.c++:100-128``):
 
-  * a token is a maximal whitespace-separated run (``strtok_r`` on
-    ``" \\n\\t"`` -- main.c++:102,143);
+  * lines are read one at a time (``getline``, main.c++:98), and each
+    line's FIRST token comes from ``strtok_r(line, " \\n\\t")``
+    (main.c++:102) — but every SUBSEQUENT token comes from
+    ``strtok_r(NULL, " ")`` (main.c++:143), whose delimiter set is a
+    single space.  So a tab splits only while scanning the first token;
+    a tab after that stays INSIDE its token, is erased by the
+    normalizer, and JOINS the fragments: ``"a b\\tc"`` -> ``a``, ``bc``
+    while ``"a\\tb c"`` -> ``a``, ``b``, ``c``;
   * normalization lowercases ``A-Z`` and deletes every char outside
     ``a-z`` (digits, punctuation, non-ASCII) *in place*, so mid-token
     punctuation JOINS the fragments: ``don't`` -> ``dont``,
@@ -20,24 +26,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# One line's strtok head: optional leading [ \t] run, the first token,
+# and at most ONE terminating delimiter (strtok consumes exactly one).
+_STRTOK_HEAD = "^[ \t]*[^ \t]*[ \t]?"
+
 
 def normalize_word(col: Column) -> Column:
     """lowercase then strip every non-[a-z] char (reference main.c++:110-124)."""
     return F.regexp_replace(F.lower(col), "[^a-z]", "")
 
 
+def _strtok_line(line: Column) -> Column:
+    """Rewrite one line so a uniform whitespace split reproduces the
+    reference's asymmetric strtok_r delimiters (main.c++:102,143): keep
+    the head (leading delims + first token + its one terminator) as-is,
+    and DELETE tabs from the tail — tail tabs are not delimiters for
+    ``strtok_r(NULL, " ")``; they survive inside tokens until the
+    normalizer erases them, joining the fragments."""
+    head = F.regexp_extract(line, _STRTOK_HEAD, 0)
+    tail = F.regexp_replace(line, _STRTOK_HEAD, "")
+    return F.concat(head, F.translate(tail, "\t", ""))
+
+
 def tokens_of(text: Column) -> Column:
     """Array of normalized non-empty words from a text column.
 
-    Split on the reference's EXACT delimiter set ``" \\n\\t"``
-    (strtok_r, main.c++:102,143) — not ``\\s``: a mid-token ``\\r`` or
-    ``\\f`` is erased by the normalizer and JOINS its neighbors in the
-    reference, so it must not split here either.  Normalize each token,
-    drop empties — ``filter`` after ``transform`` keeps it all in one
-    projection.
+    Per-line strtok rewrite (above), then ONE uniform split on the
+    ``" \\n\\t"`` delimiter set, normalize each token, drop empties —
+    ``filter`` after ``transform`` keeps it all in one projection.
+    ``\\r``/``\\f``/``\\xa0`` never split (not in any strtok delimiter
+    set): they are erased by the normalizer and join their neighbors,
+    exactly as in the reference.
     """
+    fixed = F.concat_ws("\n", F.transform(F.split(text, "\n"), _strtok_line))
     return F.filter(
-        F.transform(F.split(text, "[ \n\t]+"), normalize_word),
+        F.transform(F.split(fixed, "[ \n\t]+"), normalize_word),
         lambda w: F.length(w) > 0,
     )
 
@@ -54,9 +77,15 @@ def tokenize_documents(documents: DataFrame) -> DataFrame:
 
 
 # DuckDB-side equivalents (kept adjacent so the two dialects stay in sync).
-# DuckDB regexp_replace needs the 'g' flag for global replacement.
+# DuckDB regexp_replace needs the 'g' flag for global replacement; the
+# backslash escapes are interpreted by RE2, not the SQL string literal.
 SQL_TOKENS = (
-    "list_filter(list_transform(regexp_split_to_array({col}, '[ \\n\\t]+'),"
+    "list_filter(list_transform(regexp_split_to_array("
+    "  array_to_string(list_transform(string_split({col}, chr(10)),"
+    "    l -> regexp_extract(l, '^[ \\t]*[^ \\t]*[ \\t]?')"
+    "         || replace(regexp_replace(l, '^[ \\t]*[^ \\t]*[ \\t]?', ''), chr(9), '')),"
+    "  chr(10)),"
+    " '[ \\n\\t]+'),"
     " t -> regexp_replace(lower(t), '[^a-z]', '', 'g')), w -> length(w) > 0)"
 )
 

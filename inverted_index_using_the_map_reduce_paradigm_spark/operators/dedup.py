@@ -13,9 +13,19 @@ Scale posture: every pair-generating join goes through a sparse
 bucket key (shingle / LSH band / SimHash chunk), never a cross join.
 At 100 TB the bucket join is the standard banding trick: candidates
 are only docs sharing a bucket, and hot buckets (stop-shingles) are
-the skew risk — AQE skew-join handles moderate cases; a bucket-size
-cap (``filter(size < N)``) is the documented escape hatch for
-degenerate ones.
+the skew risk.  Every bucket join here enforces a HOT-KEY CAP: join
+keys whose group size exceeds the cap are dropped before the self-join
+(the key's pair count is group², so one stop-shingle shared by 10^6
+docs would otherwise emit 10^12 pairs).  The hot set is tiny by
+construction (few keys can exceed the cap), so it broadcasts and the
+exclusion is a map-side anti-join — no extra shuffle.  Dropped keys
+carry no similarity signal by definition (a feature shared by
+everything distinguishes nothing), so for candidate generation the cap
+costs only degenerate recall; for the exact Jaccard join it makes hot
+shingles count toward the union but not the intersection
+(conservative: scores can only drop, and only for pairs whose overlap
+was mostly stop-shingles).  Defaults never trigger at fixture scale,
+so oracle parity is byte-identical.
 """
 
 from __future__ import annotations
@@ -123,6 +133,32 @@ def sql_shingles(tokens_expr: str) -> str:
 
 JACCARD_THRESHOLD = 0.5
 
+# Hot-key caps for the pair-generating bucket joins.  A key shared by g
+# docs contributes g² candidate pairs, so one stop-shingle shared by
+# 10^6 docs would emit 10^12 pairs from a single key.  Keys above the
+# cap are dropped before the self-join.  The defaults exceed the whole
+# fixture corpus (so fixture results — and the DuckDB oracle hashes —
+# are bit-identical); production sets them to O(10^3).
+HOT_SHINGLE_CAP = 100_000
+HOT_BAND_CAP = 100_000
+
+
+def _drop_hot_keys(ex: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Remove rows whose join-key group size exceeds ``cap``.
+
+    The hot set is computed with one partial-aggregated count and is
+    tiny by construction (at most total_rows/cap keys can exceed the
+    cap), so it broadcasts and the exclusion is a map-side
+    ``left_anti`` — no shuffle is added to the pair-join input.
+    """
+    hot = (
+        ex.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("kc"))
+        .filter(F.col("kc") > cap)
+        .select(*keys)
+    )
+    return ex.join(F.broadcast(hot), keys, "left_anti")
+
 
 @register(
     "ngram_jaccard_dedup",
@@ -152,7 +188,7 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
-def jaccard_pairs(docs: DataFrame) -> DataFrame:
+def jaccard_pairs(docs: DataFrame, hot_cap: int = HOT_SHINGLE_CAP) -> DataFrame:
     """Exact-Jaccard near-dup pairs (doc_a, doc_b, jaccard).
 
     Candidate pairs come only from docs SHARING a shingle — the join
@@ -161,13 +197,22 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     semantics in the UDF) and the join key is xxhash64(shingle): an
     8-byte shuffle key instead of a ~20-byte string (64-bit collisions
     across a corpus vocabulary are ~2^-40-scale and would only perturb
-    one pair's intersection count by 1)."""
+    one pair's intersection count by 1).
+
+    Shingles shared by more than ``hot_cap`` docs are dropped before
+    the join (the 100 TB stop-shingle guard — see module docstring):
+    they still count in each doc's set size ``n_sh`` but contribute
+    nothing to the intersection, so a capped run can only LOWER a
+    pair's score — and only for pairs whose overlap was mostly
+    stop-shingles, which is exactly the overlap that carries no
+    signal.  The default cap never triggers at fixture scale."""
     sh = docs.select(
         "doc_id", shingles_of(F.col("text")).alias("shingles")
     ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
     ex = sh.select(
         "doc_id", "n_sh", F.explode("shingles").alias("s")
     ).select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
+    ex = _drop_hot_keys(ex, ["h"], hot_cap)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -203,12 +248,23 @@ BAND_ROWS = MINHASH_K // LSH_BANDS
     tags=("dedup", "approx"),
 )
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(docs: DataFrame, band_cap: int = HOT_BAND_CAP) -> DataFrame:
     """Classic banding: signature rows are min(xxhash64(shingle, seed));
     docs agreeing on ALL rows of any band become candidates; candidates
     are re-verified with exact Jaccard so precision is 1.0 and only
     recall is approximate.  Shuffles: one agg for signatures, one
-    band-bucket join, one verify join — all on sparse keys."""
-    docs = table(spark, sf_dir, "documents")
+    band-bucket join, one verify join — all on sparse keys.
+
+    Band buckets larger than ``band_cap`` are dropped before the
+    candidate self-join (the 100 TB hot-bucket guard): a bucket of g
+    docs is g² candidate pairs, and a degenerate bucket (boilerplate
+    corpus, all-identical band) would otherwise dominate the stage.
+    Capping affects RECALL only — precision stays 1.0 because every
+    surviving candidate is exact-Jaccard verified against the full
+    shingle sets."""
     sh = docs.select(
         "doc_id", shingles_of(F.col("text")).alias("shingles")
     ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
@@ -237,6 +293,7 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
+    bands = _drop_hot_keys(bands, ["band", "bh"], band_cap)
 
     ba = bands.alias("x")
     bb = bands.alias("y")

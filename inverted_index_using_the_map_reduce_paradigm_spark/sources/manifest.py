@@ -34,21 +34,45 @@ def read_manifest_paths(manifest_path: str) -> list[str]:
     return paths
 
 
-def read_corpus(spark: SparkSession, manifest_path: str) -> DataFrame:
+def read_corpus(
+    spark: SparkSession, manifest_path: str, validate: bool = False
+) -> DataFrame:
     """documents-shaped DataFrame (doc_id, text) from a reference manifest.
 
     doc_id is the 1-based manifest position; one row per corpus LINE
     (the engine's tokenizer explodes lines exactly like the reference's
     getline loop, so line vs whole-file granularity is immaterial
     downstream of tokenization).
+
+    ``input_file_name()`` returns a percent-encoded file URI, so it is
+    URL-decoded before joining against the driver-side absolute paths —
+    otherwise a manifest path containing a space (or any URI-escaped
+    char) would silently drop every line of that document.  A literal
+    ``+`` is legal in a URI path but ``url_decode`` (URLDecoder
+    semantics) would turn it into a space, so it is re-escaped first.
+
+    ``validate=True`` adds a loud count check (every manifest entry must
+    surface in the scan) — an extra scan of the corpus, so it is opt-in;
+    the CLI and tests enable it.
     """
     paths = read_manifest_paths(manifest_path)
     mapping = spark.createDataFrame(
         [(os.path.abspath(p), i + 1) for i, p in enumerate(paths)],
         ["abs_path", "doc_id"],
     )
+    uri_path = F.regexp_replace(F.input_file_name(), "^file:/*", "/")
     lines = spark.read.text(paths).select(
-        F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias("abs_path"),
+        F.url_decode(F.replace(uri_path, F.lit("+"), F.lit("%2B"))).alias("abs_path"),
         F.col("value").alias("text"),
     )
-    return lines.join(F.broadcast(mapping), "abs_path").select("doc_id", "text")
+    corpus = lines.join(F.broadcast(mapping), "abs_path").select("doc_id", "text")
+    if validate:
+        # empty corpus files legitimately yield no rows — exclude them
+        expected = sum(1 for p in paths if os.path.getsize(p) > 0)
+        seen = corpus.select("doc_id").distinct().count()
+        if seen != expected:
+            raise RuntimeError(
+                f"manifest {manifest_path}: {expected} non-empty files listed "
+                f"but only {seen} matched the scan — path encoding mismatch?"
+            )
+    return corpus

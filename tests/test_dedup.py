@@ -51,6 +51,67 @@ def test_exact_dedup_keeps_every_distinct_content(spark):
     assert out.count() == n_distinct
 
 
+def _stop_shingle_corpus(spark, n_docs=60):
+    """Every doc shares one boilerplate opening (a universal stop-
+    shingle); each doc also has a unique tail.  Docs 0/1 are true
+    near-dups of each other beyond the boilerplate."""
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(n_docs):
+        # letter suffixes: the normalizer strips digits, so numeric
+        # suffixes would collapse every doc to the same token stream
+        s = chr(97 + i % 26) + chr(97 + i // 26)
+        tail = f"unique{s} tail{s} words{s} here{s} end{s}"
+        if i == 1:
+            tail = "uniqueaa tailaa wordsaa hereaa endx"  # near-dup of doc 0
+        rows.append(Row(doc_id=i, text=f"common header boilerplate {tail}"))
+    return spark.createDataFrame(rows)
+
+
+def test_hot_shingle_cap_bounds_candidate_pairs(spark):
+    """The stop-shingle guard: with the cap, candidate pairs from the
+    universal boilerplate shingles disappear (they carry no signal),
+    while pairs sharing rare shingles survive.  Candidate volume drops
+    from O(n²) to the rare-key pair count."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        jaccard_pairs,
+    )
+
+    docs = _stop_shingle_corpus(spark)
+    uncapped = jaccard_pairs(docs, hot_cap=10**9)
+    capped = jaccard_pairs(docs, hot_cap=5)
+
+    # with cap=5 the universal boilerplate shingle (group size 60) is
+    # dropped, so candidate volume is bounded by rare-key groups only —
+    # the true near-dup pair (0,1) survives via its 4 rare shared
+    # shingles, everything else disappears
+    cap_scores = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    assert set(cap_scores) == {(0, 1)}
+    # the capped score can only be <= the uncapped score for any pair
+    unc = {(r.doc_a, r.doc_b): r.jaccard for r in uncapped.collect()}
+    assert set(unc) == {(0, 1)}  # other pairs share ONLY the stop-shingle
+    for k, v in cap_scores.items():
+        assert k in unc and v <= unc[k] + 1e-9
+    assert 0 < JACCARD_THRESHOLD <= 1.0  # sanity
+
+
+def test_minhash_band_cap_keeps_precision(spark):
+    """Band-bucket capping may only LOSE candidates (recall), never
+    emit a wrong pair: every surviving pair is exact-verified."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        minhash_pairs,
+    )
+
+    docs = _stop_shingle_corpus(spark)
+    uncapped = {(r.doc_a, r.doc_b) for r in minhash_pairs(docs, band_cap=10**9).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in minhash_pairs(docs, band_cap=5).collect()}
+    assert capped <= uncapped
+    for df in (minhash_pairs(docs, band_cap=5),):
+        assert df.filter(F.col("jaccard") < 0.5).count() == 0
+
+
 def test_connected_components_chain_and_clique(spark):
     from pyspark.sql import Row
 

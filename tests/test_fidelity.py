@@ -20,6 +20,10 @@ CORPUS = {
     "f1.txt": "The quick brown fox\njumps over the lazy dog!\n",
     "f2.txt": "the DOG barks 123\nquick-quick zebra\n",
     "f3.txt": "apple apple apple\n",
+    # strtok delimiter asymmetry (main.c++:102,143): 'one\ttwo' sits
+    # after the first token, so the tab joins -> 'onetwo'; the tab
+    # ending 'three' terminates the FIRST token, so 'four' splits off.
+    "f4.txt": "tab one\ttwo\nthree\tfour five\n",
 }
 
 
@@ -37,7 +41,7 @@ def make_corpus(tmp_path):
 def test_manifest_reader_assigns_1based_ids(spark, tmp_path):
     docs = read_corpus(spark, make_corpus(tmp_path))
     ids = {r.doc_id for r in docs.select("doc_id").distinct().collect()}
-    assert ids == {1, 2, 3}
+    assert ids == {1, 2, 3, 4}
 
 
 def test_reference_output_layout(spark, tmp_path):
@@ -68,6 +72,14 @@ def test_reference_output_layout(spark, tmp_path):
     # ordering within a letter file: df DESC then word ASC
     d = (tmp_path / "out" / "d.txt").read_text().splitlines()
     assert d == ["dog:[1 2]"]
+    # strtok asymmetry: mid-line tab joins ('onetwo'), first-token tab
+    # splits ('three' / 'four')
+    o = (tmp_path / "out" / "o.txt").read_text().splitlines()
+    assert "onetwo:[4]" in o and "one:[4]" not in " ".join(o)
+    f = (tmp_path / "out" / "f.txt").read_text().splitlines()
+    assert "four:[4]" in f
+    t2 = (tmp_path / "out" / "t.txt").read_text().splitlines()
+    assert "three:[4]" in t2 and "two:[4]" not in t2
 
 
 def test_cli_drop_in_invocation(spark, tmp_path, monkeypatch):
@@ -84,6 +96,23 @@ def test_cli_drop_in_invocation(spark, tmp_path, monkeypatch):
     files = {f for f in os.listdir(out) if not f.startswith(("_", "."))}
     assert files == {f"{c}.txt" for c in string.ascii_lowercase}
     assert (tmp_path / "cli_out" / "a.txt").read_text() == "apple:[3]\n"
+
+
+def test_manifest_paths_with_uri_hostile_chars(spark, tmp_path):
+    """A manifest path containing spaces / '%' / '+' must not silently
+    drop its document: input_file_name() returns a percent-encoded URI,
+    and the join decodes it before matching driver-side paths."""
+    d = tmp_path / "odd dir %20 + stuff"
+    d.mkdir()
+    p1 = d / "with space.txt"
+    p1.write_text("alpha beta\n")
+    p2 = d / "pct%sign+plus.txt"
+    p2.write_text("gamma\n")
+    manifest = tmp_path / "m.txt"
+    manifest.write_text(f"2\n{p1}\n{p2}\n")
+    docs = read_corpus(spark, str(manifest), validate=True)
+    rows = {r.doc_id for r in docs.select("doc_id").distinct().collect()}
+    assert rows == {1, 2}
 
 
 def test_null_and_empty_text_rows(spark):

@@ -27,7 +27,11 @@ from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index
         ("don't2x", ["dontx"]),  # punctuation+digit removal JOINS fragments
         ("123 456", []),  # all-digit tokens vanish (R6)
         ("Hello, World!", ["hello", "world"]),
-        ("  leading   spaces\tand\ttabs ", ["leading", "spaces", "and", "tabs"]),
+        # strtok asymmetry (main.c++:102,143): tabs after the first
+        # token are NOT delimiters — the normalizer erases them and
+        # joins the fragments into one word
+        ("  leading   spaces\tand\ttabs ", ["leading", "spacesandtabs"]),
+        ("first\tsecond third", ["first", "second", "third"]),
         ("ñandú café", ["and", "caf"]),  # non-ASCII chars erased, not transliterated
         ("''' !!!", []),  # empty-after-cleanup (README.md:18 segfault case)
         ("a", ["a"]),

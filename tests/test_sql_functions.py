@@ -49,12 +49,17 @@ def test_sql_functions_edge_cases(spark):
         """
         SELECT norm_word("Don't2X!") AS nw,
                tokens('  A!  123  b\tc  ') AS t,
+               tokens('a\tb c') AS t2,
                round(cosine(array(1.0D, 0.0D), array(1.0D, 1.0D)), 6) AS cos,
                posting_line('zeta', array(1L, 2L, 10L)) AS line
         """
     ).collect()[0]
     assert rows.nw == "dontx"
-    assert rows.t == ["a", "b", "c"]
+    # strtok asymmetry: the tab sits after the first token, so 'b\tc'
+    # is ONE strtok(NULL, " ") token and the normalizer joins it
+    assert rows.t == ["a", "bc"]
+    # ...but a tab terminating the FIRST token still splits
+    assert rows.t2 == ["a", "b", "c"]
     assert rows.cos == 0.707107
     assert rows.line == "zeta:[1 2 10]"
 

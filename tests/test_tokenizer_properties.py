@@ -17,20 +17,40 @@ from pyspark.sql import functions as F
 
 from inverted_index_using_the_map_reduce_paradigm_spark.functions.text import tokens_of
 
-# The reference splits on EXACTLY " \n\t" (strtok_r, main.c++:102,143),
-# then per token lowercases A-Z and deletes every char outside a-z
-# (main.c++:110-124), dropping tokens that end up empty (main.c++:
-# 125-128).  NOT \s: a mid-token \r, \f, or \xa0 is erased by the
-# normalizer and joins its neighbors ("a\rb" -> "ab").
-_WS = re.compile("[ \n\t]+")
+# The reference reads line-by-line (getline, main.c++:98) and tokenizes
+# each line with strtok_r: the FIRST call splits on " \n\t"
+# (main.c++:102) but every SUBSEQUENT call splits on " " alone
+# (main.c++:143) — a tab after the first token stays inside its token,
+# is erased by the normalizer, and JOINS the fragments ("a b\tc" ->
+# "a","bc").  Per token: lowercase A-Z, delete every char outside a-z
+# (main.c++:110-124), drop tokens that end up empty (main.c++:125-128).
+# NOT \s: a mid-token \r, \f, or \xa0 is erased by the normalizer and
+# joins its neighbors ("a\rb" -> "ab").
+
+
+def _strtok_line(line: str) -> list[str]:
+    """Faithful model of the strtok_r call pair (main.c++:102,143)."""
+    i, n = 0, len(line)
+    while i < n and line[i] in " \t":  # first call skips leading delims
+        i += 1
+    if i == n:
+        return []  # strtok returns NULL: no tokens on this line
+    j = i
+    while j < n and line[j] not in " \t":
+        j += 1
+    raw = [line[i:j]]
+    rest = line[j + 1 :]  # strtok consumed exactly ONE terminator
+    raw += [t for t in rest.split(" ") if t]  # NULL-calls: spaces only
+    return raw
 
 
 def reference_tokens(text: str) -> list[str]:
     out = []
-    for tok in _WS.split(text):
-        w = re.sub("[^a-z]", "", tok.lower())
-        if w:
-            out.append(w)
+    for line in text.split("\n"):  # getline boundary (main.c++:98)
+        for tok in _strtok_line(line):
+            w = re.sub("[^a-z]", "", tok.lower())
+            if w:
+                out.append(w)
     return out
 
 
@@ -71,6 +91,13 @@ def test_tokenizer_edge_cases(spark):
         "Ünïcödé naïve": ["ncd", "nave"],
         "MiXeD CaSe": ["mixed", "case"],
         "a.b,c;d": ["abcd"],
+        # strtok delimiter asymmetry (main.c++:102,143): tabs split only
+        # around the FIRST token of a line; later tabs join fragments.
+        "a b\tc": ["a", "bc"],
+        "a\tb c": ["a", "b", "c"],
+        "\t\ta\tb c\td": ["a", "b", "cd"],
+        "a b\tc\nd e\tf": ["a", "bc", "d", "ef"],
+        "x\t\ty z": ["x", "y", "z"],
     }
     got = spark_tokens_batch(spark, list(cases))
     assert got == list(cases.values())
