@@ -20,6 +20,9 @@ executors.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -395,6 +398,92 @@ def q_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# stored-index query path — the reference's OUTPUT is an index; querying
+# the stored form (not re-tokenizing the corpus) is the product at 100 TB.
+# The letter-partitioned parquet layout (sources/sinks.write_parquet_index)
+# turns a term lookup into partition pruning + a pushed word predicate.
+# --------------------------------------------------------------------------
+
+# (sf_dir, kind) -> materialized index directory.  Rebuilt once per
+# process (never trusted across processes: operator code may have
+# changed), then every stored-path query is a pure pruned read.
+_STORED_INDEX: dict[tuple[str, str], str] = {}
+
+
+def stored_index_dir(spark: SparkSession, sf_dir: str, kind: str = "flat") -> str:
+    """Materialize (once per process) the letter-partitioned index over
+    ``sf_dir``'s documents and return its directory.
+
+    ``kind='flat'`` stores ``build_index`` output (word, postings,
+    doc_freq / letter= partitions); ``kind='positional'`` stores
+    ``build_positional_index`` output (word, doc_id, positions /
+    letter= partitions).  This is the write-once-query-many shape: at
+    100 TB the index is built by the ingest pipeline and queries only
+    ever touch the pruned letter directories.
+    """
+    key = (sf_dir, kind)
+    d = _STORED_INDEX.get(key)
+    if d is None:
+        from ..sources.sinks import write_parquet_index
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_index_{os.getpid()}",
+            sf_dir.strip("/").replace("/", "_"),
+            kind,
+        )
+        docs = table(spark, sf_dir, "documents")
+        if kind == "flat":
+            write_parquet_index(build_index(docs), base)
+        elif kind == "positional":
+            pidx = build_positional_index(docs).withColumn(
+                "letter", F.substring("word", 1, 1)
+            )
+            (
+                pidx.repartition("letter")
+                .write.mode("overwrite")
+                .partitionBy("letter")
+                .parquet(base)
+            )
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
+        _STORED_INDEX[key] = d = base
+    return d
+
+
+@register(
+    "term_lookup_stored",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT word,
+       array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ' ') AS postings,
+       count(DISTINCT doc_id) AS doc_freq,
+       substr(word, 1, 1) AS letter
+FROM toks WHERE word = '{TERM}' GROUP BY word
+""",
+    description="term lookup against the STORED letter-partitioned index (pruned scan)",
+    tags=("reference", "query", "storage"),
+)
+def q_term_lookup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as ``term_lookup`` but read from the stored parquet
+    index: the letter predicate prunes to ONE partition directory
+    (PartitionFilters in the plan — pinned by test_plan_quality) and
+    the word predicate pushes into that directory's parquet scan.  No
+    tokenization, no aggregation, no shuffle at query time."""
+    from ..sources.sinks import lookup_term
+
+    idx = lookup_term(spark, stored_index_dir(spark, sf_dir, "flat"), TERM)
+    return idx.select(
+        "word",
+        F.concat_ws(" ", F.transform("postings", lambda d: d.cast("string"))).alias(
+            "postings"
+        ),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        "letter",
+    )
+
+
+# --------------------------------------------------------------------------
 # positional index + phrase queries (extension: SURVEY.md §2.2 notes the
 # reference's postings are doc-level only, main.c++:138, so phrase queries
 # are impossible against it — this adds the position-aware variant)
@@ -480,6 +569,12 @@ def phrase_search(documents: DataFrame, phrase: list[str]) -> DataFrame:
     toks = tokenize_with_positions(documents).filter(
         F.col("word").isin(list(phrase))
     )
+    return _phrase_match(toks, phrase)
+
+
+def _phrase_match(toks: DataFrame, phrase: list[str]) -> DataFrame:
+    """Anchor-join phrase matching over a (doc_id, word, pos) stream
+    already filtered to the phrase's words."""
     matched = (
         toks.filter(F.col("word") == phrase[0])
         .select("doc_id", F.col("pos").alias("anchor"))
@@ -510,6 +605,39 @@ GROUP BY a.doc_id
 )
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(table(spark, sf_dir, "documents"), ["table", "hash"])
+
+
+@register(
+    "phrase_search_stored",
+    oracle=f"""
+{SQL_PTOKS_CTE}
+SELECT a.doc_id, count(*) AS n_matches
+FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.word = 'table' AND b.word = 'hash'
+GROUP BY a.doc_id
+""",
+    description="phrase query against the STORED positional index (pruned, no re-tokenize)",
+    tags=("reference", "extension", "query", "storage"),
+)
+def q_phrase_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as ``phrase_search`` but read from the stored
+    letter-partitioned positional index: the phrase words' first
+    letters prune the scan to (at most) len(phrase) partition
+    directories, the word IN (...) predicate pushes into those
+    directories' parquet scans, and only then do positions explode
+    into the anchor join.  The corpus is never re-tokenized — at
+    100 TB the difference between this and ``phrase_search`` is the
+    difference between reading kilobytes and reading the corpus."""
+    phrase = ["table", "hash"]
+    idx = spark.read.parquet(stored_index_dir(spark, sf_dir, "positional"))
+    toks = (
+        idx.filter(
+            F.col("letter").isin(sorted({w[:1] for w in phrase}))
+            & F.col("word").isin(phrase)
+        )
+        .select("doc_id", "word", F.explode("positions").alias("pos"))
+    )
+    return _phrase_match(toks, phrase)
 
 
 # --------------------------------------------------------------------------
@@ -543,18 +671,23 @@ GROUP BY word, rn // {SEGMENT_DOCS}
     tags=("reference", "flagship", "scale"),
 )
 def q_inverted_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_segmented_index(table(spark, sf_dir, "documents"))
+
+
+def build_segmented_index(
+    documents: DataFrame, segment_docs: int = SEGMENT_DOCS
+) -> DataFrame:
     """The head-word fix: a word appearing in every document produces a
     posting array the size of the corpus inside ONE aggregation buffer
     in the flat index (`collect_set` state is unbounded).  Segmenting
     first assigns each (word, doc) its rank within the word via a
     window, then aggregates per (word, segment) — state is bounded by
-    SEGMENT_DOCS regardless of document frequency, and doc_freq rides
-    the same window at no extra shuffle.  The letter sink concatenates
-    a word's segments in segment_id order to reproduce the reference's
-    full lines."""
-    toks = tokenize_documents(table(spark, sf_dir, "documents")).dropDuplicates(
-        ["word", "doc_id"]
-    )
+    ``segment_docs`` regardless of document frequency, and doc_freq
+    rides the same window at no extra shuffle.  The letter sink
+    (``sources.sinks.write_letter_index_segmented``) concatenates a
+    word's segments in segment_id order to reproduce the reference's
+    full lines with bounded memory."""
+    toks = tokenize_documents(documents).dropDuplicates(["word", "doc_id"])
     w = Window.partitionBy("word").orderBy("doc_id")
     wc = Window.partitionBy("word")
     numbered = toks.select(
@@ -565,7 +698,7 @@ def q_inverted_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         numbered.groupBy(
-            "word", F.floor(F.col("rn") / SEGMENT_DOCS).alias("segment_id")
+            "word", F.floor(F.col("rn") / segment_docs).alias("segment_id")
         )
         .agg(
             F.concat_ws(

@@ -109,7 +109,23 @@ def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAR_DUP_BLOCKS = 16  # sized so NB*(NB+1)/2 block pairs >= cluster slots
+NEAR_DUP_BLOCK_ROWS = 1024  # target rows per GEMM block: a tile is at
+# most (1024 x dim) x (dim x 1024) — ~8 MB of operands at dim=64, far
+# below executor memory, and one BLAS call per task
+NEAR_DUP_MIN_BLOCKS = 4  # keep at least a few tiles so small inputs
+# still spread over the cluster
+NEAR_DUP_EXACT_MAX = 200_000  # above this row count exact all-pairs is
+# no longer sane (block-pair count grows with n²); switch to the
+# RP-bucket prefiltered path
+
+
+def _near_dup_blocks(n: int) -> int:
+    """Block count derived from input size: blocks scale linearly with
+    rows so per-task GEMM work stays ~NEAR_DUP_BLOCK_ROWS² regardless
+    of corpus size (the round-1 static 16 was tuned to one fixture)."""
+    import math
+
+    return max(NEAR_DUP_MIN_BLOCKS, math.ceil(n / NEAR_DUP_BLOCK_ROWS))
 
 
 def _unpack_block(ids, flat) -> tuple[np.ndarray, np.ndarray]:
@@ -164,26 +180,42 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, {ROUND}) >= {NEAR_DUP_COS}
     tags=("similarity", "dedup"),
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs via tiled matrix product: vectors hash into
-    NEAR_DUP_BLOCKS blocks, the NB*(NB+1)/2 block pairs fan out as one
-    task each, and each task is a vectorized GEMM + threshold — the
-    interpreted per-pair expression path is ~100x slower.  At 100 TB
-    exact all-pairs is inherently quadratic in block count; the scale
-    path prefilters candidates with the ``similarity_search_rp`` bucket
-    key and uses this same tile scorer only within buckets."""
+    """Size-gated dispatch: exact tiled all-pairs below
+    ``NEAR_DUP_EXACT_MAX`` rows (the oracle-checkable correctness
+    baseline), RP-bucket prefiltered tiles above it (the 100 TB path —
+    same GEMM scorer, but only within LSH buckets, so candidate volume
+    is sub-quadratic).  The row count is one parquet-metadata action at
+    plan-build time."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("e")
     )
-    packed = (
-        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(NEAR_DUP_BLOCKS)))
-        .groupBy("blk")
+    n = emb.count()
+    if n <= NEAR_DUP_EXACT_MAX:
+        return embedding_near_dup_exact(emb, n_blocks=_near_dup_blocks(n))
+    return embedding_near_dup_rp(emb)
+
+
+def _pack_blocks(grouped, key_cols: list[str]):
+    """groupBy(key) -> (key, ids, flat): primitive arrays cross Arrow
+    zero-copy; a list-of-struct layout would unbox per element."""
+    return (
+        grouped.groupBy(*key_cols)
         .agg(F.collect_list(F.struct("vec_id", "e")).alias("vs"))
-        # unzip to primitive arrays: Arrow moves these zero-copy
         .select(
-            "blk",
+            *key_cols,
             F.transform("vs", lambda v: v["vec_id"]).alias("ids"),
             F.flatten(F.transform("vs", lambda v: v["e"])).alias("flat"),
         )
+    )
+
+
+def embedding_near_dup_exact(emb: DataFrame, n_blocks: int) -> DataFrame:
+    """Exact all-pairs via tiled matrix product: vectors hash into
+    ``n_blocks`` blocks, the NB*(NB+1)/2 block pairs fan out as one
+    task each, and each task is a vectorized GEMM + threshold — the
+    interpreted per-pair expression path is ~100x slower."""
+    packed = _pack_blocks(
+        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks))), ["blk"]
     )
     a = packed.select(
         F.col("blk").alias("ba"), F.col("ids").alias("ids_a"), F.col("flat").alias("flat_a")
@@ -194,11 +226,82 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = (
         a.join(b, F.col("ba") <= F.col("bb"))
         .withColumn("same", F.col("ba") == F.col("bb"))
-        .repartition(NEAR_DUP_BLOCKS * (NEAR_DUP_BLOCKS + 1) // 2)
+        .repartition(n_blocks * (n_blocks + 1) // 2)
     )
     return tiles.mapInPandas(
         _gemm_block_pairs, schema="vec_a long, vec_b long, cosine double"
     )
+
+
+def embedding_near_dup_rp(
+    emb: DataFrame, sub_rows: int = NEAR_DUP_BLOCK_ROWS
+) -> DataFrame:
+    """RP-bucket prefiltered near-dup: candidates are only vectors that
+    share an LSH (table, bucket) key — the ``similarity_search_rp``
+    bucketing composed with the GEMM tile scorer, per the round-1 scale
+    story.
+
+    Buckets bigger than ``sub_rows`` split into sub-blocks so one hot
+    bucket can't blow a single task's GEMM: sub-block ids come from a
+    row_number window over (t, b), and the sub-block packing rides the
+    window's hashpartitioning (a (t, b, sb) groupBy is satisfied by
+    clustering on (t, b)) — no extra exchange.  Tiles pair sub-blocks
+    within a bucket (sba <= sbb), so completeness within a bucket is
+    preserved; a pair sharing several tables dedups in the final
+    per-pair aggregation.  Recall is the LSH knob (RP_TABLES x
+    RP_BITS); precision is exact because every candidate is scored
+    with the true cosine."""
+    bucketed = emb.select(
+        "vec_id", "e", F.explode(_buckets_of("e")).alias("tb")
+    ).select("vec_id", "e", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    w = Window.partitionBy("t", "b").orderBy("vec_id")
+    sub = bucketed.withColumn(
+        "sb", F.floor((F.row_number().over(w) - 1) / sub_rows).cast("int")
+    )
+    packed = _pack_blocks(sub, ["t", "b", "sb"])
+    a = packed.select(
+        "t", "b",
+        F.col("sb").alias("sba"),
+        F.col("ids").alias("ids_a"),
+        F.col("flat").alias("flat_a"),
+    )
+    b2 = packed.select(
+        F.col("t").alias("t2"), F.col("b").alias("b2"),
+        F.col("sb").alias("sbb"),
+        F.col("ids").alias("ids_b"),
+        F.col("flat").alias("flat_b"),
+    )
+    tiles = (
+        a.join(
+            b2,
+            (F.col("t") == F.col("t2"))
+            & (F.col("b") == F.col("b2"))
+            & (F.col("sba") <= F.col("sbb")),
+        )
+        .withColumn("same", F.col("sba") == F.col("sbb"))
+        # only the operand arrays cross into Python — keys stay JVM-side
+        .select("ids_a", "flat_a", "ids_b", "flat_b", "same")
+    )
+    pairs = tiles.mapInPandas(
+        _gemm_block_pairs, schema="vec_a long, vec_b long, cosine double"
+    )
+    # a pair can surface once per shared LSH table
+    return pairs.groupBy("vec_a", "vec_b").agg(F.first("cosine").alias("cosine"))
+
+
+@register(
+    "embedding_near_dup_rp",
+    oracle=None,  # approximate by design (LSH recall); tests assert the
+    # result is a subset of the exact pairs with high recall on strong
+    # near-dups and measure the sub-quadratic candidate volume.
+    description="near-dup pairs via RP-bucket prefilter + in-bucket GEMM tiles (scale path)",
+    tags=("similarity", "dedup", "approx"),
+)
+def q_embedding_near_dup_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("e")
+    )
+    return embedding_near_dup_rp(emb)
 
 
 # --------------------------------------------------------------------------

@@ -43,6 +43,68 @@ def write_letter_index(formatted: DataFrame, out_dir: str) -> None:
     )
 
 
+def write_letter_index_segmented(segmented: DataFrame, out_dir: str) -> None:
+    """Letter-file sink over a SEGMENTED index
+    (``operators.inverted_index.build_segmented_index`` output: word,
+    segment_id, postings ['d1 d2 …' per segment], doc_freq) — the
+    bounded-state path for head words.
+
+    The flat sink needs each word's full posting array in one
+    aggregation buffer; here segments stay bounded end to end: rows
+    are letter-partitioned and sorted (doc_freq DESC, word ASC,
+    segment_id ASC) — the reference's file order (main.c++:37-44) with
+    segments contiguous per word — and a streaming mapInPandas
+    concatenates consecutive segments into one ``word:[…]`` line.
+    Peak memory is ONE line (the word currently being assembled), not
+    one hash-agg entry per word, so a word posted in every document of
+    a 100 TB corpus streams through; the final line string itself is
+    the only unavoidable allocation (it IS the output format).
+    Ordering survives because mapInPandas is narrow (no exchange
+    between the sort and the writer).
+    """
+    import pandas as pd
+
+    seg = segmented.withColumn("letter", F.substring("word", 1, 1))
+    ordered = seg.repartition("letter").sortWithinPartitions(
+        "letter", F.desc("doc_freq"), F.asc("word"), F.asc("segment_id")
+    ).select("letter", "word", "postings")
+
+    def concat_stream(batches):
+        cur = None  # (letter, word) being assembled
+        parts: list[str] = []
+        lines: list[str] = []
+        letters: list[str] = []
+
+        def flush_word():
+            if cur is not None:
+                lines.append(f"{cur[1]}:[{' '.join(parts)}]")
+                letters.append(cur[0])
+            parts.clear()
+
+        for pdf in batches:
+            for letter, word, postings in zip(
+                pdf["letter"], pdf["word"], pdf["postings"]
+            ):
+                if cur != (letter, word):
+                    flush_word()
+                    cur = (letter, word)
+                parts.append(postings)
+            if lines:  # emit completed lines; keep the open word buffered
+                yield pd.DataFrame({"line": lines, "letter": letters})
+                lines, letters = [], []
+
+        flush_word()
+        if lines:
+            yield pd.DataFrame({"line": lines, "letter": letters})
+
+    (
+        ordered.mapInPandas(concat_stream, schema="line string, letter string")
+        .write.mode("overwrite")
+        .partitionBy("letter")
+        .text(out_dir)
+    )
+
+
 def write_parquet_index(index: DataFrame, out_dir: str) -> None:
     """Columnar stored form of the inverted index, partitioned by letter.
 

@@ -130,6 +130,35 @@ def test_null_and_empty_text_rows(spark):
     assert rows == {"real": [5], "word": [5]}
 
 
+def test_segmented_sink_byte_identical_to_flat_sink(spark, tmp_path):
+    """The bounded-state segmented path (build_segmented_index +
+    write_letter_index_segmented) must produce byte-identical letter
+    files to the flat path — segment size 2 forces real multi-segment
+    words so the streaming concatenation is actually exercised."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import (
+        build_segmented_index,
+    )
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.sinks import (
+        write_letter_index_segmented,
+    )
+
+    manifest = make_corpus(tmp_path)
+    docs = read_corpus(spark, manifest)
+
+    flat_out = str(tmp_path / "flat")
+    write_letter_index(formatted_index(docs), flat_out)
+    collect_reference_layout(flat_out)
+
+    seg_out = str(tmp_path / "seg")
+    write_letter_index_segmented(build_segmented_index(docs, segment_docs=2), seg_out)
+    collect_reference_layout(seg_out)
+
+    for c in string.ascii_lowercase:
+        flat = (tmp_path / "flat" / f"{c}.txt").read_bytes()
+        seg = (tmp_path / "seg" / f"{c}.txt").read_bytes()
+        assert seg == flat, c
+
+
 def test_parquet_index_partition_pruning(spark, tmp_path):
     """The stored columnar index prunes a term lookup to one letter
     partition (the storage form of the reference's 26-bucket layout)."""

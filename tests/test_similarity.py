@@ -45,6 +45,65 @@ def test_ivf_topk_recall_beats_plumbing_bound(spark):
     assert recall >= 0.3, recall
 
 
+def test_near_dup_rp_subset_with_recall_on_strong_pairs(spark):
+    """The RP-prefiltered near-dup path may only LOSE pairs vs the
+    exact tiled result (precision exact: every candidate scored with
+    the true cosine), and must keep most STRONG near-dups (high cosine
+    pairs collide in some LSH table with high probability)."""
+    qs = load_all()
+    exact_rows = qs["embedding_near_dup"].fn(spark, SF).collect()
+    exact = {(r.vec_a, r.vec_b): r.cosine for r in exact_rows}
+    rp_rows = qs["embedding_near_dup_rp"].fn(spark, SF).collect()
+    rp = {(r.vec_a, r.vec_b): r.cosine for r in rp_rows}
+    assert set(rp) <= set(exact)
+    for k, v in rp.items():
+        assert abs(v - exact[k]) < 1e-9  # same scorer, same rounding
+    strong = {k for k, v in exact.items() if v >= 0.7}
+    if strong:
+        recall = len(strong & set(rp)) / len(strong)
+        assert recall >= 0.6, (recall, len(strong))
+
+
+def test_near_dup_rp_candidate_volume_subquadratic(spark):
+    """The scale claim, measured: total in-bucket pair count must be
+    well below the all-pairs grid n*(n-1)/2."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import (
+        _buckets_of,
+        _emb_double,
+    )
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table as t
+
+    emb = t(spark, SF, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("e")
+    )
+    n = emb.count()
+    sizes = (
+        emb.select("vec_id", F.explode(_buckets_of("e")).alias("tb"))
+        .groupBy("tb.t", "tb.b")
+        .agg(F.count("*").alias("g"))
+        .select(F.sum(F.col("g") * (F.col("g") - 1) / 2).alias("cand"))
+        .collect()[0]
+        .cand
+    )
+    all_pairs = n * (n - 1) / 2
+    # 6 tables x 16 buckets: uniform hashing would give ~6/16 of the
+    # grid; require clearly sub-quadratic even with skewed buckets
+    assert sizes < 0.6 * all_pairs, (sizes, all_pairs)
+
+
+def test_dynamic_block_count_scales_with_rows(spark):
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import (
+        NEAR_DUP_MIN_BLOCKS,
+        _near_dup_blocks,
+    )
+
+    assert _near_dup_blocks(10) == NEAR_DUP_MIN_BLOCKS
+    assert _near_dup_blocks(10_000) == 10
+    assert _near_dup_blocks(1_000_000) == 977  # linear in rows
+
+
 def test_embedding_agg_has_full_grid(spark):
     qs = load_all()
     out = qs["embedding_agg"].fn(spark, SF)
