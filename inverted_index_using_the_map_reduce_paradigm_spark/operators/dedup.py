@@ -146,18 +146,21 @@ HOT_BAND_CAP = 100_000
 def _drop_hot_keys(ex: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Remove rows whose join-key group size exceeds ``cap``.
 
-    The hot set is computed with one partial-aggregated count and is
-    tiny by construction (at most total_rows/cap keys can exceed the
-    cap), so it broadcasts and the exclusion is a map-side
-    ``left_anti`` — no shuffle is added to the pair-join input.
+    Group sizes come from a COUNT WINDOW over the join key, not a
+    separate aggregate + anti-join: the window shares the key exchange
+    the self-join needs anyway (both join sides are the identical
+    filtered subplan, so ReuseExchange collapses them), and the
+    expensive upstream (the shingle UDF) runs ONCE — a second
+    count-branch would re-execute it.  The window buffers O(group)
+    rows per key with spill, which is exactly the linear cost we
+    accept to avoid the join's O(group²) output.
     """
-    hot = (
-        ex.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("kc"))
-        .filter(F.col("kc") > cap)
-        .select(*keys)
+    w = Window.partitionBy(*keys)
+    return (
+        ex.withColumn("_kc", F.count(F.lit(1)).over(w))
+        .filter(F.col("_kc") <= cap)
+        .drop("_kc")
     )
-    return ex.join(F.broadcast(hot), keys, "left_anti")
 
 
 @register(
@@ -513,7 +516,14 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same closure as a recursive CTE — exhaustive
     transitive reachability, feasible only at oracle scale; the engine
     side is the scalable iterative min-label propagation."""
-    pairs = jaccard_pairs(table(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    # Materialize the pair set ONCE before iterating: every label-
+    # propagation round joins the edges, and without this checkpoint
+    # each round would re-run the whole shingle/join pipeline.
+    pairs = (
+        jaccard_pairs(table(spark, sf_dir, "documents"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

@@ -937,3 +937,140 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
     )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+""",
+    description="TPC-H Q4-style order-priority check: EXISTS semi-join on late shipments",
+    tags=("relational", "join", "subquery"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTS shape, pre-aggregated: ``EXISTS(l_shipdate > X)`` is
+    ``max(l_shipdate) > X``, so lineitem first collapses to one
+    (orderkey, max_shipdate) row — the semi-join's build side shrinks
+    from every lineitem to one row per order, and the existence
+    condition becomes a residual on that single row.  Joining the raw
+    lineitems instead would put the FACT table on the build side (a
+    broadcast that cannot exist at 100 TB) and re-test the condition
+    per lineitem.  (The fixture lacks l_commitdate/l_receiptdate, so
+    'late' is shipped >30 days after order date.)"""
+    orders = table(spark, sf_dir, "orders")
+    last_ship = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_shipdate"))
+    )
+    late = orders.join(
+        last_ship,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("max_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+""",
+    description="TPC-H Q12-style conditional aggregation over late lineitems",
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-by-CASE inside one aggregation: both priority buckets come
+    out of a single join + single groupBy (two passes or a pivot
+    operator would each add a shuffle).  The lineitem-orders join is
+    the fact-fact shuffle on orderkey — the bucketed-table layout
+    (sources/sinks.write_bucketed) eliminates it on stored data.
+    ('Late' as in tpch_q4; l_returnflag stands in for the fixture's
+    missing l_shipmode.)"""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_nationkey
+""",
+    description="TPC-H Q22-style dormant high-balance customers: anti-join + scalar avg",
+    tags=("relational", "join", "subquery"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT EXISTS shape: a LEFT ANTI join against recent orders,
+    gated by a scalar aggregate threshold.  The average is a 1-row
+    aggregate broadcast into the filter (exact decimal sum, so the
+    threshold is bit-identical across engines); the anti join's build
+    side is only the RECENT orders' custkeys (filter pushed below the
+    join).  (The fixture lacks c_phone, so grouping is by nation
+    instead of phone prefix and 'dormant' is no orders since
+    2000-01-01.)"""
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("ab")
+        )
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
