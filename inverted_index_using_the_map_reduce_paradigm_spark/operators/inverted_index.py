@@ -483,6 +483,38 @@ def q_term_lookup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "boolean_and_stored",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT doc_id FROM toks
+WHERE word IN ({_sql_list(AND_TERMS)})
+GROUP BY doc_id
+HAVING count(DISTINCT word) = {len(AND_TERMS)}
+""",
+    description="boolean AND against the STORED index: pruned posting-array intersect",
+    tags=("reference", "query", "storage"),
+)
+def q_boolean_and_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as ``boolean_and`` but from the stored index: the
+    query terms' first letters prune the scan, each term's posting
+    ARRAY arrives as one row, and the intersection is explode +
+    count-matching over len(terms) rows' worth of postings — work
+    proportional to the posting lists touched, not the corpus."""
+    idx = spark.read.parquet(stored_index_dir(spark, sf_dir, "flat"))
+    hits = idx.filter(
+        F.col("letter").isin(sorted({t[:1] for t in AND_TERMS}))
+        & F.col("word").isin(*AND_TERMS)
+    )
+    return (
+        hits.select(F.explode("postings").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == len(AND_TERMS))
+        .select("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # positional index + phrase queries (extension: SURVEY.md §2.2 notes the
 # reference's postings are doc-level only, main.c++:138, so phrase queries

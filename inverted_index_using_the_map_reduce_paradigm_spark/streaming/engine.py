@@ -309,3 +309,53 @@ def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(stats, "update")
+
+
+# --------------------------------------------------------------------------
+# streaming inverted index: the reference's whole program as a stream
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_inverted_index",
+    oracle=None,  # streaming: rows-only; tests assert equality with the
+    # oracle-checked batch inverted_index result.
+    description="streaming index maintenance: posting lists grow as documents arrive",
+    bench=False,
+    tags=("streaming", "reference", "flagship"),
+)
+def q_stream_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire program as a CONTINUOUS pipeline: documents
+    arrive on a stream, tokenize/normalize runs per micro-batch
+    (stateless — same expressions as the batch flagship), and
+    ``collect_set`` keeps one growing posting set per word in the state
+    store (update mode re-emits a word's row when its postings change).
+    This is the streaming form of ``index_merge``: each micro-batch is
+    a delta merged into per-word state instead of a stored base.  At
+    100 TB-scale deployment the state store is RocksDB and the sink
+    upserts into the letter-partitioned stored index; with the whole
+    fixture in one micro-batch the output equals the batch index, which
+    is what the test asserts."""
+    from ..functions.text import tokens_of
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens_of(F.col("text"))).alias("word")
+    )
+    idx = (
+        toks.groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("p"))
+        .select(
+            "word",
+            F.concat_ws(" ", F.transform("p", lambda d: d.cast("string"))).alias(
+                "postings"
+            ),
+            F.size("p").cast("long").alias("doc_freq"),
+            F.substring("word", 1, 1).alias("letter"),
+        )
+    )
+    return _run_to_memory(idx, "update")

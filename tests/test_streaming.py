@@ -133,3 +133,13 @@ def test_stream_user_stats_equals_batch(spark):
     )
     stream = as_set(qs["stream_user_stats"].fn(spark, SF))
     assert stream == batch
+
+
+def test_stream_inverted_index_equals_batch(spark):
+    """The streaming index (posting lists growing in the state store)
+    must converge to the batch flagship index when the whole corpus
+    arrives as one micro-batch."""
+    qs = load_all()
+    batch = as_set(qs["inverted_index"].fn(spark, SF))
+    stream = as_set(qs["stream_inverted_index"].fn(spark, SF))
+    assert stream == batch
