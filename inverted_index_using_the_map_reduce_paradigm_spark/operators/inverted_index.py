@@ -484,6 +484,49 @@ def q_term_lookup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "index_compact",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, dedup AS (SELECT DISTINCT word, doc_id FROM toks)
+SELECT word,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       count(*) AS doc_freq,
+       substr(word, 1, 1) AS letter
+FROM dedup
+GROUP BY word
+""",
+    description="segment compaction: segmented index folds back to the flat index",
+    tags=("reference", "maintenance", "scale"),
+)
+def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the segment lifecycle: ingest appends small segments
+    (bounded agg state), compaction later folds a word's segments into
+    one posting row — concat in segment_id order, no re-sort needed
+    because segments partition the doc_id range in rank order.  The
+    groupBy(word) here aggregates segment STRINGS (a few per word),
+    never re-materializing per-doc rows; the oracle is the flat
+    ``inverted_index`` SQL, proving compact(segmented) == rebuild."""
+    seg = build_segmented_index(table(spark, sf_dir, "documents"))
+    return (
+        seg.groupBy("word")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("segment_id", "postings"))
+                    ),
+                    lambda s: s["postings"],
+                ),
+            ).alias("postings"),
+            F.sum("segment_len").alias("doc_freq"),
+        )
+        .withColumn("letter", F.substring("word", 1, 1))
+        .select("word", "postings", "doc_freq", "letter")
+    )
+
+
+@register(
     "boolean_and_stored",
     oracle=f"""
 {SQL_TOKS_CTE}
