@@ -220,3 +220,54 @@ def test_segmented_index_grouping_reuses_word_partitioning(spark):
     assert len(hash_ex) == 2  # dedup on (word, doc_id) + window on (word)
     # nothing re-partitions on the grouping expression/segment key
     assert not any("_groupingexpression" in ln or "segment" in ln for ln in hash_ex)
+
+
+def test_tpch_q5_single_fact_shuffle_broadcast_dims(spark):
+    """Q5's six-way join must reduce to ONE fact-fact exchange pair
+    (lineitem-orders on orderkey); supplier/nation/region arrive by
+    broadcast, and the same-nation condition is a residual, not a
+    join."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    df = load_all()["tpch_q5"].fn(spark, SF)
+    strategies = audit.join_strategies(df)
+    assert strategies.count("SortMergeJoin") <= 1
+    assert "BroadcastNestedLoopJoin" not in strategies
+    plan = audit.physical_plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q8_part_filter_prunes_before_fact_shuffle(spark):
+    """Q8: the selective p_type dimension filter must reach the part
+    scan (PushedFilters) and join lineitem as a broadcast, so the
+    orderkey shuffle carries only ECONOMY lineitems."""
+    plan = physical_plan(spark, "tpch_q8")
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q20_semi_join_chain_stays_broadcast(spark):
+    """Q20: the qualified-supplier set (post-HAVING) is tiny and must
+    broadcast into supplier as a semi join — no shuffle of the dim."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    df = load_all()["tpch_q20"].fn(spark, SF)
+    plan = audit.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(p_name), StringStartsWith(p_name,red)" in plan
+
+
+def test_tpch_q11_total_reuses_the_per_part_exchange(spark):
+    """Q11: the global total must reuse the per-part aggregate's
+    shuffle (ReusedExchange), so lineitem is scanned ONCE at runtime —
+    the static plan prints the subtree twice, but execution must not."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    df = load_all()["tpch_q11"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final[:1500]
