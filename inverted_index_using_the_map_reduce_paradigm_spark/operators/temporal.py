@@ -518,3 +518,61 @@ def q_signup_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         )
     )
+
+
+@register(
+    "range_join_bucketed",
+    oracle=f"""
+SELECT p.event_id,
+       (SELECT count(*) FROM events c
+        WHERE c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 15 MINUTE AND c.ts < p.ts) AS n_recent_clicks
+FROM events p WHERE p.event_type = 'purchase'
+""",
+    description="range join via time-bucket banding: clicks in the 15 min before each purchase",
+    tags=("temporal", "join", "scale"),
+)
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed range join — the scale answer to a non-equi time
+    interval join that Spark would otherwise plan as a broadcast
+    NESTED LOOP (O(n*m) comparisons).  Both sides are bucketed into
+    window-width time bands; a click at bucket b can only precede a
+    purchase in buckets b or b+1, so the purchase side explodes into
+    exactly 2 candidate buckets and the join becomes a hash EQUI-join
+    on the band with the exact [ts-15min, ts) predicate as a residual.
+    Candidates per row are bounded by 2 buckets' worth of clicks —
+    linear in data, not quadratic.  (This is what a range-join hint
+    does in engines that have one; plan-pinned hash join, no BNLJ.)
+
+    A left join + count of matches keeps zero-click purchases in the
+    result, mirroring the oracle's scalar-subquery count semantics.
+    The comparison runs in exact microseconds (the fixture timestamps
+    are sub-second), bit-equal to the oracle's interval arithmetic.
+    """
+    width = 900 * 1_000_000  # 15 min in microseconds == the range width
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.unix_micros(F.col("ts")).alias("c_ts")
+    ).withColumn("bucket", F.floor(F.col("c_ts") / width))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("p_ts")
+    )
+    cand = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_ts") / width) - 1,
+                F.floor(F.col("p_ts") / width),
+            )
+        ),
+    )
+    joined = cand.join(
+        clicks,
+        (cand["bucket"] == clicks["bucket"])
+        & (F.col("c_ts") >= F.col("p_ts") - width)
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("c_ts").alias("n_recent_clicks")
+    )

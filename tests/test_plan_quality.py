@@ -271,3 +271,24 @@ def test_tpch_q11_total_reuses_the_per_part_exchange(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     final = executed.split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final, final[:1500]
+
+
+def test_range_join_bucketed_is_equi_hash_join_not_bnlj(spark):
+    """The banded range join must plan as a hash EQUI-join on the time
+    bucket — BroadcastNestedLoopJoin is the failure mode this operator
+    exists to avoid."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    df = load_all()["range_join_bucketed"].fn(spark, SF)
+    strategies = audit.join_strategies(df)
+    assert strategies, "range join missing"
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """Sampling must be a zero-shuffle projection+filter: no Exchange
+    beyond the fixture-repair round robin, no aggregate."""
+    plan = physical_plan(spark, "stratified_sample")
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
