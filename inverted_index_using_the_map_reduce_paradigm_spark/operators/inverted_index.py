@@ -787,3 +787,119 @@ def build_segmented_index(
         )
         .select("word", "segment_id", "postings", "segment_len", "doc_freq")
     )
+
+
+# --------------------------------------------------------------------------
+# search-surface extensions over the stored index: prefix and fuzzy
+# term matching.  Both query the letter-partitioned parquet index, not
+# the corpus — at 100 TB these touch index-sized data (the vocabulary),
+# never document-sized data.
+# --------------------------------------------------------------------------
+
+PREFIX = "s"
+FUZZY_TERM = "quary"  # one substitution away from 'query'
+
+
+@register(
+    "prefix_search_stored",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, dedup AS (SELECT DISTINCT word, doc_id FROM toks)
+SELECT word,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       count(*) AS doc_freq,
+       substr(word, 1, 1) AS letter
+FROM dedup WHERE word LIKE '{PREFIX}%'
+GROUP BY word
+""",
+    description="prefix search against the stored index: letter-pruned LIKE scan",
+    tags=("reference", "query", "storage"),
+)
+def q_prefix_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard/prefix term search on the STORED index.  The prefix's
+    first letter prunes to one ``letter=`` partition directory
+    (PartitionFilters) and the ``StartsWith`` predicate pushes into
+    that directory's parquet scan — query cost is proportional to one
+    letter's vocabulary, independent of corpus size.  A multi-letter
+    prefix class (e.g. ``[a-c]%``) would prune to the matching set of
+    directories the same way."""
+    idx = spark.read.parquet(stored_index_dir(spark, sf_dir, "flat"))
+    return (
+        idx.filter(
+            (F.col("letter") == PREFIX[0]) & F.col("word").startswith(PREFIX)
+        )
+        .select(
+            "word",
+            F.concat_ws(
+                " ", F.transform("postings", lambda d: d.cast("string"))
+            ).alias("postings"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "letter",
+        )
+    )
+
+
+def _deletion_variants(col: F.Column) -> F.Column:
+    """All 1-character-deletion variants of ``col`` plus ``col`` itself
+    (the SymSpell neighborhood): two words are within edit distance 1
+    iff their neighborhoods intersect."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            F.substring(col, F.lit(1), i - 1),
+            col.substr(i + 1, F.length(col)),
+        ),
+    )
+    return F.array_union(F.array(col), dels)
+
+
+@register(
+    "fuzzy_term_lookup",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, dedup AS (SELECT DISTINCT word, doc_id FROM toks)
+SELECT word,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       count(*) AS doc_freq,
+       substr(word, 1, 1) AS letter
+FROM dedup WHERE levenshtein(word, '{FUZZY_TERM}') <= 1
+GROUP BY word
+""",
+    description="fuzzy term lookup (edit distance 1) via SymSpell deletion-neighborhood join",
+    tags=("reference", "query", "storage", "scale"),
+)
+def q_fuzzy_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant term lookup WITHOUT a full-vocabulary distance
+    scan: each indexed word explodes into its <=|word|+1 deletion
+    variants, the query term's (tiny, driver-computed) variant set
+    filters them as an equi-predicate inside codegen, and the exact
+    ``levenshtein <= 1`` check runs only on the handful of candidate
+    words the neighborhood intersection survives — SymSpell's
+    observation, expressed as pruning.  At 100 TB scale the variant
+    explode runs over the VOCABULARY (index rows), not the corpus, and
+    a batch of query terms would broadcast-join its variant set
+    instead of inlining literals (same plan shape).  Fuzzy matching
+    cannot prune by letter (the first character may be the typo), so
+    this is the one stored-index query that scans all 26 directories —
+    still index-sized."""
+    q_variants = [FUZZY_TERM] + [
+        FUZZY_TERM[:i] + FUZZY_TERM[i + 1 :] for i in range(len(FUZZY_TERM))
+    ]
+    idx = spark.read.parquet(stored_index_dir(spark, sf_dir, "flat"))
+    candidates = (
+        idx.withColumn("variant", F.explode(_deletion_variants(F.col("word"))))
+        .filter(F.col("variant").isin(q_variants))
+        .drop("variant")
+        .dropDuplicates(["word"])
+    )
+    return (
+        candidates.filter(F.levenshtein(F.col("word"), F.lit(FUZZY_TERM)) <= 1)
+        .select(
+            "word",
+            F.concat_ws(
+                " ", F.transform("postings", lambda d: d.cast("string"))
+            ).alias("postings"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "letter",
+        )
+    )

@@ -292,3 +292,24 @@ def test_stratified_sample_is_pure_filter(spark):
     plan = physical_plan(spark, "stratified_sample")
     assert "Exchange hashpartitioning" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_prefix_search_stored_prunes_and_pushes_startswith(spark):
+    """Prefix search must prune to the prefix letter's partition and
+    push the StartsWith predicate into the parquet scan."""
+    plan = physical_plan(spark, "prefix_search_stored")
+    assert "PartitionFilters" in plan
+    assert "letter" in plan.split("PartitionFilters")[1][:200]
+    assert "StringStartsWith(word" in plan
+    assert "Exchange" not in plan  # pure pruned read
+
+
+def test_fuzzy_term_lookup_filters_variants_before_distance(spark):
+    """The SymSpell neighborhood filter must run below the levenshtein
+    check (candidates first), and the whole query touches only the
+    stored index — no corpus scan, no join."""
+    plan = physical_plan(spark, "fuzzy_term_lookup")
+    assert "documents.parquet" not in plan  # index-only
+    assert "levenshtein" in plan
+    # variant equi-filter sits in the same codegen stage as the explode
+    assert plan.index("variant#") > -1
