@@ -439,3 +439,102 @@ def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform(F.slice("words", 1, 1), lambda w: F.upper(w))
         ).alias("head_upper"),
     )
+
+
+# --------------------------------------------------------------------------
+# bm25_rank — ranked retrieval (the search-engine scoring layer)
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("query", "join", "fast")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"sum(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    k1, b = BM25_K1, BM25_B
+    parts = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0}) / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        f" ELSE 0.0 END)"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+{SQL_TOKS_CTE}
+, per AS (
+  SELECT doc_id, count(*) AS dl, {tf_cols}
+  FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl, {df_cols}
+  FROM per
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, round({parts}, 6) AS score
+  FROM per CROSS JOIN stats
+) s WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "bm25_rank",
+    oracle=_bm25_sql(),
+    description="BM25 ranked retrieval: top-10 docs for a 3-term query, one corpus scan",
+    tags=("text", "query", "scale"),
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval with the classic BM25 weight, planned for one
+    corpus scan and ONE shuffle: per-document term frequencies for the
+    (literal, tiny) query-term set and the document length come out of
+    a single wide groupBy(doc_id) — no per-term joins — and the corpus
+    statistics (N, avgdl, per-term document frequencies) derive from
+    THAT aggregate, returning as a 1-row broadcast (the exchange is
+    reused at runtime, tpch_q11-style).  The final top-10 is
+    TakeOrdered over rounded scores with a doc_id tie-break — no global
+    sort.  Floats cross engines through the tf_idf rounding convention
+    (identical operand order, round to 6)."""
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    k1, b = BM25_K1, BM25_B
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1) + (F.col("n_docs") - df + 0.5) / (df + 0.5)
+        )
+        part = F.when(
+            tf > 0,
+            idf * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )

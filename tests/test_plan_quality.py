@@ -313,3 +313,23 @@ def test_fuzzy_term_lookup_filters_variants_before_distance(spark):
     assert "levenshtein" in plan
     # variant equi-filter sits in the same codegen stage as the explode
     assert plan.index("variant#") > -1
+
+
+def test_bm25_single_docid_shuffle_and_takeordered(spark):
+    """BM25 must aggregate once on doc_id (wide term-frequency pivot,
+    no per-term joins) and take its top-10 via TakeOrdered, not a
+    global sort."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    df = load_all()["bm25_rank"].fn(spark, SF)
+    plan = audit.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    hash_ex = {
+        ln.split("Exchange hashpartitioning(")[1].split(",")[0].split("#")[0]
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    }
+    assert hash_ex == {"doc_id"}, hash_ex
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed.split("== Initial Plan ==")[0]
