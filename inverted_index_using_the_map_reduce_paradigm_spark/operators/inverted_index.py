@@ -903,3 +903,128 @@ def q_fuzzy_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "letter",
         )
     )
+
+
+@register(
+    "boolean_or_stored",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE word IN ({_sql_list(OR_TERMS)})
+""",
+    description="boolean OR against the STORED index: pruned posting-array union",
+    tags=("reference", "query", "storage"),
+)
+def q_boolean_or_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of posting arrays from the stored index: letter pruning +
+    word pushdown fetch len(terms) rows, explode + distinct unions
+    them.  Work scales with the touched posting lists only."""
+    idx = spark.read.parquet(stored_index_dir(spark, sf_dir, "flat"))
+    hits = idx.filter(
+        F.col("letter").isin(sorted({t[:1] for t in OR_TERMS}))
+        & F.col("word").isin(*OR_TERMS)
+    )
+    return hits.select(F.explode("postings").alias("doc_id")).distinct()
+
+
+@register(
+    "boolean_not_stored",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks
+WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE word IN ({_sql_list(NOT_TERMS)}))
+""",
+    description="boolean NOT against the STORED index: universe minus pruned postings",
+    tags=("reference", "query", "storage"),
+)
+def q_boolean_not_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT needs the document universe; the stored index provides it
+    without touching the corpus — the excluded terms' posting arrays
+    (pruned fetch) anti-join the distinct-doc set derived from ALL
+    postings.  At 100 TB the universe comes from the doc catalog
+    (documents' own key column) instead; the anti-join shape — tiny
+    build side broadcast against it — is identical."""
+    idx = spark.read.parquet(stored_index_dir(spark, sf_dir, "flat"))
+    universe = idx.select(F.explode("postings").alias("doc_id")).distinct()
+    excluded = (
+        idx.filter(
+            F.col("letter").isin(sorted({t[:1] for t in NOT_TERMS}))
+            & F.col("word").isin(*NOT_TERMS)
+        )
+        .select(F.explode("postings").alias("doc_id"))
+    )
+    return universe.join(F.broadcast(excluded), "doc_id", "left_anti")
+
+
+@register(
+    "letter_topk_stored",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, df AS (
+  SELECT word, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY word
+), ranked AS (
+  SELECT word, doc_freq, substr(word, 1, 1) AS letter,
+         row_number() OVER (PARTITION BY substr(word, 1, 1)
+                            ORDER BY doc_freq DESC, word ASC) AS rank
+  FROM df
+)
+SELECT letter, rank, word, doc_freq FROM ranked WHERE rank <= 3
+""",
+    description="per-letter top-k read from the STORED index (no re-tokenize)",
+    tags=("reference", "topk", "storage"),
+)
+def q_letter_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """letter_topk without re-tokenizing: doc_freq is already a stored
+    column, so the query is a window rank over INDEX rows.  The letter
+    partitioning means each partition directory ranks independently
+    (the window's partitionBy matches the storage partitioning — zero
+    cross-letter traffic), and WindowGroupLimit truncates each group
+    at k before any shuffle materializes the tail."""
+    idx = spark.read.parquet(stored_index_dir(spark, sf_dir, "flat"))
+    w = Window.partitionBy("letter").orderBy(F.desc("doc_freq"), F.asc("word"))
+    return (
+        idx.select(
+            "letter",
+            F.row_number().over(w).alias("rank"),
+            "word",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+        )
+        .filter(F.col("rank") <= 3)
+        .select("letter", "rank", "word", "doc_freq")
+    )
+
+
+@register(
+    "index_stats",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, dedup AS (SELECT DISTINCT word, doc_id FROM toks)
+, idx AS (
+  SELECT word, substr(word, 1, 1) AS letter, count(*) AS doc_freq
+  FROM dedup GROUP BY word
+)
+SELECT letter,
+       count(*) AS n_words,
+       CAST(sum(doc_freq) AS BIGINT) AS n_postings,
+       CAST(max(doc_freq) AS BIGINT) AS max_df,
+       round(CAST(sum(doc_freq) AS DOUBLE) / count(*), 6) AS avg_df
+FROM idx GROUP BY letter
+""",
+    description="index health report: vocabulary and posting-volume stats per letter",
+    tags=("reference", "maintenance", "storage"),
+)
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational dashboard for a stored index: per-letter
+    vocabulary size, posting volume, and head-word df — the numbers
+    that drive compaction scheduling and skew monitoring (letter
+    directories grow at very different rates; §5 of SCALE.md).  Reads
+    ONLY stored index rows; one tiny aggregation keyed on letter (26
+    groups), partition-aligned with the storage layout."""
+    idx = spark.read.parquet(stored_index_dir(spark, sf_dir, "flat"))
+    return idx.groupBy("letter").agg(
+        F.count("*").alias("n_words"),
+        F.sum("doc_freq").cast("long").alias("n_postings"),
+        F.max("doc_freq").cast("long").alias("max_df"),
+        F.round(
+            F.sum("doc_freq").cast("double") / F.count("*"), 6
+        ).alias("avg_df"),
+    )

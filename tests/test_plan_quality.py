@@ -333,3 +333,11 @@ def test_bm25_single_docid_shuffle_and_takeordered(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed.split("== Initial Plan ==")[0]
+
+
+def test_letter_topk_stored_rides_storage_partitioning(spark):
+    """The stored per-letter rank must read only index rows (no corpus
+    scan) and truncate each letter group via WindowGroupLimit."""
+    plan = physical_plan(spark, "letter_topk_stored")
+    assert "documents.parquet" not in plan
+    assert "WindowGroupLimit" in plan
