@@ -27,14 +27,46 @@ from .session import get_spark
 from .sources.manifest import read_corpus
 from .sources.sinks import collect_reference_layout, write_letter_index
 
+USAGE = (
+    "usage: python -m inverted_index_using_the_map_reduce_paradigm_spark"
+    " <num_mappers> <num_reducers> <manifest> <out_dir>\n"
+    "   or: python -m inverted_index_using_the_map_reduce_paradigm_spark"
+    " sql \"<query>\" [sf_dir]"
+)
+
+
+def run_sql(spark, query: str, sf_dir: str):
+    """Ad-hoc SQL surface: the fixture tables are registered as views
+    plus a lazy ``inverted_index`` view (word, postings, doc_freq,
+    letter) built over ``documents`` — Catalyst inlines the view, so a
+    filtered query against it still gets pushdown through the
+    tokenize/aggregate pipeline.  Returns the result DataFrame."""
+    from .data import register_views, table
+    from .operators.inverted_index import build_index
+
+    register_views(spark, sf_dir)
+    build_index(table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "inverted_index"
+    )
+    return spark.sql(query)
+
+
+def sql_main(argv: list[str]) -> int:
+    if not argv or len(argv) > 2:
+        print(USAGE, file=sys.stderr)
+        return 2
+    query = argv[0]
+    sf_dir = argv[1] if len(argv) == 2 else "/root/testdata/sf0.001"
+    spark = get_spark("inverted_index_sql")
+    run_sql(spark, query, sf_dir).show(100, truncate=False)
+    return 0
+
 
 def main(argv: list[str]) -> int:
+    if argv and argv[0] == "sql":
+        return sql_main(argv[1:])
     if len(argv) != 4:
-        print(
-            "usage: python -m inverted_index_using_the_map_reduce_paradigm_spark"
-            " <num_mappers> <num_reducers> <manifest> <out_dir>",
-            file=sys.stderr,
-        )
+        print(USAGE, file=sys.stderr)
         return 2
     mappers, reducers = int(argv[0]), int(argv[1])
     manifest = argv[2]

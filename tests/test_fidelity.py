@@ -178,3 +178,27 @@ def test_parquet_index_partition_pruning(spark, tmp_path):
     assert len(rows) == 1 and sorted(rows[0].postings) == [1, 2]
     plan = hit._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(letter" in plan, plan[:2000]
+
+
+def test_cli_sql_surface(spark):
+    """The sql subcommand's core: fixture views + the lazy
+    inverted_index view answer ad-hoc SQL, with the view inlined so
+    term predicates push through the pipeline."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.__main__ import run_sql
+
+    df = run_sql(
+        spark,
+        "SELECT word, doc_freq FROM inverted_index WHERE letter = 's' "
+        "ORDER BY doc_freq DESC, word LIMIT 3",
+        "/root/testdata/sf0.001",
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 3
+    assert all(r.word.startswith("s") for r in rows)
+    # and a plain relational query over the registered views
+    n = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey",
+        "/root/testdata/sf0.001",
+    ).collect()[0].n
+    assert n > 0
