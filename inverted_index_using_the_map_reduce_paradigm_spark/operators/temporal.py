@@ -576,3 +576,121 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id").agg(
         F.count("c_ts").alias("n_recent_clicks")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH e1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sig_before
+  FROM events
+), e2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND sig_before IS NOT NULL THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_before
+  FROM e1
+)
+SELECT count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS n_signup,
+       count(DISTINCT CASE WHEN event_type = 'click' AND sig_before IS NOT NULL
+                      THEN user_id END) AS n_click_after_signup,
+       count(DISTINCT CASE WHEN event_type = 'purchase' AND click_before IS NOT NULL
+                      THEN user_id END) AS n_purchase_path
+FROM e2
+""",
+    description="ordered conversion funnel signup->click->purchase via layered windows",
+    tags=("temporal", "window", "agg"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel WITHOUT self-joins: stage N's
+    qualification is a running conditional ``min`` over the user's
+    event sequence (strictly-before frame), layered once per stage —
+    both window layers share partitionBy(user_id) so the whole funnel
+    costs ONE shuffle regardless of stage count, where the textbook
+    N-way self-join costs N fact shuffles and explodes on power
+    users."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e1 = ev.withColumn(
+        "sig_before",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    e2 = e1.withColumn(
+        "click_before",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("sig_before").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return e2.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "signup", F.col("user_id"))
+        ).alias("n_signup"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "click") & F.col("sig_before").isNotNull(),
+                F.col("user_id"),
+            )
+        ).alias("n_click_after_signup"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("click_before").isNotNull(),
+                F.col("user_id"),
+            )
+        ).alias("n_purchase_path"),
+    )
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "user_retention",
+    oracle=f"""
+WITH first_signup AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT CAST(epoch_us(f.s_ts) // {WEEK_US} AS BIGINT) AS cohort_week,
+       CAST((epoch_us(e.ts) - epoch_us(f.s_ts)) // {WEEK_US} AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS users
+FROM events e JOIN first_signup f USING (user_id)
+WHERE e.ts >= f.s_ts
+GROUP BY cohort_week, week_offset
+""",
+    description="weekly cohort retention matrix: signup cohort x activity-week offset",
+    tags=("temporal", "agg", "join"),
+)
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort retention matrix in two user-keyed hash steps: first
+    signup per user (aggregate), then activity joined back on user_id
+    — both shuffles key on user_id, so AQE lines them up and the
+    cohort/offset aggregation output is matrix-sized (weeks x weeks),
+    tiny at any scale.  Week arithmetic is integer microsecond floor
+    division on both engines — no float weeks, no timezone traps."""
+    ev = table(spark, sf_dir, "events")
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .withColumn("s_us", F.unix_micros("s_ts"))
+    )
+    return (
+        ev.join(first, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .withColumn("cohort_week", F.expr(f"s_us div {WEEK_US}"))
+        .withColumn(
+            "week_offset", F.expr(f"(unix_micros(ts) - s_us) div {WEEK_US}")
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )

@@ -341,3 +341,15 @@ def test_letter_topk_stored_rides_storage_partitioning(spark):
     plan = physical_plan(spark, "letter_topk_stored")
     assert "documents.parquet" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_events_funnel_single_user_shuffle(spark):
+    """Both funnel window layers and the final distinct-count must ride
+    ONE hashpartitioning(user_id) exchange — the self-join-free funnel
+    is the point of the operator."""
+    plan = physical_plan(spark, "events_funnel")
+    hash_ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert all("user_id" in ln for ln in hash_ex)
+    assert len(hash_ex) <= 2  # window stack + partial distinct-agg spread
