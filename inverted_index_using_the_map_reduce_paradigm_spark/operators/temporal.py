@@ -694,3 +694,37 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("users"))
     )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+WITH per AS (
+  SELECT event_type, round(quantile_cont(value, 0.99), 6) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value
+FROM events e JOIN per USING (event_type)
+WHERE e.value > p99
+""",
+    description="per-type outlier detection: events above the exact p99 of their type",
+    tags=("temporal", "agg", "join"),
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold anomaly detection with a cross-engine-deterministic
+    statistic: exact percentiles are selection+interpolation (addition-
+    order independent), unlike mean/std whose float summation order
+    differs between engines.  The per-type thresholds are a 5-row
+    aggregate broadcast back over the stream — the same topology
+    serves a z-score or MAD variant.  At 100 TB swap the exact
+    percentile for approx_percentile (t-digest sketch): same plan, the
+    aggregate state becomes bounded."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(per), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .select("event_id", "event_type", F.round("value", 6).alias("value"))
+    )

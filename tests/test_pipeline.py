@@ -68,3 +68,27 @@ def test_split_is_deterministic_and_proportioned(spark):
     frac = a.split.value_counts(normalize=True)
     assert 0.7 < frac["train"] < 0.9
     assert frac["val"] > 0.02 and frac["test"] > 0.02
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Observed per-stratum keep rates must track the configured ones
+    (multiplicative-hash uniformity), and two runs must agree exactly."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.pipeline import (
+        SAMPLE_RATES,
+    )
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    fn = load_all()["stratified_sample"].fn
+    kept = fn(spark, SF).groupBy("lang").count().collect()
+    total = dict(
+        table(spark, SF, "documents").groupBy("lang").count().collect()
+    )
+    for r in kept:
+        want = SAMPLE_RATES.get(r["lang"], 10000) / 10000
+        got = r["count"] / total[r["lang"]]
+        assert abs(got - want) < 0.15, (r["lang"], got, want)
+    # determinism: identical row sets across invocations
+    a = sorted(t.doc_id for t in fn(spark, SF).select("doc_id").collect())
+    b = sorted(t.doc_id for t in fn(spark, SF).select("doc_id").collect())
+    assert a == b and len(a) > 0
