@@ -1,0 +1,333 @@
+"""Training-data curation operators beyond the dedup/quality families.
+
+The reference stops at building an index (``/root/reference/main.c++``
+has no query or curation surface at all); these are north-star
+extensions for an LLM-data pipeline: benchmark-contamination detection,
+concat-then-split sequence packing, repetition-based quality signals
+(Gopher-style), and PMI co-occurrence mining.  Each is expressed as
+declarative DataFrame ops (Catalyst sees plain joins/aggregations) with
+a DuckDB oracle, and each documents its 100 TB shape inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import table
+from ..functions.text import sql_tokens, tokenize_documents, tokens_of
+from ..registry import register
+from .dedup import shingles_of, sql_shingles
+from .pipeline import _SPLIT_MULT, _TRAIN_PCT, _VAL_PCT
+
+# --------------------------------------------------------------------------
+# contamination_check — train/eval n-gram overlap
+# --------------------------------------------------------------------------
+
+_BUCKET = f"((doc_id * {_SPLIT_MULT}) % 4294967296) % 100"
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, text, {_BUCKET} AS bucket FROM documents
+), tr AS (
+  SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
+  FROM b WHERE bucket < {_TRAIN_PCT}
+), ev AS (
+  SELECT doc_id AS eval_doc, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
+  FROM b WHERE bucket >= {_TRAIN_PCT + _VAL_PCT}
+)
+SELECT tr.doc_id,
+       count(DISTINCT tr.shingle) AS n_shared_ngrams,
+       count(DISTINCT ev.eval_doc) AS n_eval_docs
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+""",
+    description="train docs sharing word-3-grams with the held-out test split",
+    tags=("training", "dedup", "text"),
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: train-split documents that share at
+    least one word-3-gram with any test-split document, with how many
+    distinct grams and how many distinct eval docs they touch.
+
+    100 TB shape: the eval side is a benchmark suite — thousands of
+    docs against billions — so its exploded shingle set is broadcast
+    and the train side is ONE scan + explode with no shuffle before the
+    per-doc aggregation (which shuffles only the contaminated subset,
+    keyed by doc_id).  The same deterministic multiplicative-hash split
+    as ``dataset_split`` defines the sides, so membership is stable
+    across engines and runs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % 4294967296 % 100
+    sh = docs.select(
+        "doc_id", bucket.alias("bucket"), F.explode(shingles_of(F.col("text"))).alias("shingle")
+    )
+    train = sh.filter(F.col("bucket") < _TRAIN_PCT).select("doc_id", "shingle")
+    eval_ = sh.filter(F.col("bucket") >= _TRAIN_PCT + _VAL_PCT).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(eval_), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+        .orderBy(F.desc("n_shared_ngrams"), F.asc("doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence_packing — concat-then-split packing into fixed token budgets
+# --------------------------------------------------------------------------
+
+SEQ_BUDGET = 256
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len({sql_tokens('text')}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT lang,
+       CAST(FLOOR(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY lang, seq_id
+""",
+    description=f"concat-then-split packing into {SEQ_BUDGET}-token training sequences",
+    tags=("training", "pipeline"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to the training sequence its first token
+    lands in when the per-language corpus is concatenated in doc_id
+    order and split every ``SEQ_BUDGET`` tokens — the standard
+    concat-then-split packing used for LLM pretraining batches
+    (exact first-fit packing is inherently sequential; this is the
+    deterministic, shuffle-friendly variant real pipelines use).
+
+    100 TB shape: ONE corpus scan; the running sum is a window
+    partitioned by ``lang`` so each language packs in parallel — at
+    scale the partition key is (lang, shard) so no single window
+    orders the whole corpus.  The final rollup shuffles one row per
+    document, keyed by a monotone seq_id with no skew.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.size(tokens_of(F.col("text"))).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        c.groupBy("lang", F.floor(F.col("cum_before") / SEQ_BUDGET).alias("seq_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition_signals — Gopher-style repetition quality metrics
+# --------------------------------------------------------------------------
+
+_SQL_BIGRAMS = (
+    "list_transform(generate_series(1, greatest(len({t}) - 1, 0)),"
+    " i -> {t}[i] || ' ' || {t}[i+1])"
+)
+
+
+@register(
+    "repetition_signals",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS words FROM documents
+), wc AS (
+  SELECT doc_id, word, count(*) AS n
+  FROM (SELECT doc_id, unnest(words) AS word FROM t)
+  GROUP BY doc_id, word
+), wstats AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct, max(n) AS top_word_n
+  FROM wc GROUP BY doc_id
+), bc AS (
+  SELECT doc_id, bigram, count(*) AS n
+  FROM (SELECT doc_id, unnest({_SQL_BIGRAMS.format(t='words')}) AS bigram FROM t)
+  GROUP BY doc_id, bigram
+), bstats AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, max(n) AS top_bigram_n
+  FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_tokens,
+       round(w.n_distinct / CAST(w.n_tokens AS DOUBLE), 4) AS distinct_ratio,
+       round(w.top_word_n / CAST(w.n_tokens AS DOUBLE), 4) AS top_word_frac,
+       round(COALESCE(b.top_bigram_n / CAST(b.n_bigrams AS DOUBLE), 0), 4)
+         AS top_bigram_frac,
+       (w.n_distinct / CAST(w.n_tokens AS DOUBLE) < 0.5
+        OR COALESCE(b.top_bigram_n / CAST(b.n_bigrams AS DOUBLE), 0) > 0.1)
+         AS repetitious
+FROM wstats w LEFT JOIN bstats b USING (doc_id)
+WHERE w.n_tokens > 0
+""",
+    description="per-doc repetition metrics: distinct ratio, top word/bigram fraction",
+    tags=("training", "text", "filter"),
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screens: documents dominated by a few
+    tokens or a repeated bigram are boilerplate/spam and get flagged
+    before training.  Emits the raw ratios so callers can re-threshold
+    without recomputing.
+
+    100 TB shape: two explode+aggregate passes over one scan (word
+    counts and bigram counts), each a partial-aggregated shuffle keyed
+    by (doc_id, gram) — high cardinality, no skew.  The per-doc rollup
+    then shuffles one row per (doc, distinct gram).  Everything is
+    built-in codegen; bigrams are the same array-local ``zip_with`` as
+    ``ngrams``.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize_documents(docs)
+    wc = toks.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("n").alias("top_word_n"),
+    )
+    t = tokens_of(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bc = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    bstats = bc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n")
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    top_word_frac = F.col("top_word_n") / F.col("n_tokens").cast("double")
+    top_bigram_frac = F.coalesce(
+        F.col("top_bigram_n") / F.col("n_bigrams").cast("double"), F.lit(0.0)
+    )
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(distinct_ratio, 4).alias("distinct_ratio"),
+            F.round(top_word_frac, 4).alias("top_word_frac"),
+            F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
+            ((distinct_ratio < 0.5) | (top_bigram_frac > 0.1)).alias("repetitious"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pmi_cooccurrence — collocation mining over per-doc vocabularies
+# --------------------------------------------------------------------------
+
+PMI_MIN_DF = 3
+PMI_MIN_PAIR = 3
+PMI_TOP_K = 50
+
+
+@register(
+    "pmi_cooccurrence",
+    oracle=f"""
+WITH dv AS (
+  SELECT DISTINCT doc_id, unnest({sql_tokens('text')}) AS word FROM documents
+), dfreq AS (
+  SELECT word, count(*) AS df FROM dv GROUP BY word HAVING count(*) >= {PMI_MIN_DF}
+), dvf AS (
+  SELECT dv.doc_id, dv.word, dfreq.df FROM dv JOIN dfreq USING (word)
+), pair AS (
+  SELECT a.word AS w1, b.word AS w2, a.df AS df1, b.df AS df2,
+         count(*) AS n_pair
+  FROM dvf a JOIN dvf b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word, a.df, b.df
+  HAVING count(*) >= {PMI_MIN_PAIR}
+)
+SELECT w1, w2, n_pair,
+       round(ln(n_pair * (SELECT count(*) FROM documents)
+                / CAST(df1 * df2 AS DOUBLE)), 4) AS pmi
+FROM pair
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}
+""",
+    description=f"top-{PMI_TOP_K} word pairs by pointwise mutual information",
+    tags=("training", "text"),
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocations: word pairs that co-occur in documents far more
+    than their independent document frequencies predict —
+    ``pmi = ln(P(a,b) / (P(a) P(b)))`` over per-doc presence.
+
+    100 TB shape: the document-frequency table is vocabulary-sized
+    (Zipf: millions of rows, not corpus-sized) so it broadcasts; the
+    per-doc vocab self-join is keyed by doc_id — each doc contributes
+    |vocab_doc|² pairs, bounded because the ``PMI_MIN_DF`` filter plus a
+    df ceiling (add ``df <= N*frac`` at scale to drop stopwords) caps
+    the per-doc candidate set.  The pair aggregation partial-aggregates
+    map-side, so the shuffle carries unique pairs, not occurrences.
+    The corpus size joins in as a broadcast single-row aggregate — no
+    driver-side ``count()`` action.
+    """
+    docs = table(spark, sf_dir, "documents")
+    dv = tokenize_documents(docs).distinct()
+    dfreq = (
+        dv.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= PMI_MIN_DF)
+    )
+    dvf = dv.join(F.broadcast(dfreq), "word")
+    a = dvf.select("doc_id", F.col("word").alias("w1"), F.col("df").alias("df1"))
+    b = dvf.select("doc_id", F.col("word").alias("w2"), F.col("df").alias("df2"))
+    pair = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2", "df1", "df2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    total = docs.select(F.count("*").alias("n_docs"))
+    return (
+        pair.crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair")
+                    * F.col("n_docs")
+                    / (F.col("df1") * F.col("df2")).cast("double")
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+    )

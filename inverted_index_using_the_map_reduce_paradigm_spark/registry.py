@@ -76,6 +76,7 @@ def load_all() -> dict[str, Query]:
             pipeline,
             multimodal,
             dedup,
+            training,
         )
         from .streaming import engine  # noqa: F401
 

@@ -353,3 +353,30 @@ def test_events_funnel_single_user_shuffle(spark):
     ]
     assert all("user_id" in ln for ln in hash_ex)
     assert len(hash_ex) <= 2  # window stack + partial distinct-agg spread
+
+
+def test_contamination_check_broadcasts_eval_side(spark):
+    """The eval split is benchmark-sized while train is corpus-sized:
+    the shingle join must broadcast eval, never shuffle the train
+    explode, and the doc_id bucket filters must reach the parquet scan
+    (below the shingle UDF)."""
+    plan = physical_plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # split membership is a pushable doc_id predicate on both scans
+    assert plan.count("PushedFilters: [IsNotNull(doc_id)]") >= 2
+
+
+def test_pmi_pair_join_broadcasts_vocab_and_total(spark):
+    """The df table is vocabulary-sized (broadcast); the corpus total is
+    a single-row broadcast aggregate; only the doc_id self-join and the
+    pair aggregation may hash-shuffle."""
+    plan = physical_plan(spark, "pmi_cooccurrence")
+    assert plan.count("BroadcastHashJoin") >= 2  # vocab df joins (a and b)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus total
+    hash_keys = {
+        ln.split("Exchange hashpartitioning(")[1].split("#")[0]
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    }
+    assert hash_keys <= {"doc_id", "w1", "word"}, hash_keys
