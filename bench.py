@@ -65,12 +65,38 @@ def main() -> None:
 
     out = {
         "metric": "total_query_sec",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()), 2),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
-    print(json.dumps(out))
+    # The driver keeps only the last ~2000 chars of stdout, so a JSON
+    # line longer than that is truncated mid-object and never parses
+    # (BENCH_r01/r02 both recorded parsed:null for exactly this reason).
+    # Budget the line: full per-query detail goes to BENCH_DETAIL.json
+    # in the repo; the printed line drops the FASTEST queries first
+    # (folding their time into queries_omitted/omitted_sec) until it
+    # fits, so the slow queries the baseline comparison cares about
+    # always survive.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1800:
+        by_speed = sorted(timings, key=timings.get)
+        omitted: list[str] = []
+        while len(line) > 1800 and by_speed:
+            omitted.append(by_speed.pop(0))
+            out["queries"] = {
+                k: round(v, 2) for k, v in timings.items() if k not in omitted
+            }
+            out["queries_omitted"] = len(omitted)
+            out["omitted_sec"] = round(sum(timings[k] for k in omitted), 2)
+            line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -66,14 +66,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark timestamps are
-        # microsecond, so read nanos as long (runtime-settable legacy
-        # conf) and floor-convert -- works under any caller's session.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+        # fixture generations (Spark reads it as epoch-nanos long under
+        # the legacy conf) and TIMESTAMP(MICROS) NTZ in others; branch
+        # on the dtype actually read so both land as a session-UTC
+        # timestamp with identical instants.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = _spread(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"), (sf_dir, name))
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
-        )
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _spread(spark, df, (sf_dir, name)) if name in FACT_TABLES else df
 

@@ -331,3 +331,159 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(PMI_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# ngram_lm_score — bigram-LM perplexity proxy (quality signal)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ngram_lm_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS words FROM documents
+), bg AS (
+  SELECT doc_id, split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+  FROM (SELECT doc_id, unnest({_SQL_BIGRAMS.format(t='words')}) AS bigram FROM t)
+), pc AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2
+), hc AS (
+  SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_head FROM pc GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT word) AS vocab
+  FROM (SELECT unnest(words) AS word FROM t)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((pc.n_pair + 1) / CAST(hc.n_head + v.vocab AS DOUBLE))), 4)
+         AS lm_score
+FROM bg JOIN pc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN v
+GROUP BY doc_id
+""",
+    description="bigram-LM avg log-likelihood per doc (add-one smoothed perplexity proxy)",
+    tags=("training", "text", "quality"),
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus-level quality signal without external deps: fit
+    an add-one-smoothed bigram model ``P(w2|w1) = (c(w1,w2)+1) /
+    (c(w1)+|V|)`` on the corpus itself, then score each document by its
+    average bigram log-likelihood.  Low scores mark gibberish / shuffled
+    text whose token-level stats (``quality_score``) look fine —
+    the standard CCNet/Gopher-era perplexity filter, minus the external
+    model file.
+
+    100 TB shape: the model IS vocabulary-sized, not corpus-sized —
+    bigram counts partial-aggregate map-side into a Zipf-bounded table
+    and the head-count/vocab tables fold from it, so the expensive
+    stream (per-doc bigram occurrences) joins against broadcast-sized
+    sides.  Two corpus-wide shuffles total: the global bigram count and
+    the per-doc score agg; at web scale add a ``n_pair >= k`` floor to
+    shrink the broadcast (scores shift by a constant, ordering holds).
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = tokens_of(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    ).select(
+        "doc_id",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    hc = pc.groupBy("w1").agg(F.sum("n_pair").alias("n_head"))
+    vocab = tokenize_documents(docs).agg(
+        F.countDistinct("word").alias("vocab")
+    )
+    return (
+        bg.join(F.broadcast(pc), ["w1", "w2"])
+        .join(F.broadcast(hc), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("n_pair") + 1)
+                        / (F.col("n_head") + F.col("vocab")).cast("double")
+                    )
+                ),
+                4,
+            ).alias("lm_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# duplicate_ngram_spans — cross-doc repeated-substring signal
+# --------------------------------------------------------------------------
+
+DUP_SPAN_MIN_DOCS = 2  # shingle counts as duplicated when in >= N docs
+DUP_SPAN_FLAG_FRAC = 0.5
+
+
+@register(
+    "duplicate_ngram_spans",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
+  FROM documents
+), df AS (
+  SELECT shingle, count(*) AS n_docs FROM s GROUP BY shingle
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.n_docs >= {DUP_SPAN_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN df.n_docs >= {DUP_SPAN_MIN_DOCS} THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS dup_frac,
+       sum(CASE WHEN df.n_docs >= {DUP_SPAN_MIN_DOCS} THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE) >= {DUP_SPAN_FLAG_FRAC} AS flagged
+FROM s JOIN df USING (shingle)
+GROUP BY s.doc_id
+""",
+    description="per-doc fraction of word-3-grams shared with other docs (substring dedup)",
+    tags=("training", "dedup", "text"),
+)
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal ("Deduplicating Training Data Makes
+    Language Models Better"-style, at shingle granularity): for each
+    document, the fraction of its distinct word-3-grams that also occur
+    in at least ``DUP_SPAN_MIN_DOCS`` documents corpus-wide.  Unlike the
+    pair-generating ``ngram_jaccard_dedup`` this never joins documents
+    to documents — it only counts, so there is no quadratic blowup to
+    cap and no pair set to verify: a pure linear screen that catches
+    templated boilerplate partial-duplicates below the whole-doc
+    near-dup thresholds.
+
+    100 TB shape: two linear shuffles — shingle document-frequency
+    (partial-aggregated, Zipf-bounded key space) and the join-back of
+    that count to the per-doc shingle stream on the shingle key (AQE
+    handles stop-shingle skew; the join fans out no rows).  The per-doc
+    rollup rides the doc_id key.  Nothing quadratic, nothing collected.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", F.explode(shingles_of(F.col("text"))).alias("shingle")
+    )
+    df_counts = s.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    dup = (F.col("n_docs") >= DUP_SPAN_MIN_DOCS).cast("long")
+    return (
+        s.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(dup).alias("n_dup"),
+            F.round(
+                F.sum(dup) / F.count("*").cast("double"), 4
+            ).alias("dup_frac"),
+            (
+                F.sum(dup) / F.count("*").cast("double")
+                >= F.lit(DUP_SPAN_FLAG_FRAC)
+            ).alias("flagged"),
+        )
+    )

@@ -37,18 +37,24 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 GAP_MIN = 30
 
-# events.parquet stores ts as TIMESTAMP(NANOS) which Spark reads as long
-# under the nanosAsLong legacy conf -- the stream schema must say long.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.ts has shipped as parquet TIMESTAMP(NANOS) (read as epoch-nanos
+# long under the nanosAsLong legacy conf) in some fixture generations and
+# TIMESTAMP(MICROS) NTZ in others; readStream needs the schema up front,
+# so probe the file's batch-read dtype once per sf_dir.
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    ts_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,11 +62,15 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # readStream wants a directory: stream the sf dir with a glob filter
     # selecting just the events table file.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))"))
+    if raw.schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
