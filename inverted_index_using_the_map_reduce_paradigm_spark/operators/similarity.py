@@ -622,3 +622,100 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_outliers — per-label centroid distance screening
+# --------------------------------------------------------------------------
+
+OUTLIER_BOTTOM_K = 5  # vectors flagged per label
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), c AS (
+  SELECT label, dim, avg(x) AS cx FROM e GROUP BY label, dim
+), cn AS (
+  SELECT label, sqrt(sum(cx * cx)) AS cnorm FROM c GROUP BY label
+), s AS (
+  SELECT e.vec_id, e.label, sum(e.x * c.cx) AS dot,
+         sqrt(sum(e.x * e.x)) AS enorm
+  FROM e JOIN c USING (label, dim) GROUP BY e.vec_id, e.label
+), r AS (
+  SELECT s.vec_id, s.label, s.dot / (s.enorm * cn.cnorm) AS cosc,
+         row_number() OVER (PARTITION BY s.label
+                            ORDER BY s.dot / (s.enorm * cn.cnorm) ASC,
+                                     s.vec_id ASC) AS rn
+  FROM s JOIN cn USING (label)
+)
+SELECT label, vec_id, round(cosc, {ROUND}) + 0 AS cos_centroid,
+       CAST(rn AS INT) AS rank
+FROM r WHERE rn <= {OUTLIER_BOTTOM_K}
+""",
+    description=f"bottom-{OUTLIER_BOTTOM_K} vectors per label by cosine to label centroid",
+    tags=("similarity", "quality", "curation"),
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled/noise screening for embedding datasets: compute each
+    label's centroid, score every member by cosine to its own centroid,
+    and surface the ``OUTLIER_BOTTOM_K`` least-typical vectors per
+    label.  The bottom-k form is threshold-free — it works on any score
+    distribution, unlike a fixed cosine cutoff.
+
+    100 TB shape: centroids are a (label x dim) aggregate — one
+    partial-aggregated shuffle whose output is label-count-sized, folded
+    to one array row per label and BROADCAST back; the scoring pass is
+    then a single array-local projection over the corpus (zip_with dot
+    product, no explode, no shuffle).  The bottom-k window shuffles on
+    label — mirror of the similarity_search top-k, and WindowGroupLimit
+    pushes the k-filter into the sort at scale.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode(_emb_double("embedding")).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s"))
+        .select(
+            "label",
+            F.transform("s", lambda r: r.cx).alias("carr"),
+        )
+        .withColumn(
+            "cnorm",
+            F.sqrt(
+                F.aggregate(
+                    "carr", F.lit(0.0), lambda acc, c: acc + c * c
+                )
+            ),
+        )
+    )
+    e = emb.select("vec_id", "label", _emb_double("embedding").alias("e"))
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        (
+            F.aggregate(
+                F.zip_with("e", "carr", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / (
+                F.sqrt(
+                    F.aggregate("e", F.lit(0.0), lambda acc, v: acc + v * v)
+                )
+                * F.col("cnorm")
+            )
+        ).alias("cosc"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cosc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OUTLIER_BOTTOM_K)
+        .select("label", "vec_id", _r(F.col("cosc")).alias("cos_centroid"), "rank")
+    )

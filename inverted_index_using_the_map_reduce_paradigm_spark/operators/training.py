@@ -487,3 +487,139 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# word_pagerank — iterative graph analytics over the co-occurrence graph
+# --------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB side).
+
+    The iteration count is a compile-time constant, so the oracle can
+    mirror the Spark loop exactly — same node set, same edge set, same
+    update rule — making an otherwise 'iterative, not SQL-expressible'
+    algorithm hash-checkable.
+    """
+    base = f"""
+WITH dv AS (
+  SELECT DISTINCT doc_id, unnest({sql_tokens('text')}) AS word FROM documents
+), dfreq AS (
+  SELECT word, count(*) AS df FROM dv GROUP BY word
+  HAVING count(*) >= {PMI_MIN_DF}
+), dvf AS (
+  SELECT dv.doc_id, dv.word FROM dv JOIN dfreq USING (word)
+), pair AS (
+  SELECT a.word AS w1, b.word AS w2
+  FROM dvf a JOIN dvf b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word
+  HAVING count(*) >= {PMI_MIN_PAIR}
+), ed AS (
+  SELECT w1 AS src, w2 AS dst FROM pair
+  UNION ALL
+  SELECT w2 AS src, w1 AS dst FROM pair
+), deg AS (
+  SELECT src AS word, count(*) AS deg FROM ed GROUP BY src
+), nodes AS (
+  SELECT word FROM dfreq
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT word, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+)"""
+    for i in range(1, PR_ITERS + 1):
+        base += f""", r{i} AS (
+  SELECT nodes.word,
+         (1 - {PR_DAMPING}) / nn.n + {PR_DAMPING} * COALESCE(inc.s, 0) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS word, sum(r{i - 1}.rank / deg.deg) AS s
+    FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.word
+            JOIN deg ON ed.src = deg.word
+    GROUP BY ed.dst
+  ) inc USING (word)
+)"""
+    return base + f"""
+SELECT word, round(rank, 6) + 0 AS pagerank FROM r{PR_ITERS}
+"""
+
+
+@register(
+    "word_pagerank",
+    oracle=_pagerank_oracle(),
+    description=f"{PR_ITERS}-iteration PageRank over the word co-occurrence graph",
+    tags=("training", "text", "graph", "iterative"),
+)
+def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality mining on the word co-occurrence graph: nodes are
+    words above the PMI document-frequency floor, edges are pairs
+    co-occurring in >= PMI_MIN_PAIR documents, and rank follows the
+    standard damped update ``r(w) = (1-d)/N + d * sum(r(src)/deg(src))``
+    for a fixed ``PR_ITERS`` iterations.  Demonstrates the engine's
+    iterative-computation shape (like ``near_dup_clusters``) with a
+    hash-checkable oracle: the same loop unrolled into chained CTEs.
+
+    100 TB shape: the graph is vocabulary-sized (Zipf-bounded nodes,
+    min-pair-floored edges), built once from one corpus scan via the
+    same bounded per-doc vocab self-join as ``pmi_cooccurrence``.  Each
+    iteration is one edge-keyed join plus one dst-keyed aggregate over
+    the VOCAB-sized rank table — corpus data is never touched again.
+    Lineage is truncated per round (localCheckpoint; reliable
+    checkpoint on a cluster) so the plan does not deepen with
+    iterations, and N arrives as a broadcast single-row aggregate, not
+    a driver count().
+    """
+    docs = table(spark, sf_dir, "documents")
+    dv = tokenize_documents(docs).distinct()
+    dfreq = (
+        dv.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= PMI_MIN_DF)
+    )
+    dvf = dv.join(F.broadcast(dfreq.select("word")), "word")
+    a = dvf.select("doc_id", F.col("word").alias("w1"))
+    b = dvf.select("doc_id", F.col("word").alias("w2"))
+    pair = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    ed = pair.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionAll(pair.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+    deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
+    edv = ed.join(deg, "src").localCheckpoint(eager=False)
+    nodes = dfreq.select("word").localCheckpoint(eager=False)
+    nn = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "word", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        inc = (
+            edv.join(ranks.withColumnRenamed("word", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+            .withColumnRenamed("dst", "word")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(inc, "word", "left")
+            .select(
+                "word",
+                (
+                    F.lit(1 - PR_DAMPING) / F.col("n")
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "word", (F.round("rank", 6) + F.lit(0.0)).alias("pagerank")
+    )

@@ -380,3 +380,29 @@ def test_pmi_pair_join_broadcasts_vocab_and_total(spark):
         if "Exchange hashpartitioning" in ln
     }
     assert hash_keys <= {"doc_id", "w1", "word"}, hash_keys
+
+
+def test_embedding_quantize_broadcasts_stats_no_second_explode(spark):
+    """Phase-2 scoring must be array-local against the broadcast stats
+    row: exactly one Generate (the phase-1 posexplode), no per-dim
+    re-shuffle of the corpus."""
+    plan = physical_plan(spark, "embedding_quantize")
+    assert "BroadcastNestedLoopJoin" in plan  # single-row stats cross join
+    assert plan.count("Generate explode") + plan.count("Generate posexplode") == 1
+
+
+def test_ngram_lm_score_broadcasts_the_model(spark):
+    """The bigram-count model and head-count tables are vocab-sized and
+    must broadcast; the corpus-sized bigram stream must never be the
+    build side or sort-merge-joined."""
+    plan = physical_plan(spark, "ngram_lm_score")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    plan = physical_plan(spark, "embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # bottom-k is a rank filter, which Spark pushes into the sort
+    assert "WindowGroupLimit" in plan
