@@ -79,7 +79,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _canon(df, name)
     return _spread(spark, df, (sf_dir, name)) if name in FACT_TABLES else df
+
+
+# Fixture generations have changed column physical types between rounds
+# (events.ts: TIMESTAMP(NANOS) -> TIMESTAMP(MICROS)).  Pin the types the
+# engine's expressions assume; the cast is a no-op (removed by Catalyst)
+# when the scanned type already matches, so pushdown is unaffected on
+# the happy path and correctness survives a drifted one.
+_CANON: dict[str, dict[str, str]] = {
+    "orders": {"o_orderdate": "timestamp"},
+    "lineitem": {"l_shipdate": "timestamp"},
+    "documents": {"doc_id": "bigint", "n_chars": "bigint"},
+    "embeddings": {"vec_id": "bigint"},
+}
+
+
+def _canon(df: DataFrame, name: str) -> DataFrame:
+    want = _CANON.get(name)
+    if not want:
+        return df
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    drifted = {c: t for c, t in want.items() if actual.get(c, t) != t}
+    if not drifted:
+        return df
+    return df.withColumns({c: F.col(c).cast(t) for c, t in drifted.items()})
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,110 @@
+"""Invariant tests for the round-3 curation/analytics operators.
+
+Oracle parity (test_oracle_parity) proves cross-engine equality; these
+pin the *semantic* properties that equality alone would not catch if
+both sides drifted together.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import (
+    OUTLIER_BOTTOM_K,
+    QUANT_LEVELS,
+)
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.training import (
+    PR_DAMPING,
+)
+from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_word_pagerank_is_a_probability_like_distribution(spark):
+    rows = load_all()["word_pagerank"].fn(spark, SF).collect()
+    total = sum(r.pagerank for r in rows)
+    assert all(r.pagerank > 0 for r in rows)
+    # with no dangling nodes mass is conserved; dangling nodes only
+    # leak mass, never create it
+    assert total <= 1.0 + 1e-6
+    assert total > (1 - PR_DAMPING)  # the teleport floor alone
+
+
+def test_embedding_quantize_error_within_step_bound(spark):
+    """Scalar quantization error per dim is at most step/2, so the MSE
+    cannot exceed max_step^2 / 4 — the bound that makes int8 codes safe
+    to score on."""
+    import duckdb
+
+    max_step = duckdb.sql(
+        f"""
+        WITH e AS (SELECT CAST(unnest(embedding) AS DOUBLE) x,
+                          generate_subscripts(embedding, 1) dim
+                   FROM '{SF}/embeddings.parquet'),
+        s AS (SELECT (max(x) - min(x)) / {QUANT_LEVELS} AS step
+              FROM e GROUP BY dim)
+        SELECT max(step) FROM s
+        """
+    ).fetchall()[0][0]
+    rows = load_all()["embedding_quantize"].fn(spark, SF).collect()
+    bound_ppm = (max_step**2 / 4) * 1e6 * 1.001  # rounding headroom
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mse_ppm <= bound_ppm
+
+
+def test_embedding_outliers_emits_exactly_bottom_k_per_label(spark):
+    df = load_all()["embedding_outliers"].fn(spark, SF)
+    per_label = df.groupBy("label").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    for r in per_label.collect():
+        assert r.n == OUTLIER_BOTTOM_K and r.mx == OUTLIER_BOTTOM_K
+
+
+def test_duplicate_ngram_spans_flags_identical_docs(spark, tmp_path):
+    """Two byte-identical docs share every shingle: dup_frac must be
+    exactly 1.0 for both; a doc of unique words shares none."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 36),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "s", 36),
+            (3, "unique words appear nowhere else here", "en", "s", 37),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in load_all()["duplicate_ngram_spans"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].dup_frac == 1.0 and out[1].flagged
+    assert out[2].dup_frac == 1.0 and out[2].flagged
+    assert out[3].dup_frac == 0.0 and not out[3].flagged
+
+
+def test_ngram_lm_score_ranks_templated_text_above_gibberish(spark, tmp_path):
+    """A document made of the corpus's dominant bigrams must outscore a
+    document whose bigrams each occur once — the whole point of a
+    perplexity-style filter."""
+    common = "the quick brown fox " * 10
+    rows = [(i, common.strip(), "en", "s", len(common)) for i in range(1, 9)]
+    rows.append((9, "zeta omega kappa lambda sigma tau phi", "en", "s", 37))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r.lm_score
+        for r in load_all()["ngram_lm_score"].fn(spark, str(tmp_path)).collect()
+    }
+    assert all(math.isfinite(v) and v < 0 for v in out.values())
+    assert out[1] > out[9]
