@@ -508,3 +508,99 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars",
         F.round(F.col("chars").cast("double") / F.col("total").cast("double"), 6).alias("char_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# mixture_resample — deterministic downsampling to a target domain mix
+# --------------------------------------------------------------------------
+
+_MIX_BUCKETS = 10_000
+
+
+@register(
+    "mixture_resample",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars_s
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(chars_s) AS BIGINT) AS chars_total,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM s
+), rated AS (
+  SELECT s.source, s.n_docs, s.chars_s,
+         least(1.0, (tot.chars_total / CAST(tot.n_sources AS DOUBLE))
+                      / s.chars_s) AS rate
+  FROM s CROSS JOIN tot
+), kept AS (
+  SELECT d.source, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+  FROM documents d JOIN rated r USING (source)
+  WHERE ((d.doc_id * {_SPLIT_MULT}) % 4294967296) % {_MIX_BUCKETS}
+        < r.rate * {_MIX_BUCKETS}
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.chars_s, round(r.rate, 4) AS rate,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.chars_kept, 0) AS BIGINT) AS chars_kept
+FROM rated r LEFT JOIN kept k USING (source)
+""",
+    description="deterministic per-source downsampling to an equal-chars domain mix",
+    tags=("pipeline", "sampling", "curation"),
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture control (the knob behind DoReMi-style data
+    recipes): compute per-source sampling rates that equalize each
+    source's character share, then keep documents via the same
+    multiplicative-hash bucket as ``dataset_split`` — membership is a
+    pure function of doc_id, so the sample is reproducible across runs,
+    engines, and partitionings, and never reshuffles when the corpus
+    grows.  Emits the per-source audit row (target rate, kept volume);
+    the kept document set itself is recomputable from the rate table.
+
+    100 TB shape: the rate table is one tiny per-source aggregate
+    (sources number in the hundreds) cross-joined with a single-row
+    total — broadcast back onto the corpus scan, where the keep
+    decision is a pure projection.  One partial-aggregated shuffle for
+    the source stats, one for the kept rollup; the corpus is never
+    re-keyed.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_s")
+    )
+    tot = s.agg(
+        F.sum("chars_s").alias("chars_total"),
+        F.count("*").alias("n_sources"),
+    )
+    rated = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars_s",
+        F.least(
+            F.lit(1.0),
+            (F.col("chars_total") / F.col("n_sources").cast("double"))
+            / F.col("chars_s"),
+        ).alias("rate"),
+    )
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % 4294967296 % _MIX_BUCKETS
+    kept = (
+        docs.join(F.broadcast(rated.select("source", "rate")), "source")
+        .filter(bucket < F.col("rate") * _MIX_BUCKETS)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+    return (
+        rated.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "chars_s",
+            F.round("rate", 4).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("chars_kept", F.lit(0)).alias("chars_kept"),
+        )
+    )

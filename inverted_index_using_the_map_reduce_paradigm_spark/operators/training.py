@@ -623,3 +623,94 @@ def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "word", (F.round("rank", 6) + F.lit(0.0)).alias("pagerank")
     )
+
+
+# --------------------------------------------------------------------------
+# bpe_vocab — BPE-style tokenizer-vocabulary induction
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 10
+
+
+@register(
+    "bpe_vocab",
+    oracle=None,  # data-dependent control flow: the argmax pair of
+    # iteration k decides the plan of iteration k+1, so no fixed SQL can
+    # mirror it; verified instead by the symbol-count-contraction and
+    # determinism properties in tests/test_training_ops.py.
+    description=f"top-{BPE_MERGES} BPE merges learned from corpus word frequencies",
+    tags=("training", "text", "iterative", "tokenizer"),
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge-table induction — tokenizer training as
+    a Spark job.  Classic recipe: collapse the corpus to a word
+    frequency table, represent words as symbol arrays, then repeatedly
+    (a) count adjacent symbol pairs weighted by word frequency, (b)
+    take the globally most frequent pair (ties broken lexicographically
+    so the result is deterministic), (c) greedily merge its
+    non-overlapping occurrences left-to-right in every word.
+
+    100 TB shape: the corpus is touched ONCE (the word-frequency
+    aggregation — the same Zipf-bounded table every vocab op here
+    uses); all ``BPE_MERGES`` iterations run on that vocabulary-sized
+    table.  Per iteration: one explode+agg for pair counts (map-side
+    partial on vocab rows) and one driver fetch of exactly ONE row (the
+    argmax — the learned model parameter, same pattern as the IVF
+    centroid pull); the merge itself is an array-local fold, no
+    shuffle.  State is materialized per round (eager localCheckpoint)
+    so iteration k+1 never re-executes iteration k.
+    """
+    docs = table(spark, sf_dir, "documents")
+    wf = (
+        tokenize_documents(docs)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = wf.select(
+        "freq",
+        F.filter(F.split("word", ""), lambda c: c != "").alias("arr"),
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        n = F.size("arr")
+        pair_counts = (
+            syms.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("arr", 1, n - 1),
+                        F.slice(F.col("arr"), 2, n - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pair_counts.orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).first()
+        if top is None:
+            break
+        left, right, cnt = top.l, top.r, int(top.cnt)
+        merges.append((rank, left, right, cnt))
+        tok = left + right
+        merged = F.aggregate(
+            "arr",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(tok))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("freq", merged.alias("arr")).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_freq bigint"
+    )

@@ -108,3 +108,51 @@ def test_ngram_lm_score_ranks_templated_text_above_gibberish(spark, tmp_path):
     }
     assert all(math.isfinite(v) and v < 0 for v in out.values())
     assert out[1] > out[9]
+
+
+def test_bpe_vocab_merges_contract_the_symbol_stream(spark):
+    """Each merge must shrink the corpus's total symbol count by the
+    number of non-overlapping occurrences it collapses: strictly
+    positive, and never more than the (overlap-counting) pair_freq.
+    Re-applying the learned merge table reproduces the contraction —
+    the no-oracle verification for the data-dependent loop."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.functions.text import (
+        tokenize_documents,
+    )
+
+    merges = load_all()["bpe_vocab"].fn(spark, SF).collect()
+    assert 0 < len(merges) <= 10
+    assert [m.merge_rank for m in merges] == list(range(1, len(merges) + 1))
+
+    wf = (
+        tokenize_documents(table(spark, SF, "documents"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    words = {r.word: r.freq for r in wf}
+
+    def apply_merge(seq, left, right):
+        out = []
+        for s in seq:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return out
+
+    seqs = {w: list(w) for w in words}
+    total = sum(len(s) * words[w] for w, s in seqs.items())
+    for m in merges:
+        seqs = {w: apply_merge(s, m.left, m.right) for w, s in seqs.items()}
+        new_total = sum(len(s) * words[w] for w, s in seqs.items())
+        shrink = total - new_total
+        assert 0 < shrink <= m.pair_freq, (m, shrink)
+        total = new_total
+
+
+def test_bpe_vocab_is_deterministic(spark):
+    a = [tuple(r) for r in load_all()["bpe_vocab"].fn(spark, SF).collect()]
+    b = [tuple(r) for r in load_all()["bpe_vocab"].fn(spark, SF).collect()]
+    assert a == b
