@@ -95,7 +95,7 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "inverted_index",
-    oracle=f"""
+    oracle=(INVERTED_INDEX_ORACLE := f"""
 {SQL_TOKS_CTE}
 , dedup AS (SELECT DISTINCT word, doc_id FROM toks)
 SELECT word,
@@ -104,7 +104,7 @@ SELECT word,
        substr(word, 1, 1) AS letter
 FROM dedup
 GROUP BY word
-""",
+"""),
     description="flagship R7+R10+R11+R13+R14: word -> sorted postings, df, letter",
     tags=("reference", "flagship"),
 )

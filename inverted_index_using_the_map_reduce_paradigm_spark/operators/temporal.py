@@ -73,14 +73,14 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_window",
-    oracle=f"""
+    oracle=(EVENTS_WINDOW_ORACLE := f"""
 SELECT {EPOCH.format(c="date_trunc('hour', ts)")} AS window_start,
        event_type,
        count(*) AS n_events,
        round(sum(value), 2) + 0 AS sum_value
 FROM events
 GROUP BY 1, 2
-""",
+"""),
     description="tumbling 1-hour windows per event_type (count + sum)",
     tags=("temporal", "window"),
 )
@@ -141,7 +141,7 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionize",
-    oracle=f"""
+    oracle=(EVENTS_SESSIONIZE_ORACLE := f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -161,7 +161,7 @@ SELECT user_id,
        round(sum(value), 2) + 0 AS sum_value
 FROM numbered
 GROUP BY user_id, session_no
-""",
+"""),
     description=f"session windows per user ({GAP_MIN}-minute inactivity gap)",
     tags=("temporal", "window", "session"),
 )
@@ -189,7 +189,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_enrich",
-    oracle=f"""
+    oracle=(ASOF_ENRICH_ORACLE := f"""
 WITH w AS (
   SELECT event_id, user_id, ts, event_type,
          max(CASE WHEN event_type = 'signup' THEN ts END)
@@ -201,7 +201,7 @@ SELECT event_id, user_id,
        {EPOCH.format(c='ts')} AS purchase_ts,
        {EPOCH.format(c='last_signup_ts')} AS last_signup_ts
 FROM w WHERE event_type = 'purchase'
-""",
+"""),
     description="as-of join: each purchase enriched with the latest prior signup",
     tags=("temporal", "asof"),
 )
@@ -272,8 +272,9 @@ def _merge_asof_group(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFr
 
 @register(
     "asof_enrich_cogroup",
-    oracle=None,  # same semantics as the oracle-checked asof_enrich;
-    # tests assert row-for-row equality between the two plans.
+    # same semantics as asof_enrich (tests also assert row-for-row
+    # equality between the two plans), so it shares the same oracle
+    oracle=ASOF_ENRICH_ORACLE,
     description="as-of join via cogroup().applyInPandas (pandas merge_asof per key)",
     bench=False,
     tags=("temporal", "asof", "udf"),

@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.inverted_index import INVERTED_INDEX_ORACLE
+from ..operators.temporal import (
+    EVENTS_SESSIONIZE_ORACLE,
+    EVENTS_WINDOW_ORACLE,
+)
 from ..registry import register
 
 # applyInPandasWithState ships this module's functions to Python
@@ -92,8 +97,10 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
 
 @register(
     "stream_events_window",
-    oracle=None,  # streaming: rows-only for the driver; tests assert
-    # equality with the oracle-checked batch events_window query.
+    # one micro-batch over the fixture equals the batch events_window
+    # result (pinned by tests), so the stream query is hash-checkable
+    # against the SAME oracle
+    oracle=EVENTS_WINDOW_ORACLE,
     description="Structured Streaming tumbling 1-hour windows (watermark + update mode)",
     bench=False,
     tags=("streaming", "window"),
@@ -122,8 +129,9 @@ def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the whole state each trigger, which with one micro-batch equals batch.
 @register(
     "stream_sessionize",
-    oracle=None,  # streaming: rows-only; tests assert equality with the
-    # oracle-checked batch events_sessionize query.
+    # complete-mode state over one micro-batch equals the batch
+    # events_sessionize result, so it shares that oracle
+    oracle=EVENTS_SESSIONIZE_ORACLE,
     description=f"Structured Streaming session windows ({GAP_MIN}-minute gap, stateful)",
     bench=False,
     tags=("streaming", "session"),
@@ -182,8 +190,14 @@ def run_to_parquet_once(
 
 @register(
     "stream_purchase_attribution",
-    oracle=None,  # streaming: rows-only; tests assert equality with the
-    # equivalent batch interval join.
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_ts
+FROM events p JOIN events s ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+  AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+""",
     description="stream-stream interval join: purchases to signups within 1h",
     bench=False,
     tags=("streaming", "join"),
@@ -245,8 +259,9 @@ DOCS_SCHEMA = T.StructType(
 
 @register(
     "stream_exact_dedup",
-    oracle=None,  # streaming: rows-only; tests assert the surviving
-    # hash set equals the batch exact_dedup groups.
+    # first-seen-per-hash emission over one micro-batch yields exactly
+    # the distinct hash set
+    oracle="SELECT DISTINCT sha256(text) AS content_hash FROM documents",
     description="streaming exact dedup: stateful dropDuplicates on content hash",
     bench=False,
     tags=("streaming", "dedup"),
@@ -303,8 +318,11 @@ def _user_stats_update(
 
 @register(
     "stream_user_stats",
-    oracle=None,  # stateful streaming: rows-only; tests assert equality
-    # with the equivalent batch groupBy aggregation.
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value
+FROM events GROUP BY user_id
+""",
     description="custom stateful per-user running stats (applyInPandasWithState)",
     bench=False,
     tags=("streaming", "stateful", "udf"),
@@ -328,8 +346,9 @@ def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_inverted_index",
-    oracle=None,  # streaming: rows-only; tests assert equality with the
-    # oracle-checked batch inverted_index result.
+    # one micro-batch of update-mode collect_set state equals the batch
+    # flagship index, so it shares that oracle
+    oracle=INVERTED_INDEX_ORACLE,
     description="streaming index maintenance: posting lists grow as documents arrive",
     bench=False,
     tags=("streaming", "reference", "flagship"),
