@@ -159,6 +159,30 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def write_range_layout(
+    df: DataFrame, path: str, key: str, n_files: int = 8
+) -> None:
+    """Persist a table range-partitioned AND sorted on ``key`` so every
+    output file covers a disjoint key range.
+
+    This is the file-skipping layout for predicate-heavy scans at
+    100 TB: parquet stores per-file / per-row-group min-max stats, and a
+    pushed ``key`` predicate then prunes whole files before any IO —
+    the time-series analogue of the letter-partitioned index (which
+    prunes by directory instead).  ``repartitionByRange`` samples the
+    key distribution, so files stay balanced under skew where a naive
+    hash layout would interleave ranges and defeat the stats.
+    tests/test_formats.py asserts the written footers really are
+    disjoint.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def collect_reference_layout(out_dir: str) -> None:
     """Flatten the partitioned sink into the reference's exact layout:
     ``<letter>.txt`` for every letter a-z (empty file when absent)."""

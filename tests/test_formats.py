@@ -65,3 +65,64 @@ def test_gzip_warns_unsplittable(spark, tmp_path):
         df = read_table(spark, str(p), fmt="json", schema="a int")
         assert any("not splittable" in str(c.message) for c in caught)
     assert df.collect()[0].a == 1
+
+
+def test_canon_casts_repair_drifted_fixture_types(spark, tmp_path):
+    """A future fixture regeneration may flip physical types (it turned
+    events.ts from TIMESTAMP(NANOS) into TIMESTAMP(MICROS) once); the
+    loader must deliver canonical engine types either way."""
+    import datetime
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    spark.createDataFrame(
+        [(1, 11, "O", 100.0, datetime.date(1995, 3, 15), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = table(spark, str(tmp_path), "orders")
+    assert got.schema["o_orderdate"].dataType.simpleString() == "timestamp"
+    row = got.collect()[0]
+    assert row.o_orderdate == datetime.datetime(1995, 3, 15, 0, 0)
+
+
+def test_range_layout_files_have_disjoint_key_ranges(spark, tmp_path):
+    """write_range_layout must produce parquet files whose min-max key
+    stats are pairwise disjoint — the property that lets a pushed
+    predicate skip whole files at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.sinks import (
+        write_range_layout,
+    )
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = str(tmp_path / "events_by_id")
+    write_range_layout(ev, out, "event_id", n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "event_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2  # the range partitioner actually split
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: {ranges}"
+    # row preservation
+    assert spark.read.parquet(out).count() == ev.count()
