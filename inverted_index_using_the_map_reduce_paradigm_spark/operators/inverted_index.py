@@ -1028,3 +1028,131 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_freq").cast("double") / F.count("*"), 6
         ).alias("avg_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# proximity_search — terms within a position window (slop query)
+# --------------------------------------------------------------------------
+
+PROX_TERMS = ("table", "hash")
+PROX_WINDOW = 3
+
+
+@register(
+    "proximity_search",
+    oracle=f"""
+{SQL_PTOKS_CTE}
+SELECT a.doc_id, count(*) AS n_matches
+FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id
+WHERE a.word = '{PROX_TERMS[0]}' AND b.word = '{PROX_TERMS[1]}'
+  AND abs(a.pos - b.pos) <= {PROX_WINDOW}
+GROUP BY a.doc_id
+""",
+    description=f"proximity query: '{PROX_TERMS[0]}' within {PROX_WINDOW} "
+    f"tokens of '{PROX_TERMS[1]}'",
+    tags=("reference", "extension", "query"),
+)
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slop-k proximity retrieval — the relaxation between ``boolean_and``
+    (same doc, any distance) and ``phrase_search`` (exact adjacency):
+    count co-occurrences of two terms within ``PROX_WINDOW`` token
+    positions.  Standard IR surface the reference's doc-level postings
+    cannot answer (SURVEY.md §2.2: positions absent, `main.c++:138`).
+
+    100 TB shape: both sides of the join are single posting lists
+    (the token stream is filtered to the two query words before any
+    shuffle), so the doc_id equi-join moves kilobytes per term; the
+    position-window predicate filters after the hash join.  Against the
+    stored positional index the same plan prunes to two letter
+    partitions first (``phrase_search_stored`` shape).
+    """
+    toks = tokenize_with_positions(table(spark, sf_dir, "documents"))
+    a = toks.filter(F.col("word") == PROX_TERMS[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = toks.filter(F.col("word") == PROX_TERMS[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pos_a") - F.col("pos_b")) <= PROX_WINDOW)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+# --------------------------------------------------------------------------
+# posting_compression — delta-encoded posting storage analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "posting_compression",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, dedup AS (SELECT DISTINCT word, doc_id FROM toks)
+, gaps AS (
+  SELECT word,
+         doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id), 0)
+           AS gap,
+         doc_id
+  FROM dedup
+)
+SELECT substr(word, 1, 1) AS letter,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(length(bin(doc_id))) AS BIGINT) AS abs_bits,
+       CAST(sum(length(bin(gap))) AS BIGINT) AS gap_bits,
+       round(sum(length(bin(gap))) / CAST(sum(length(bin(doc_id))) AS DOUBLE), 4)
+         AS ratio
+FROM gaps GROUP BY substr(word, 1, 1)
+""",
+    description="delta-encoded posting storage: gap bits vs absolute bits per letter",
+    tags=("reference", "storage", "compression", "scale"),
+)
+def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-compression audit: posting lists are sorted doc-id runs, so
+    storing successive GAPS (then varint/bit-packing them) is the
+    classic inverted-index compression; this measures what it buys per
+    letter shard — minimal binary digits for gaps vs absolute ids.  At
+    25 B documents absolute ids cost ~35 bits while dense-word gaps fit
+    in a few, so the ratio column is the sizing input for the stored
+    index's real footprint.
+
+    100 TB shape: ONE corpus shuffle — the flagship ``collect_set``
+    aggregation on word — after which gaps, and both bit sums, are
+    computed ARRAY-LOCALLY inside the posting arrays (a lag-window
+    formulation would pay a second word-keyed exchange because the
+    (word, doc_id) distinct does not co-partition by word alone); the
+    26-letter rollup is the only other exchange.  Bit counts use
+    ``bin()`` string length on both engines: exact integer logic,
+    immune to cross-engine ``log2`` ulp drift.
+    """
+    docs = table(spark, sf_dir, "documents")
+    postings = (
+        tokenize_documents(docs)
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("p"))
+    )
+    bits_of = lambda c: F.length(F.bin(c))  # noqa: E731
+    sum_bits = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + bits_of(x)
+    )
+    gaps = F.transform(
+        "p",
+        lambda x, i: x
+        - F.when(i > 0, F.element_at(F.col("p"), i)).otherwise(F.lit(0)),
+    )
+    per_word = postings.select(
+        F.substring("word", 1, 1).alias("letter"),
+        F.size("p").alias("n"),
+        sum_bits(F.col("p")).alias("abs_b"),
+        sum_bits(gaps).alias("gap_b"),
+    )
+    return per_word.groupBy("letter").agg(
+        F.sum("n").alias("n_postings"),
+        F.sum("abs_b").alias("abs_bits"),
+        F.sum("gap_b").alias("gap_bits"),
+        F.round(
+            F.sum("gap_b") / F.sum("abs_b").cast("double"), 4
+        ).alias("ratio"),
+    )
