@@ -406,3 +406,26 @@ def test_embedding_outliers_broadcasts_centroids(spark):
     assert "SortMergeJoin" not in plan
     # bottom-k is a rank filter, which Spark pushes into the sort
     assert "WindowGroupLimit" in plan
+
+
+def test_posting_compression_single_corpus_shuffle(spark):
+    """Gaps and bit sums are array-local: the audit must cost only the
+    flagship word aggregation plus the 26-letter rollup (plus the
+    fixture-only scan-spread round robin) — a lag-window plan would add
+    a word-keyed exchange on the corpus stream."""
+    plan = physical_plan(spark, "posting_compression")
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_proximity_search_filters_terms_before_join(spark):
+    """Both join inputs must be single posting lists — the word literal
+    filters sit below the join, pushed to the scans."""
+    plan = physical_plan(spark, "proximity_search")
+    join_idx = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                   plan.find("ShuffledHashJoin"))
+    assert join_idx != -1
+    below = plan[join_idx:]
+    assert below.count("= table)") + below.count("= hash)") >= 2 or (
+        "isnotnull(word" in below
+    )
