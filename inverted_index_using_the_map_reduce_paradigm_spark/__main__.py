@@ -31,7 +31,9 @@ USAGE = (
     "usage: python -m inverted_index_using_the_map_reduce_paradigm_spark"
     " <num_mappers> <num_reducers> <manifest> <out_dir>\n"
     "   or: python -m inverted_index_using_the_map_reduce_paradigm_spark"
-    " sql \"<query>\" [sf_dir]"
+    " sql \"<query>\" [sf_dir]\n"
+    "   or: python -m inverted_index_using_the_map_reduce_paradigm_spark"
+    " query <name|--list> [sf_dir]"
 )
 
 
@@ -62,9 +64,37 @@ def sql_main(argv: list[str]) -> int:
     return 0
 
 
+def query_main(argv: list[str]) -> int:
+    """Run any registered engine query by name (the whole SURVEY.md §2
+    surface is reachable without writing code): ``query --list`` prints
+    the catalog, ``query <name> [sf_dir]`` executes and shows rows."""
+    from .registry import load_all
+
+    if not argv or len(argv) > 2:
+        print(USAGE, file=sys.stderr)
+        return 2
+    qs = load_all()
+    if argv[0] in ("--list", "-l"):
+        for name in sorted(qs):
+            q = qs[name]
+            kind = "oracle" if q.oracle else "rows-only"
+            print(f"{name}\t[{kind}]\t{q.description}")
+        return 0
+    name = argv[0]
+    if name not in qs:
+        print(f"unknown query {name!r}; see `query --list`", file=sys.stderr)
+        return 2
+    sf_dir = argv[1] if len(argv) == 2 else "/root/testdata/sf0.001"
+    spark = get_spark("inverted_index_query")
+    qs[name].fn(spark, sf_dir).show(100, truncate=False)
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if argv and argv[0] == "sql":
         return sql_main(argv[1:])
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
     if len(argv) != 4:
         print(USAGE, file=sys.stderr)
         return 2

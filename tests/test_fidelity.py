@@ -202,3 +202,20 @@ def test_cli_sql_surface(spark):
         "/root/testdata/sf0.001",
     ).collect()[0].n
     assert n > 0
+
+
+def test_cli_query_surface(spark, capsys):
+    """`query --list` catalogs every registered op; `query <name>` runs
+    one — the no-code path to the whole SURVEY.md §2 surface."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.__main__ import query_main
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    assert query_main(["--list"]) == 0
+    listed = capsys.readouterr().out.strip().splitlines()
+    assert len(listed) == len(load_all())
+
+    assert query_main(["doc_freq_topk"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_freq" in out
+
+    assert query_main(["no_such_query"]) == 2
