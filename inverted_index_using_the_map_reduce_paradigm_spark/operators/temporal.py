@@ -729,3 +729,69 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("p99"))
         .select("event_id", "event_type", F.round("value", 6).alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# value_histogram — equal-width binning of a measure column
+# --------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+@register(
+    "value_histogram",
+    oracle=f"""
+WITH s AS (
+  SELECT min(value) AS mn, max(value) AS mx FROM events
+), b AS (
+  SELECT least(CAST(floor((value - mn) / ((mx - mn) / {HIST_BINS}))
+               AS BIGINT), {HIST_BINS - 1}) AS bin,
+         value, mn, mx
+  FROM events CROSS JOIN s
+  WHERE mx > mn
+)
+SELECT bin,
+       round(min(mn) + bin * (min(mx) - min(mn)) / {HIST_BINS}, 4) AS bin_lo,
+       count(*) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value
+FROM b GROUP BY bin
+""",
+    description=f"equal-width {HIST_BINS}-bin histogram of events.value",
+    tags=("temporal", "agg", "profile"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling without quantile state: global min/max in
+    one scan-free-sized aggregate, then every row maps to a bin in a
+    pure projection.  The complement to ``event_type_sketches``
+    (t-digest percentiles): a histogram is mergeable, exact, and
+    renders directly.
+
+    100 TB shape: the stats row broadcasts; the bin id is computed
+    row-local, so the only corpus-keyed exchange is the final
+    ``HIST_BINS``-group rollup whose output size is the bin count.  Two
+    scans of one column (stats + binning) — at scale, persist the stats
+    or use sketch bounds to make it one.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    step = (F.col("mx") - F.col("mn")) / HIST_BINS
+    binned = (
+        ev.crossJoin(F.broadcast(s))
+        .filter(F.col("mx") > F.col("mn"))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / step).cast("long"),
+                F.lit(HIST_BINS - 1),
+            ).alias("bin"),
+            "value",
+            "mn",
+            "mx",
+        )
+    )
+    return binned.groupBy("bin").agg(
+        F.round(
+            F.min("mn") + F.col("bin") * (F.min("mx") - F.min("mn")) / HIST_BINS, 4
+        ).alias("bin_lo"),
+        F.count("*").alias("n_events"),
+        (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+    )

@@ -714,3 +714,87 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_freq bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# skipgram_pairs — position-window co-occurrence counts
+# --------------------------------------------------------------------------
+
+SKIP_WINDOW = 2
+SKIP_MIN_PAIR = 5
+SKIP_TOP_K = 100
+
+
+@register(
+    "skipgram_pairs",
+    oracle=f"""
+WITH ptoks AS (
+  SELECT doc_id, unnest(words) AS word,
+         unnest(generate_series(1, len(words))) AS pos
+  FROM (SELECT doc_id, {sql_tokens('text')} AS words FROM documents)
+), pair AS (
+  SELECT a.word AS center, b.word AS context, count(*) AS n_pair
+  FROM ptoks a JOIN ptoks b
+    ON a.doc_id = b.doc_id
+   AND b.pos BETWEEN a.pos - {SKIP_WINDOW} AND a.pos + {SKIP_WINDOW}
+   AND b.pos <> a.pos
+  GROUP BY a.word, b.word
+  HAVING count(*) >= {SKIP_MIN_PAIR}
+)
+SELECT center, context, n_pair FROM pair
+ORDER BY n_pair DESC, center ASC, context ASC
+LIMIT {SKIP_TOP_K}
+""",
+    description=f"top-{SKIP_TOP_K} skip-gram (center, context) pairs within +/-{SKIP_WINDOW} positions",
+    tags=("training", "text", "embedding-prep"),
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec/GloVe co-occurrence table: (center, context) counts
+    within a +/-``SKIP_WINDOW`` token window — positional, unlike
+    ``pmi_cooccurrence`` (whole-document co-presence) and wider than
+    ``repetition_signals``' adjacent bigrams.  This table IS the input
+    to embedding training; producing it at corpus scale is the Spark
+    job that precedes any embedding fit.
+
+    100 TB shape: contexts are generated ARRAY-LOCALLY (for each
+    position, slice the +/-window out of the token array — no
+    positional self-join, which would shuffle the corpus twice), then
+    one partial-aggregated shuffle on the (center, context) key —
+    Zipf-bounded like every vocab table here.  The min-pair floor drops
+    the hapax tail before the final top-k sort.
+    """
+    from ..functions.text import tokens_of
+
+    docs = table(spark, sf_dir, "documents")
+    t = tokens_of(F.col("text"))
+    # for token i (1-based), contexts are positions max(1, i-W)..i+W minus i;
+    # slice() clamps the tail overrun, so only the head start needs greatest()
+    pairs = F.flatten(
+        F.transform(
+            t,
+            lambda center, i: F.transform(
+                F.filter(
+                    F.slice(
+                        t,
+                        F.greatest(i + 1 - SKIP_WINDOW, F.lit(1)),
+                        F.least(i + 1 + SKIP_WINDOW, F.size(t))
+                        - F.greatest(i + 1 - SKIP_WINDOW, F.lit(1))
+                        + 1,
+                    ),
+                    lambda _, j: F.greatest(i + 1 - SKIP_WINDOW, F.lit(1)) + j
+                    != i + 1,
+                ),
+                lambda ctx: F.struct(
+                    center.alias("center"), ctx.alias("context")
+                ),
+            ),
+        )
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= SKIP_MIN_PAIR)
+        .orderBy(F.desc("n_pair"), F.asc("center"), F.asc("context"))
+        .limit(SKIP_TOP_K)
+    )
