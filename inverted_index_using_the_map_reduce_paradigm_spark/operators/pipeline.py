@@ -383,7 +383,17 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_kept, gated["doc_id"] == exact_kept["k_doc"]
     ).select("doc_id", "text")
 
-    pairs = jaccard_pairs(survivors).select("doc_a", "doc_b")
+    # Materialize the near-dup pair set ONCE before the iterative
+    # clustering (same as q_near_dup_clusters): without this, every
+    # label-propagation round re-executes the whole upstream DAG —
+    # quality gate, exact dedup, shingle UDF, hot-key window, pair
+    # join.  The checkpoint holds only the tiny (doc_a, doc_b) edge
+    # set, never the corpus text, so it's safe at any scale.
+    pairs = (
+        jaccard_pairs(survivors)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

@@ -87,10 +87,18 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 SEQ_BUDGET = 256
+# doc_id-range shard width: bounds what any single window task must
+# order to SEQ_SHARD_DOCS rows.  Small enough that the sf0.01 fixture
+# (~500 docs) spans multiple shards per language, so the sharded path
+# is what the oracle actually verifies.
+SEQ_SHARD_DOCS = 128
 
 
 @register(
     "sequence_packing",
+    # The oracle keeps the UNsharded per-lang running sum: the engine's
+    # shard decomposition (within-shard cumsum + per-shard offset) is
+    # associative, so cum_before — and every output row — is identical.
     oracle=f"""
 WITH t AS (
   SELECT doc_id, lang, len({sql_tokens('text')}) AS n_tokens FROM documents
@@ -121,20 +129,69 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact first-fit packing is inherently sequential; this is the
     deterministic, shuffle-friendly variant real pipelines use).
 
-    100 TB shape: ONE corpus scan; the running sum is a window
-    partitioned by ``lang`` so each language packs in parallel — at
-    scale the partition key is (lang, shard) so no single window
-    orders the whole corpus.  The final rollup shuffles one row per
-    document, keyed by a monotone seq_id with no skew.
+    100 TB shape: a per-lang running sum must NOT be one window task
+    per language (English alone would put half the corpus through a
+    single core), so the prefix sum is sharded: each (lang, shard)
+    window orders at most ``SEQ_SHARD_DOCS`` docs, the per-shard token
+    totals roll up through a shards-only window (one row per shard —
+    millions of tiny rows at 100 TB, not billions of docs), and the
+    shard offset joins back on the (lang, shard) key the first window
+    already partitioned on.  Associativity makes the result identical
+    to the single-window form the oracle states.  The final rollup
+    shuffles one row per document, keyed by a monotone seq_id with no
+    skew.
     """
     docs = table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "lang", F.size(tokens_of(F.col("text"))).alias("n_tokens"))
-    w = (
-        Window.partitionBy("lang")
+    t = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(tokens_of(F.col("text"))).alias("n_tokens"),
+        )
+        .withColumn("shard", F.floor(F.col("doc_id") / SEQ_SHARD_DOCS))
+        # no-op filters (keys are never null), stated explicitly so BOTH
+        # consumers of this subtree carry identical inferred constraints
+        # — otherwise the offsets join infers isnotnull(shard) on one
+        # branch only and the canonical mismatch defeats ReuseExchange
+        .filter(F.col("lang").isNotNull() & F.col("shard").isNotNull())
+    )
+    # shard = floor(doc_id / width) is monotone in doc_id, so ordering
+    # shards ascending within a lang IS the doc_id concat order.
+    w_in = (
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    c = t.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).alias("cum_in_shard"),
+    )
+    w_sh = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Shard totals come from the SAME windowed stream (the last row's
+    # cum_in_shard + n_tokens), not a second corpus scan: both join
+    # branches share an identical subtree through the (lang, shard)
+    # exchange, so ReuseExchange runs the scan + tokenize once, and the
+    # groupBy rides the exchange's partitioning with no new shuffle.
+    offsets = (
+        c.groupBy("lang", "shard")
+        .agg(
+            F.max(F.col("cum_in_shard") + F.col("n_tokens")).alias("shard_tokens")
+        )
+        .withColumn(
+            "shard_offset", F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0))
+        )
+        .select("lang", "shard", "shard_offset")
+    )
+    c = c.join(offsets, ["lang", "shard"]).withColumn(
+        "cum_before", F.col("shard_offset") + F.col("cum_in_shard")
+    )
     return (
         c.groupBy("lang", F.floor(F.col("cum_before") / SEQ_BUDGET).alias("seq_id"))
         .agg(

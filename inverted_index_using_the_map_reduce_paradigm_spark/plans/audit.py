@@ -15,6 +15,18 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def final_adaptive_plan(df: DataFrame) -> str:
+    """The plan AFTER running the query: under AQE, stage-level
+    decisions (exchange reuse, skew splits, runtime join demotion) only
+    appear once the AdaptiveSparkPlan has executed — the static text
+    from ``physical_plan`` can't show them.  ``collect`` (not a noop
+    write) because only an action on the DataFrame's OWN QueryExecution
+    mutates its AdaptiveSparkPlan in place; callers pass fixture-scale
+    queries."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Every PushedFilters clause appearing in the plan's scans."""
     return [

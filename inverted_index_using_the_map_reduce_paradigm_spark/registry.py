@@ -57,47 +57,80 @@ def register(
 
 _LOADED = False
 
-# Queries that already have a green driver-correctness row from a prior
-# round's CORRECTNESS_r{N}.json.  The driver verifies a bounded number of
-# queries per round (observed budget: 50), iterating ``queries()`` in
-# order — so ``load_all`` floats queries WITHOUT a prior row to the
-# front, letting each round's budget land on fresh rows until the whole
-# registry is driver-verified.  Union of CORRECTNESS_r01 + r02 keys.
-_PRIOR_DRIVER_ROWS: frozenset[str] = frozenset({
-    # round 1
-    "boolean_and", "boolean_not", "boolean_or", "boolean_setops",
-    "corpus_pipeline", "customer_running_total",
-    "customers_intersect_except", "customers_without_orders",
-    "dataset_split", "doc_chunking", "doc_freq_topk", "exact_dedup",
-    "index_delete", "index_merge", "inverted_index",
-    "inverted_index_segmented", "letter_topk", "minhash_lsh_dedup",
-    "multimodal_features", "multimodal_frame_sample", "nation_revenue",
-    "near_dup_clusters", "ngram_jaccard_dedup", "orders_above_avg",
-    "orders_cube", "orders_grouping_sets", "orders_rollup",
-    "phrase_search", "positional_index", "promo_revenue",
-    "quality_filter", "scalar_functions", "simhash_dedup",
-    "similarity_search", "table_profile", "term_lookup", "tokenize",
-    "top_customers_by_segment", "top_suppliers", "tpch_q1", "tpch_q10",
-    "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q3", "tpch_q6", "window_functions", "word_count_salted",
-    # round 2
-    "bm25_rank", "boolean_and_stored", "boolean_not_stored",
-    "boolean_or_stored", "collection_functions", "doc_fingerprint",
-    "fuzzy_term_lookup", "index_compact", "index_stats", "lang_id",
-    "letter_topk_stored", "ngrams", "phrase_search_stored",
-    "prefix_search_stored", "quality_score", "redact_pii",
-    "term_lookup_stored", "text_stats", "tf_idf", "token_count",
-})
+
+def _correctness_files() -> list[tuple[int, str]]:
+    """Committed ``CORRECTNESS_r{N}.json`` files at the repo root,
+    as (round_number, path) pairs."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: list[tuple[int, str]] = []
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def _prior_driver_rows() -> tuple[frozenset[str], int]:
+    """(names with a prior *successful* driver row, next round number).
+
+    Derived from the committed ``CORRECTNESS_r{N}.json`` files — not a
+    hand-maintained list, so it can't rot as rounds accumulate.  A row
+    counts as coverage when it's fully green (rows+schema+hash) or a
+    rows-only ``no_oracle`` check that produced a row count; a FAILED
+    row keeps the query in the fresh tier so the driver rechecks it.
+    """
+    import json
+
+    covered: set[str] = set()
+    last_round = 0
+    for n, path in _correctness_files():
+        last_round = max(last_round, n)
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or rows_only:
+                covered.add(name)
+    return frozenset(covered), last_round + 1
 
 
 def load_all() -> dict[str, Query]:
     """Import every operator module so its @register calls run.
 
-    Returns the registry ordered driver-first: queries with no prior
-    CORRECTNESS row lead (oracle-backed before no-oracle, registration
-    order otherwise), already-verified queries follow.  Within the
-    fresh block the no-oracle streaming queries go last — each spins up
-    a stateful micro-batch and only earns a weaker rows-only row.
+    Returns the registry ordered for the external driver, which
+    verifies a bounded number of queries per round (observed budget:
+    50) iterating ``queries()`` in order.  Tiers:
+
+      0. no prior driver row, oracle-backed      (registration order)
+      1. no prior driver row, no oracle          (registration order;
+         today that's only ``bpe_vocab`` plus any not-yet-sampled
+         approx/streaming query — each earns a rows-only row)
+      2. already driver-verified — ordered by a per-round deterministic
+         shuffle, so the budget left after the fresh tiers re-verifies
+         a DIFFERENT rotating sample of old queries each round instead
+         of permanently shadowing them (a regression in a verified
+         query is caught again within a few rounds, not never).
+
+    Coverage is derived from the committed CORRECTNESS_r*.json files
+    (see ``_prior_driver_rows``); local tests remain the per-commit
+    regression net for everything the current round's budget misses.
     """
     global _LOADED
     if not _LOADED:
@@ -116,12 +149,15 @@ def load_all() -> dict[str, Query]:
 
         _LOADED = True
 
+    import zlib
+
+    covered, round_no = _prior_driver_rows()
+
     def rank(item: tuple[str, Query]) -> tuple[int, int]:
         name, q = item
-        fresh = name not in _PRIOR_DRIVER_ROWS
-        # fresh+oracle (0) < fresh no-oracle (1) < already-verified (2);
-        # sort is stable so registration order holds within each tier.
-        tier = (0 if q.oracle else 1) if fresh else 2
-        return (tier, 0)
+        if name not in covered:
+            # sort is stable: registration order holds within the tier
+            return (0 if q.oracle else 1, 0)
+        return (2, zlib.crc32(f"{name}|r{round_no}".encode()))
 
     return dict(sorted(QUERIES.items(), key=rank))

@@ -42,14 +42,30 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 GAP_MIN = 30
 
+# The oracle-equality contract below (update/complete-mode memory-sink
+# output == the batch result) holds only when the whole fixture arrives
+# as ONE micro-batch: update mode appends a row per key per batch, so a
+# split input would emit duplicate keys.  Each fixture table is a single
+# parquet file today; maxFilesPerTrigger is pinned far above that so a
+# future multi-file fixture still lands in one trigger, and
+# ``_run_to_memory`` fails loudly if more than one batch carried rows.
+_SINGLE_BATCH_FILES = 1_000_000
+
 # events.ts has shipped as parquet TIMESTAMP(NANOS) (read as epoch-nanos
 # long under the nanosAsLong legacy conf) in some fixture generations and
 # TIMESTAMP(MICROS) NTZ in others; readStream needs the schema up front,
-# so probe the file's batch-read dtype once per sf_dir.
+# so probe the file's batch-read dtype once per sf_dir (memoized — the
+# probe is a footer read, no need to repeat it per stream start).
+_EVENTS_TS_TYPE: dict[str, T.DataType] = {}
+
+
 def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    ts_type = (
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    )
+    ts_type = _EVENTS_TS_TYPE.get(sf_dir)
+    if ts_type is None:
+        ts_type = (
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+        )
+        _EVENTS_TS_TYPE[sf_dir] = ts_type
     return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -69,6 +85,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(_events_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )
     if raw.schema["ts"].dataType.simpleString() == "bigint":
@@ -80,7 +97,14 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     """Drive the stream over all available input synchronously and
-    return the in-memory sink as a DataFrame."""
+    return the in-memory sink as a DataFrame.
+
+    Raises if more than one micro-batch carried input rows: the
+    registered oracles equate sink contents with the batch result,
+    which update/complete modes only guarantee single-batch (multiple
+    batches would append one row per key per batch).  Better a loud
+    error here than a silent hash mismatch at the driver.
+    """
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.outputMode(mode)
@@ -90,6 +114,12 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(fed) > 1:
+            raise RuntimeError(
+                f"streaming fixture split into {len(fed)} micro-batches; "
+                "the single-batch == batch-result oracle no longer holds"
+            )
     finally:
         q.stop()
     return result.sparkSession.table(name)
@@ -275,6 +305,7 @@ def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )
     deduped = (
@@ -370,6 +401,7 @@ def q_stream_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )
     toks = docs.select(

@@ -429,3 +429,24 @@ def test_proximity_search_filters_terms_before_join(spark):
     assert below.count("= table)") + below.count("= hash)") >= 2 or (
         "isnotnull(word" in below
     )
+
+
+def test_sequence_packing_window_is_sharded_and_scans_once(spark):
+    """The packing prefix sum must never put a whole language through
+    one window task: every doc-ordered window partitions on the
+    (lang, shard) composite key, the shard-offset rollup sees only
+    shard-level rows, and at runtime AQE reuses the (lang, shard)
+    exchange so the corpus is scanned + tokenized exactly once."""
+    import re
+
+    df = load_all()["sequence_packing"].fn(spark, SF)
+    static = audit.physical_plan(df)
+    # every windowspec ordered by doc_id includes shard in its keys
+    doc_windows = re.findall(
+        r"windowspecdefinition\(([^)]*?)doc_id[^)]*ASC NULLS FIRST,", static
+    )
+    assert doc_windows, "expected a doc_id-ordered window"
+    for keys in doc_windows:
+        assert "shard" in keys, f"doc-ordered window not sharded: {keys}"
+    final = audit.final_adaptive_plan(df)
+    assert "ReusedExchange" in final  # one corpus scan feeds both branches
