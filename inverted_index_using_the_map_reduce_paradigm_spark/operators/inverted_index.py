@@ -1156,3 +1156,76 @@ def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_b") / F.sum("abs_b").cast("double"), 4
         ).alias("ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# bucketed term lookup: the co-located storage layout on the query surface
+# --------------------------------------------------------------------------
+
+_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
+CATALOG_BUCKETS = 8
+
+
+def bucketed_catalog_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per process) the doc-id-co-located storage pair
+    over ``sf_dir``: the exploded (word, doc_id) postings and the
+    document catalog (doc_id, lang, source), both bucketed AND
+    bucket-sorted on doc_id with the same bucket count.
+
+    This is the write-once-shuffle-never layout for the index
+    enrichment joins a 100 TB corpus serves constantly (posting ->
+    document metadata): matching buckets join with NO exchange on
+    either side — the shuffle was paid once at ingest
+    (``sources.sinks.write_bucketed``), not per query.  Returns
+    (postings_table, catalog_table) names in the session catalog.
+    """
+    got = _BUCKETED_TABLES.get(sf_dir)
+    if got is not None:
+        return got
+    from ..sources.sinks import write_bucketed
+
+    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    post_t, cat_t = f"postings_b_{safe}", f"doc_catalog_b_{safe}"
+    # external per-process paths: a managed table's warehouse location
+    # outlives the (in-memory) catalog entry, so a second process would
+    # hit LOCATION_ALREADY_EXISTS on the same managed name
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{os.getpid()}")
+    docs = table(spark, sf_dir, "documents")
+    postings = build_index(docs).select(
+        "word", F.explode("postings").alias("doc_id")
+    )
+    write_bucketed(
+        postings, post_t, "doc_id", CATALOG_BUCKETS,
+        path=os.path.join(base, post_t),
+    )
+    write_bucketed(
+        docs.select("doc_id", "lang", "source"), cat_t, "doc_id", CATALOG_BUCKETS,
+        path=os.path.join(base, cat_t),
+    )
+    _BUCKETED_TABLES[sf_dir] = (post_t, cat_t)
+    return post_t, cat_t
+
+
+@register(
+    "term_lookup_bucketed",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT t.doc_id, t.word, d.lang, d.source
+FROM (SELECT DISTINCT doc_id, word FROM toks WHERE word = '{TERM}') t
+JOIN documents d USING (doc_id)
+""",
+    description="term lookup + metadata enrich over doc_id-bucketed storage (no-exchange join)",
+    tags=("reference", "query", "storage", "scale"),
+)
+def q_term_lookup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's query side joined to document metadata through
+    the bucketed layout: both tables are bucket-sorted on doc_id, so
+    the join needs no shuffle of the catalog — at 100 TB the catalog
+    is the fact-sized side and never moves
+    (tests/test_plan_quality.py pins the zero-Exchange plan)."""
+    post_t, cat_t = bucketed_catalog_tables(spark, sf_dir)
+    p = spark.table(post_t).filter(F.col("word") == TERM)
+    return (
+        p.join(spark.table(cat_t), "doc_id")
+        .select("doc_id", "word", "lang", "source")
+    )

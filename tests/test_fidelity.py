@@ -219,3 +219,63 @@ def test_cli_query_surface(spark, capsys):
     assert "doc_freq" in out
 
     assert query_main(["no_such_query"]) == 2
+
+
+def test_segmented_sink_multi_segment_head_words(spark, tmp_path):
+    """Byte fidelity when head words REALLY span many segments: with
+    segment_docs=2, a word posted in 7 docs produces 4 segments whose
+    streaming concatenation (sinks.py concat_stream) must reassemble
+    the exact flat line — including a word whose segments straddle
+    mapInPandas batch boundaries.  Also pins the one-letter-one-part
+    invariant collect_reference_layout's glob-sort relies on."""
+    import glob as globmod
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import (
+        build_segmented_index,
+    )
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.sinks import (
+        write_letter_index_segmented,
+    )
+
+    # 9 docs: 'zebra' in all (4 segments at segment_docs=2), 'zoo' in 5
+    # (3 segments), 'zap' in 2, plus unique words; interleaved doc_ids
+    # so posting order != arrival order.
+    rows = []
+    for i in range(1, 10):
+        words = ["zebra", f"unique{i}"]
+        if i <= 5:
+            words.append("zoo")
+        if i in (3, 7):
+            words.append("zap")
+        rows.append((10 - i, " ".join(words)))  # descending ids
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    seg = build_segmented_index(docs, segment_docs=2)
+    by_word = {
+        r.word: r.n
+        for r in seg.groupBy("word").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_word["zebra"] == 5 and by_word["zoo"] == 3  # real multi-segment
+
+    flat_out = str(tmp_path / "flat")
+    write_letter_index(formatted_index(docs), flat_out)
+    seg_out = str(tmp_path / "seg")
+    write_letter_index_segmented(seg, seg_out)
+
+    # invariant behind collect_reference_layout's glob sort: the sink
+    # writes each letter as exactly ONE part file (one partition per
+    # letter), so byte order can't depend on part-file name order
+    for out in (flat_out, seg_out):
+        for d in globmod.glob(os.path.join(out, "letter=*")):
+            parts = [p for p in os.listdir(d) if p.startswith("part-")]
+            assert len(parts) == 1, (d, parts)
+
+    collect_reference_layout(flat_out)
+    collect_reference_layout(seg_out)
+    z = (tmp_path / "flat" / "z.txt").read_text().splitlines()
+    assert z[0] == "zebra:[1 2 3 4 5 6 7 8 9]"
+    assert z[1] == "zoo:[5 6 7 8 9]"
+    for c in string.ascii_lowercase:
+        flat = (tmp_path / "flat" / f"{c}.txt").read_bytes()
+        segb = (tmp_path / "seg" / f"{c}.txt").read_bytes()
+        assert segb == flat, c

@@ -450,3 +450,26 @@ def test_sequence_packing_window_is_sharded_and_scans_once(spark):
         assert "shard" in keys, f"doc-ordered window not sharded: {keys}"
     final = audit.final_adaptive_plan(df)
     assert "ReusedExchange" in final  # one corpus scan feeds both branches
+
+
+def test_term_lookup_bucketed_joins_without_exchange(spark):
+    """The registered bucketed lookup must join postings to the doc
+    catalog with ZERO Exchange operators: both tables are bucket-sorted
+    on doc_id, so the only data movement is the pruned postings read.
+    Broadcast is disabled for the assertion so the plan can't hide the
+    bucketing behind a broadcast of the filtered side."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import (
+        bucketed_catalog_tables,
+    )
+
+    bucketed_catalog_tables(spark, SF)  # materialize outside the assert
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = physical_plan(spark, "term_lookup_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # the word predicate reaches the postings scan
+    assert "PushedFilters: [IsNotNull(word), EqualTo(word,scan)" in plan
