@@ -72,14 +72,19 @@ def tokens_of(text: Column) -> Column:
     )
 
 
-def tokenize_documents(documents: DataFrame) -> DataFrame:
-    """(doc_id, word) stream: one row per token occurrence.
+def tokenize_documents(
+    documents: DataFrame, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, word[, extra...]) stream: one row per token occurrence.
 
-    Column-prunes to (doc_id, text) before the explode so a parquet scan
-    reads only two columns at 100 TB.
+    Column-prunes to (doc_id, text) — plus any ``extra_cols`` the
+    caller carries through, e.g. ``lang`` — before the explode so a
+    parquet scan reads only the used columns at 100 TB.
     """
     return documents.select(
-        "doc_id", F.explode(tokens_of(F.col("text"))).alias("word")
+        "doc_id",
+        *(extra_cols or []),
+        F.explode(tokens_of(F.col("text"))).alias("word"),
     )
 
 

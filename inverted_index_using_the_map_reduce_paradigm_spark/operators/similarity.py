@@ -719,3 +719,99 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= OUTLIER_BOTTOM_K)
         .select("label", "vec_id", _r(F.col("cosc")).alias("cos_centroid"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# knn_classify — k-NN majority-vote labeling over embeddings
+# --------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_HOLDOUT_MOD = 10  # vec_id % 10 == 0 are the "unlabeled" queries
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label AS true_label, embedding AS qe
+  FROM embeddings WHERE vec_id % {KNN_HOLDOUT_MOD} = 0
+), c AS (
+  SELECT vec_id AS cand_id, label, embedding
+  FROM embeddings WHERE vec_id % {KNN_HOLDOUT_MOD} <> 0
+), scored AS (
+  SELECT q.vec_id, q.true_label, c.cand_id, c.label,
+         round({_cos_sql('q.qe', 'c.embedding')}, {ROUND}) + 0 AS cosine
+  FROM q JOIN c ON true
+), ranked AS (
+  SELECT vec_id, true_label, label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+), votes AS (
+  SELECT vec_id, true_label, label, count(*) AS n_votes
+  FROM ranked WHERE rnk <= {KNN_K}
+  GROUP BY vec_id, true_label, label
+), best AS (
+  SELECT vec_id, true_label, label AS predicted_label, n_votes,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY n_votes DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT vec_id, true_label, predicted_label, n_votes
+FROM best WHERE vr = 1
+""",
+    description=f"k-NN (k={KNN_K}) majority-vote label prediction for a held-out query set",
+    tags=("similarity", "classify"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label propagation, the workhorse for bootstrapping labels
+    over an unlabeled corpus slice: every held-out vector takes the
+    majority label of its 5 nearest labeled neighbors by cosine
+    (ties: more votes first, then the smaller label id — fully
+    deterministic, so the DuckDB oracle hash-matches).
+
+    Scale shape is ``similarity_search``'s: the query side broadcasts,
+    the labeled corpus streams through ONE scan with no shuffle for the
+    scoring itself, the per-query top-k window collapses to a streaming
+    WindowGroupLimit, and the vote rollup shuffles only k rows per
+    query.  At 100 TB queries-side growth swaps the broadcast for the
+    RP-bucketed candidate join (``similarity_search_rp``) with this
+    same vote tail."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % KNN_HOLDOUT_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        _emb_double("embedding").alias("qe"),
+    )
+    cand = emb.filter(F.col("vec_id") % KNN_HOLDOUT_MOD != 0).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        _emb_double("embedding").alias("e"),
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "true_label",
+        "cand_id",
+        "cand_label",
+        _r(cosine_similarity(F.col("qe"), F.col("e"))).alias("cosine"),
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= KNN_K)
+        .groupBy("q_id", "true_label", "cand_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w_vote = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.asc("cand_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            "true_label",
+            F.col("cand_label").alias("predicted_label"),
+            "n_votes",
+        )
+    )

@@ -538,3 +538,59 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# zipf_slope — corpus health check: how Zipfian is each language?
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 100  # OLS over the head of the rank-frequency curve
+
+
+@register(
+    "zipf_slope",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, unnest({sql_tokens('text')}) AS word FROM documents
+), wc AS (
+  SELECT lang, word, count(*) AS n FROM toks GROUP BY lang, word
+), ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rnk
+  FROM wc
+)
+SELECT lang,
+       count(*) AS n_words,
+       round(regr_slope(ln(n), ln(rnk)), 4) + 0 AS slope,
+       round(regr_intercept(ln(n), ln(rnk)), 4) + 0 AS intercept
+FROM ranked WHERE rnk <= {ZIPF_TOP}
+GROUP BY lang
+""",
+    description=f"per-language Zipf exponent: OLS log-log slope over the top-{ZIPF_TOP} words",
+    tags=("text", "profile", "agg"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality fingerprint: natural text follows rank-frequency
+    power laws with slope ≈ -1; spam, boilerplate, or synthetic text
+    bends the curve, so per-language slope drift is a cheap corpus
+    health monitor.  OLS on (ln rank, ln count) over each language's
+    top-100 words; slope = covar/var, same definition as the
+    oracle's regr_slope.
+
+    Scale: one corpus-token aggregation (map-side partial absorbs the
+    Zipf head), then everything is vocabulary-sized — the rank window
+    and the 2-moment fold see at most 100 rows per language."""
+    toks = tokenize_documents(table(spark, sf_dir, "documents"), extra_cols=["lang"])
+    wc = toks.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    ranked = wc.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= ZIPF_TOP
+    )
+    x, y = F.log(F.col("rnk").cast("double")), F.log(F.col("n").cast("double"))
+    fitted = ranked.select("lang", x.alias("x"), y.alias("y"))
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return fitted.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("slope"),
+        (F.round(F.avg("y") - slope * F.avg("x"), 4) + F.lit(0.0)).alias("intercept"),
+    )

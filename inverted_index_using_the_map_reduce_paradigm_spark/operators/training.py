@@ -856,3 +856,72 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), F.asc("center"), F.asc("context"))
         .limit(SKIP_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# negative_sampling_table — the word2vec unigram^0.75 sampling ranges
+# --------------------------------------------------------------------------
+
+NEG_POWER = 0.75
+NEG_TOP = 200  # table over the most frequent words (production: full vocab)
+
+
+@register(
+    "negative_sampling_table",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({sql_tokens('text')}) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS n FROM toks GROUP BY word
+), top AS (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word ASC) AS rnk
+  FROM wc
+), pw AS (
+  SELECT word, n, rnk, pow(n, {NEG_POWER}) AS w
+  FROM top WHERE rnk <= {NEG_TOP}
+), tot AS (
+  SELECT sum(w) AS tw FROM pw
+)
+SELECT word, n, rnk,
+       round(w / tw, 6) + 0 AS p,
+       round(COALESCE(SUM(w) OVER (ORDER BY rnk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / tw, 6) + 0
+         AS cum_lo
+FROM pw CROSS JOIN tot
+""",
+    description=f"word2vec negative-sampling table: unigram^{NEG_POWER} probs + cumulative ranges",
+    tags=("training", "text", "embedding-prep"),
+)
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of skip-gram prep (``skipgram_pairs`` emits the
+    positives): negative samples draw from the unigram distribution
+    raised to 0.75, materialized as (p, cum_lo) ranges so a
+    uniform draw binary-searches the cumulative column — the exact
+    word2vec construction.
+
+    Scale: one corpus-token aggregation; everything after is
+    vocabulary-sized (the rank window, the power fold, the cumulative
+    window over 200 rows).  The total is a 1-row aggregate
+    broadcast back — the corpus never reshuffles."""
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    wc = toks.groupBy("word").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.desc("n"), F.asc("word"))
+    top = (
+        wc.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= NEG_TOP)
+        .withColumn("w", F.pow("n", F.lit(NEG_POWER)))
+    )
+    tot = top.agg(F.sum("w").alias("tw"))
+    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        top.withColumn("cum_w", F.coalesce(F.sum("w").over(w_cum), F.lit(0.0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            "n",
+            "rnk",
+            (F.round(F.col("w") / F.col("tw"), 6) + F.lit(0.0)).alias("p"),
+            (F.round(F.col("cum_w") / F.col("tw"), 6) + F.lit(0.0)).alias("cum_lo"),
+        )
+    )

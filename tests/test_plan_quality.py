@@ -473,3 +473,40 @@ def test_term_lookup_bucketed_joins_without_exchange(spark):
     assert "Exchange" not in plan
     # the word predicate reaches the postings scan
     assert "PushedFilters: [IsNotNull(word), EqualTo(word,scan)" in plan
+
+
+def test_knn_classify_broadcasts_queries_with_streaming_topk(spark):
+    """The labeled corpus must stream through one scan: queries are the
+    broadcast side of the cross join, and the per-query rank collapses
+    to a streaming WindowGroupLimit instead of a full per-query sort."""
+    plan = physical_plan(spark, "knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zipf_slope_is_vocab_sized_after_one_corpus_shuffle(spark):
+    """One corpus-token aggregation; the rank window and the moment
+    fold see vocabulary-sized data only (WindowGroupLimit prunes each
+    language to its top rows before the rank filter)."""
+    plan = physical_plan(spark, "zipf_slope")
+    assert "WindowGroupLimit" in plan
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().lstrip("+-: *").startswith("Exchange")
+    )
+    assert n_exchanges <= 3  # token agg + lang window (+ fixture round-robin)
+
+
+def test_negative_sampling_table_takes_ordered_topk_and_reuses_scan(spark):
+    """The global vocab rank must NOT be a single-partition full sort:
+    the optimizer rewrites row_number+filter into TakeOrderedAndProject
+    (per-partition top-N, then merge of N-row heads), and at runtime the
+    normalizing-total branch reuses the word-count exchange instead of
+    re-scanning the corpus."""
+    df = load_all()["negative_sampling_table"].fn(spark, SF)
+    static = audit.physical_plan(df)
+    assert "TakeOrderedAndProject(limit=200" in static
+    final = audit.final_adaptive_plan(df)
+    assert "ReusedExchange" in final
