@@ -156,3 +156,75 @@ def test_bpe_vocab_is_deterministic(spark):
     a = [tuple(r) for r in load_all()["bpe_vocab"].fn(spark, SF).collect()]
     b = [tuple(r) for r in load_all()["bpe_vocab"].fn(spark, SF).collect()]
     assert a == b
+
+
+def test_sequence_packing_shard_decomposition_matches_single_window(spark):
+    """The sharded prefix sum must be bit-identical to the single-window
+    definition on an adversarial doc_id layout: ids chosen to straddle
+    shard boundaries (127/128/129...), collide mid-shard, and leave
+    whole shards empty.  The reference result is computed in plain
+    Python (per-lang running sum in doc_id order)."""
+    from collections import defaultdict
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.training import (
+        SEQ_BUDGET,
+        SEQ_SHARD_DOCS,
+        q_sequence_packing,
+    )
+
+    ids = [1, 2, 126, 127, 128, 129, 255, 256, 257, 640, 641, 1023, 1024, 2000]
+    rows = []
+    for j, i in enumerate(ids):
+        lang = "aa" if j % 3 else "bb"
+        rows.append((i, lang, "tok " * (7 * (j + 1) % 40 + 1)))
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    assert max(ids) // SEQ_SHARD_DOCS >= 3  # really exercises >1 shard
+
+    import inverted_index_using_the_map_reduce_paradigm_spark.operators.training as tr_mod
+
+    orig = tr_mod.table  # training.py binds the symbol at import time
+    tr_mod.table = lambda spark_, sf, name: docs  # the op reads 'documents'
+    try:
+        got = {
+            (r.lang, r.seq_id): (r.n_docs, r.seq_tokens, r.first_doc, r.last_doc)
+            for r in q_sequence_packing(spark, "ignored").collect()
+        }
+    finally:
+        tr_mod.table = orig
+
+    # plain-Python reference: unsharded per-lang running sum
+    toks = {i: len(("tok " * (7 * (j + 1) % 40 + 1)).split()) for j, i in enumerate(ids)}
+    want: dict = {}
+    per_lang = defaultdict(list)
+    for j, i in enumerate(ids):
+        per_lang["aa" if j % 3 else "bb"].append(i)
+    for lang, ds in per_lang.items():
+        cum = 0
+        for i in sorted(ds):
+            seq = cum // SEQ_BUDGET
+            n, tot, lo, hi = want.get((lang, seq), (0, 0, i, i))
+            want[(lang, seq)] = (n + 1, tot + toks[i], min(lo, i), max(hi, i))
+            cum += toks[i]
+    assert got == want
+
+
+def test_negative_sampling_table_is_a_valid_distribution(spark):
+    """cum_lo must be the exact prefix sum of p in rank order, starting
+    at 0 and ending at 1 - p_last (a binary search over [0,1) always
+    lands in exactly one word's range)."""
+    rows = sorted(
+        load_all()["negative_sampling_table"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r.rnk,
+    )
+    assert rows[0].cum_lo == 0.0
+    acc = 0.0
+    for r in rows:
+        assert abs(r.cum_lo - acc) < 5e-6  # rounding tolerance
+        assert r.p > 0
+        acc += r.p
+    assert abs(acc - 1.0) < 5e-5
+    # frequencies are non-increasing with rank
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
