@@ -1229,3 +1229,79 @@ def q_term_lookup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.join(spark.table(cat_t), "doc_id")
         .select("doc_id", "word", "lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# index_diff — audit of what an incremental maintenance cycle changed
+# --------------------------------------------------------------------------
+
+
+@register(
+    "index_diff",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS word FROM documents
+), dedup AS (
+  SELECT DISTINCT word, doc_id FROM toks
+), v1 AS (
+  SELECT word, array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+         count(*) AS doc_freq
+  FROM dedup WHERE doc_id % 5 <> 0 GROUP BY word
+), v2 AS (
+  SELECT word, array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+         count(*) AS doc_freq
+  FROM dedup GROUP BY word
+)
+SELECT COALESCE(v1.word, v2.word) AS word,
+       CASE WHEN v1.word IS NULL THEN 'added'
+            WHEN v2.word IS NULL THEN 'removed'
+            WHEN v1.postings <> v2.postings THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       COALESCE(v2.doc_freq, 0) - COALESCE(v1.doc_freq, 0) AS df_delta
+FROM v1 FULL OUTER JOIN v2 USING (word)
+WHERE COALESCE(v1.postings, '') <> COALESCE(v2.postings, '')
+""",
+    description="index maintenance audit: per-word posting diff between two corpus versions",
+    tags=("reference", "maintenance", "storage"),
+)
+def q_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit step of an incremental maintenance cycle
+    (``index_merge`` proves delta-merge == rebuild; this reports WHAT
+    the cycle changed): full-outer join of the index built before and
+    after a batch of documents arrives (v1 = corpus minus every 5th
+    doc, v2 = full corpus), emitting each word whose posting list
+    changed, how (added / changed — removal is impossible when docs
+    only arrive), and its doc-freq delta.
+
+    Scale: both sides are vocabulary-sized aggregates sharing the word
+    key, so the diff join co-partitions with zero extra exchanges
+    beyond the two index builds; at 100 TB v1 is READ from the stored
+    letter-partitioned index, not rebuilt, and the plan is one pruned
+    scan + one vocab-sized join."""
+    docs = table(spark, sf_dir, "documents")
+    v1 = build_index(docs.filter(F.col("doc_id") % 5 != 0)).select(
+        "word",
+        F.concat_ws(" ", F.transform("postings", lambda d: d.cast("string"))).alias("p1"),
+        F.col("doc_freq").alias("df1"),
+    )
+    v2 = build_index(docs).select(
+        "word",
+        F.concat_ws(" ", F.transform("postings", lambda d: d.cast("string"))).alias("p2"),
+        F.col("doc_freq").alias("df2"),
+    )
+    j = v1.join(v2, "word", "full_outer")
+    return (
+        j.filter(
+            F.coalesce("p1", F.lit("")) != F.coalesce("p2", F.lit(""))
+        ).select(
+            "word",
+            F.when(F.col("p1").isNull(), "added")
+            .when(F.col("p2").isNull(), "removed")
+            .when(F.col("p1") != F.col("p2"), "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+            (F.coalesce("df2", F.lit(0)) - F.coalesce("df1", F.lit(0))).alias(
+                "df_delta"
+            ),
+        )
+    )

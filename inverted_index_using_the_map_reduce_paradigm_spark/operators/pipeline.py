@@ -614,3 +614,73 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("chars_kept", F.lit(0)).alias("chars_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# snapshot_diff — CDC between two corpus snapshots
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 19 <> 0
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN sha256(text || ' v2') ELSE sha256(text) END AS h
+  FROM documents WHERE doc_id % 17 <> 0
+)
+SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'deleted'
+            WHEN v1.h <> v2.h THEN 'modified'
+            ELSE 'unchanged' END AS change,
+       count(*) AS n_docs,
+       MIN(COALESCE(v1.doc_id, v2.doc_id)) AS min_doc,
+       MAX(COALESCE(v1.doc_id, v2.doc_id)) AS max_doc
+FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+GROUP BY 1
+""",
+    description="CDC census between two corpus snapshots: added/deleted/modified/unchanged",
+    tags=("pipeline", "maintenance", "cdc"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture over immutable snapshot pairs — the audit a
+    recurring training-data refresh runs before reprocessing anything:
+    content-hash compare keyed by doc_id, classifying every document as
+    added / deleted / modified / unchanged (the fixture has one
+    snapshot, so v2 is derived deterministically: every 17th doc
+    deleted, every 19th treated as new, every 13th content-bumped).
+
+    Scale: ONE full-outer equi-join on doc_id over two hash
+    projections — both sides co-partition on the join key, nothing
+    else shuffles, and the output is the 4-row census (the per-doc
+    change feed is the same plan minus the final rollup).  Downstream,
+    only the added+modified slice re-enters the pipeline — this query
+    is what makes the 100 TB refresh incremental instead of a full
+    recompute."""
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id", F.sha2("text", 256).alias("h1")
+    )
+    v2 = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.sha2(F.concat(F.col("text"), F.lit(" v2")), 256),
+        )
+        .otherwise(F.sha2("text", 256))
+        .alias("h2"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "deleted")
+        .when(F.col("h1") != F.col("h2"), "modified")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
