@@ -143,3 +143,70 @@ def test_stream_inverted_index_equals_batch(spark):
     batch = as_set(qs["inverted_index"].fn(spark, SF))
     stream = as_set(qs["stream_inverted_index"].fn(spark, SF))
     assert stream == batch
+
+
+def test_multi_batch_window_agg_with_late_data(spark, tmp_path):
+    """REAL multi-micro-batch semantics (the registered queries pin
+    single-batch for their oracles; this pins what happens beyond it):
+    a watermarked tumbling-window count fed one file per trigger must
+    (a) merge in-window updates across batches, and (b) DROP a row
+    arriving after the watermark has passed its window, in append mode
+    emitting each window exactly once."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def arrive(name, rows):
+        df = spark.createDataFrame(rows, ["ts_s", "k"]).select(
+            F.timestamp_seconds("ts_s").alias("ts"), "k"
+        )
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", str(src / f"{name}.parquet"))
+
+    H = 3600
+    # batch 1: two rows in window [0,1h), one at [2h,3h) pushing the
+    # max event time to 2h -> watermark 2h - 1h = 1h, closing [0,1h).
+    arrive("b1", [(10, "a"), (20, "a"), (2 * H + 5, "a")])
+    # batch 2: on-time row only.  The watermark computed from batch 1
+    # appears in batch 2's progress but is applied to the late-row
+    # FILTER one batch later still — a measured Spark behavior this
+    # test pins deliberately (late data has a one-batch grace window).
+    arrive("b2", [(2 * H + 6, "a")])
+    # batch 3: a LATE row for the closed [0,1h) window — by now the
+    # 1h watermark governs the filter, so it MUST be dropped.
+    arrive("b3", [(30, "a"), (2 * H + 7, "a")])
+
+    agg = (
+        spark.readStream.schema("ts TIMESTAMP, k STRING")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "k", "n")
+    )
+    name = "late_data_test_sink"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) == 3, "maxFilesPerTrigger=1 must yield 3 batches"
+    finally:
+        q.stop()
+    rows = {(r.ws, r.k): r.n for r in spark.table(name).collect()}
+    # [0,1h) closed with ONLY batch-1's rows (batch-3's late row
+    # dropped by the watermark filter); [2h,3h) never closes (the
+    # watermark stops at 1h), so append emits nothing for it yet —
+    # exactly-once per window.
+    assert rows == {(0, "a"): 2}
