@@ -60,8 +60,20 @@ def read_corpus(
         [(os.path.abspath(p), i + 1) for i, p in enumerate(paths)],
         ["abs_path", "doc_id"],
     )
+    # Passing N explicit paths makes the DataSource glob-qualify each
+    # one driver-side — measured ~10 s for 5000 paths vs ~0.1 s to list
+    # their parent DIRECTORY.  The doc_id join below keeps only rows
+    # whose file is IN the manifest, so when the manifest's files
+    # cluster into few directories (the reference's layout), reading
+    # those directories is semantically identical and removes the
+    # per-path listing cost; scattered manifests keep the explicit
+    # list.  Extra non-manifest files in a shared directory cost scan
+    # bytes only — their rows drop at the join, and ``validate`` checks
+    # every manifest entry surfaced.
+    parents = sorted({os.path.dirname(os.path.abspath(p)) for p in paths})
+    read_paths = parents if len(parents) * 10 <= len(paths) else paths
     uri_path = F.regexp_replace(F.input_file_name(), "^file:/*", "/")
-    lines = spark.read.text(paths).select(
+    lines = spark.read.text(read_paths).select(
         F.url_decode(F.replace(uri_path, F.lit("+"), F.lit("%2B"))).alias("abs_path"),
         F.col("value").alias("text"),
     )
