@@ -534,3 +534,112 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.select(
         "doc_id", "cluster_id", F.count("*").over(w_size).alias("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_best — retention policy: keep the best doc per cluster
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles FROM documents
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+         count(*) AS n_common
+  FROM (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) a
+  JOIN (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE n_common / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL SELECT doc_b, doc_a FROM jac
+), reach AS (
+  SELECT src AS doc_id, src AS root FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+), assign AS (
+  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+), q AS (
+  SELECT doc_id,
+         round(least(len({sql_tokens('text')}) / 64.0, 1.0)
+               * (1 - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                      / greatest(length(text), 1)), 6) AS quality
+  FROM documents
+), ranked AS (
+  SELECT a.cluster_id, a.doc_id, q.quality,
+         row_number() OVER (PARTITION BY a.cluster_id
+                            ORDER BY q.quality DESC, a.doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY a.cluster_id) AS n_members
+  FROM assign a JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keeper_doc_id, n_members, quality AS keeper_quality
+FROM ranked WHERE rk = 1
+""",
+    description="retention policy: keep the highest-quality doc per near-dup cluster",
+    tags=("dedup", "iterative", "curation"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``near_dup_clusters`` answers WHICH docs are duplicates; this
+    answers which one to KEEP — argmax by the same per-doc quality
+    score the pipeline's gate uses (ties: lower doc_id), instead of the
+    naive keep-min-doc_id.  Real curation keeps the best-written copy,
+    not the first-crawled one.
+
+    Scale: the pair graph + label propagation are the proven
+    ``near_dup_clusters`` path (checkpointed edge set, vocab-free);
+    the quality join touches one corpus projection, and the argmax is
+    a per-cluster WindowGroupLimit over cluster-sized groups (dup
+    clusters are small by construction — giant clusters mean the
+    threshold, not the engine, is wrong)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        jaccard_pairs(docs).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    assign = connected_components(edges)
+    # same formula as pipeline.q_quality_filter (inlined: pipeline
+    # imports this module, so the dependency can't point back)
+    t = tokens_of(F.col("text"))
+    quality = docs.select(
+        "doc_id",
+        F.round(
+            F.least(F.size(t) / F.lit(64.0), F.lit(1.0))
+            * (
+                1
+                - F.size(
+                    F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0)
+                )
+                / F.greatest(F.length("text"), F.lit(1))
+            ),
+            6,
+        ).alias("quality"),
+    )
+    j = assign.join(quality, "doc_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    w_size = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count("*").over(w_size))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            "n_members",
+            F.col("quality").alias("keeper_quality"),
+        )
+    )

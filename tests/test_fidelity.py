@@ -279,3 +279,30 @@ def test_segmented_sink_multi_segment_head_words(spark, tmp_path):
         flat = (tmp_path / "flat" / f"{c}.txt").read_bytes()
         segb = (tmp_path / "seg" / f"{c}.txt").read_bytes()
         assert segb == flat, c
+
+
+def test_dir_listing_fast_path_excludes_non_manifest_files(spark, tmp_path):
+    """The manifest reader's directory-listing fast path (taken when
+    files cluster into few directories) must yield EXACTLY the
+    manifest's documents: extra files sharing the directory contribute
+    no rows (the doc_id join is the filter), ids stay 1-based manifest
+    positions, and validate=True stays green."""
+    d = tmp_path / "shared"
+    d.mkdir()
+    listed = []
+    for i in range(40):
+        p = d / f"doc{i:02d}.txt"
+        p.write_text(f"word{chr(97 + i % 26)} common\n")
+        listed.append(str(p))
+    for i in range(10):  # same dir, NOT in the manifest
+        (d / f"stray{i}.txt").write_text("intruder intruder\n")
+    manifest = tmp_path / "m.txt"
+    manifest.write_text(f"{len(listed)}\n" + "\n".join(listed) + "\n")
+
+    docs = read_corpus(spark, str(manifest), validate=True)
+    rows = docs.collect()
+    assert {r.doc_id for r in rows} == set(range(1, 41))
+    assert all("intruder" not in r.text for r in rows)
+    # id 1 is the manifest's FIRST entry
+    first = [r.text for r in rows if r.doc_id == 1]
+    assert first == ["worda common"]
