@@ -420,3 +420,46 @@ def q_stream_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(idx, "update")
+
+
+# --------------------------------------------------------------------------
+# stream-static enrichment join: the dimension-lookup pattern
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_enrich_static",
+    # stateless row-wise enrichment: stream output == the batch join at
+    # ANY micro-batch split (no per-key state involved)
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+       round(e.value, 2) + 0 AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+    description="stream-to-static dimension enrichment join (events -> customer segment)",
+    bench=False,
+    tags=("streaming", "join"),
+)
+def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical streaming dimension lookup: an unbounded event
+    stream inner-joined to a bounded dimension table.  Stream-static
+    joins are STATELESS — the static side is (re)broadcast per
+    micro-batch and no state store is involved, so unlike the
+    aggregation queries this one's batch equality holds under any
+    micro-batch splitting.  At 100 TB the static side is the
+    slowly-changing dim snapshot; swapping it per trigger is how
+    dimension updates propagate without restarting the stream."""
+    from ..data import table as _table
+
+    ev = _event_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    dim = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = ev.join(F.broadcast(dim), "user_id").select(
+        "event_id",
+        "user_id",
+        "segment",
+        (F.round("value", 2) + F.lit(0.0)).alias("value"),
+    )
+    return _run_to_memory(joined, "append")
