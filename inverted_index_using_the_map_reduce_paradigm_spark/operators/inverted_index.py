@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..data import table
-from ..functions.text import sql_tokens, tokenize_documents
+from ..functions.text import sql_tokens, tokenize_documents, tokens_of
 from ..registry import register
 
 # Shared DuckDB CTE: the normalized (doc_id, word) token stream.
@@ -1304,4 +1304,52 @@ def q_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "df_delta"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# snippet_extract — search-result context windows around a term hit
+# --------------------------------------------------------------------------
+
+SNIPPET_RADIUS = 5
+
+
+@register(
+    "snippet_extract",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+), hit AS (
+  SELECT doc_id, toks, list_position(toks, '{TERM}') AS pos FROM t
+)
+SELECT doc_id, pos,
+       array_to_string(
+         toks[greatest(pos - {SNIPPET_RADIUS}, 1) : pos + {SNIPPET_RADIUS}],
+         ' ') AS snippet
+FROM hit WHERE pos > 0
+""",
+    description=f"search snippets: +/-{SNIPPET_RADIUS}-token window around the first '{TERM}' hit",
+    tags=("reference", "query", "text"),
+)
+def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The result-rendering half of the query side: for every document
+    containing the term, the token window around its FIRST occurrence
+    (what a search UI shows under each hit).  Pure array-local math in
+    one projection — ``array_position`` then a clipped ``slice`` — so
+    the plan is a single scan with zero shuffles at any scale; at
+    100 TB the doc_id set comes from the pruned stored index and this
+    runs over the semi-joined slice only."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    hit = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.array_position(toks, TERM).alias("pos"),
+    ).filter(F.col("pos") > 0)
+    start = F.greatest(F.col("pos") - SNIPPET_RADIUS, F.lit(1))
+    length = (F.col("pos") + SNIPPET_RADIUS) - start + 1
+    return hit.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("toks", start, length)).alias("snippet"),
     )
