@@ -684,3 +684,98 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# interchange_roundtrip — the CSV/JSON source+sink surface on the registry
+# --------------------------------------------------------------------------
+
+_INTERCHANGE_DIRS: dict[str, str] = {}
+
+
+def _interchange_base(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per process) a CSV export of every 3rd doc and
+    a JSON export of every 3rd+1 doc under a temp dir, via the
+    ``sources.formats`` wrappers — the write half of the roundtrip."""
+    got = _INTERCHANGE_DIRS.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+    import tempfile
+
+    from ..sources.formats import write_table
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_interchange_{os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    docs = table(spark, sf_dir, "documents")
+    write_table(
+        docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "lang", "n_chars"),
+        os.path.join(base, "csv"),
+        "csv",
+    )
+    write_table(
+        docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "source", "n_chars"),
+        os.path.join(base, "json"),
+        "json",
+    )
+    _INTERCHANGE_DIRS[sf_dir] = base
+    return base
+
+
+@register(
+    "interchange_roundtrip",
+    oracle="""
+SELECT 'csv' AS fmt, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(DISTINCT lang) AS n_keys
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'json', count(*), CAST(sum(n_chars) AS BIGINT),
+       count(DISTINCT source)
+FROM documents WHERE doc_id % 3 = 1
+""",
+    description="CSV + JSON write/read roundtrip census via the formats surface",
+    tags=("pipeline", "formats", "storage"),
+)
+def q_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puts the interchange-format surface on the verified registry:
+    two corpus slices exported through ``sources.formats.write_table``
+    (CSV and line-delimited JSON), read back via ``read_table`` with
+    EXPLICIT schemas (the wrapper rejects inferSchema — an extra full
+    pass at 100 TB) in FAILFAST mode, and reduced to a per-format
+    census that must match the parquet originals exactly — proving the
+    values survived the text round trip, not just the row counts.
+
+    Scale: both formats split per block (uncompressed), the reads are
+    one scan each, and the census is a two-row aggregate."""
+    import os
+
+    from ..sources.formats import read_table
+
+    base = _interchange_base(spark, sf_dir)
+    csv = read_table(
+        spark,
+        os.path.join(base, "csv"),
+        "csv",
+        schema="doc_id LONG, lang STRING, n_chars LONG",
+    )
+    js = read_table(
+        spark,
+        os.path.join(base, "json"),
+        "json",
+        schema="doc_id LONG, source STRING, n_chars LONG",
+    )
+    c = csv.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_keys"),
+    ).select(F.lit("csv").alias("fmt"), "n_docs", "sum_chars", "n_keys")
+    j = js.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("source").alias("n_keys"),
+    ).select(F.lit("json").alias("fmt"), "n_docs", "sum_chars", "n_keys")
+    return c.unionByName(j)
