@@ -510,3 +510,57 @@ def test_negative_sampling_table_takes_ordered_topk_and_reuses_scan(spark):
     assert "TakeOrderedAndProject(limit=200" in static
     final = audit.final_adaptive_plan(df)
     assert "ReusedExchange" in final
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """SCALE.md claims AQE handles join skew at runtime; this pins the
+    mechanism actually engaging: a join where one key holds 90% of rows
+    plans as SortMergeJoin(skew=true) once the skew thresholds are in
+    range — and, the flip side worth knowing, the split is SKIPPED when
+    a downstream operator reuses the join's hash partitioning (the
+    optimizer won't break a required distribution), so skew relief
+    requires the consumer not to re-key on the join key."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 7)
+            .otherwise(F.col("id") % 10)
+            .cast("long")
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pay"),
+        )
+        right = spark.range(0, 1_000).select(
+            (F.col("id") % 10).alias("k"), F.col("id").alias("rid")
+        )
+        # global agg downstream: no required partitioning -> skew split
+        # OK.  The payload sum keeps `pay` in the join output — with it
+        # pruned, the all-longs skewed partition compresses below the
+        # 32KB detection threshold and the split never triggers.
+        free = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.sum(F.length("pay")).alias("b")
+        )
+        assert free.collect()[0].n == 20_000_000
+        plan = audit.physical_plan(free)
+        assert "SortMergeJoin(skew=true)" in plan
+        # re-keying on the join key downstream pins the distribution ->
+        # AQE must NOT split (correctness of the required partitioning)
+        pinned = left.join(right, "k").groupBy("k").agg(F.count("*").alias("n"))
+        pinned.collect()
+        assert "skew=true" not in audit.physical_plan(pinned)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
