@@ -795,3 +795,59 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# event_transitions — per-user Markov transition matrix over event types
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_transitions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS prev_type, next_type,
+       count(*) AS n,
+       round(count(*) / CAST(SUM(count(*)) OVER (PARTITION BY event_type)
+                             AS DOUBLE), 6) + 0 AS prob
+FROM o WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+    description="per-user event-type Markov transitions: counts + row-normalized probabilities",
+    tags=("temporal", "window", "sequence"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The behavioral transition matrix (what follows what, per user
+    stream) — the sequence-model counterpart of the funnel: ``lead``
+    over each user's time-ordered events pairs every event with its
+    successor (event_id breaks timestamp ties deterministically), then
+    one aggregation yields counts and the row-normalized transition
+    probabilities a Markov model trains on.
+
+    Scale: ONE shuffle on user_id for the lead window (user streams
+    are the natural partition; a bot user's giant stream is bounded by
+    the watermark horizon in the streaming form), then an aggregation
+    whose output is |event_types|^2 rows — tiny at any corpus size;
+    the normalizing row-sum rides a window over that tiny table."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = o.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count("*").alias("n"))
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.round(F.col("n") / F.sum("n").over(w_row), 6) + F.lit(0.0)).alias(
+            "prob"
+        ),
+    )

@@ -925,3 +925,93 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("cum_w") / F.col("tw"), 6) + F.lit(0.0)).alias("cum_lo"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# word_triangles — triangle counting over the co-occurrence graph
+# --------------------------------------------------------------------------
+
+TRI_MIN_PAIR = 5  # edge = pair co-occurring in at least this many docs
+
+
+@register(
+    "word_triangles",
+    oracle=f"""
+WITH dv AS (
+  SELECT DISTINCT doc_id, unnest({sql_tokens('text')}) AS word FROM documents
+), pair AS (
+  SELECT a.word AS w1, b.word AS w2
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word
+  HAVING count(*) >= {TRI_MIN_PAIR}
+), tri AS (
+  SELECT e1.w1 AS a, e1.w2 AS b, e2.w2 AS c
+  FROM pair e1
+  JOIN pair e2 ON e2.w1 = e1.w2
+  JOIN pair e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2
+), pertri AS (
+  SELECT word, count(*) AS n_triangles FROM (
+    SELECT a AS word FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY word
+)
+SELECT word, n_triangles FROM pertri
+ORDER BY n_triangles DESC, word ASC
+LIMIT 25
+""",
+    description="per-word triangle counts over the >=5-doc co-occurrence graph (top 25)",
+    tags=("training", "text", "graph"),
+)
+def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — the classic graph-analytics shape the
+    iterative ops (PageRank, components) don't cover: clustering
+    structure of the word co-occurrence graph via the ordered-wedge
+    join (a<b<c, so each triangle is generated exactly once and no
+    orientation dedup pass is needed).
+
+    Scale: the edge list is vocabulary-sized (pairs thresholded at
+    5+ shared docs — the same sparse-pair discipline as
+    PMI), and the wedge join's fan-out is bounded by per-node degree;
+    at web scale the standard mitigation is degree-ordering (orient
+    edges from low to high degree), which the a<b<c ordering
+    approximates for Zipf graphs since frequent words sort everywhere.
+    Three shuffles total: pair agg, wedge join, closing semi-join."""
+    dv = (
+        tokenize_documents(table(spark, sf_dir, "documents"))
+        .dropDuplicates(["doc_id", "word"])
+    )
+    pair = (
+        dv.alias("a")
+        .join(
+            dv.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= TRI_MIN_PAIR)
+        .select("w1", "w2")
+    )
+    e1, e2, e3 = pair.alias("e1"), pair.alias("e2"), pair.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.w1") == F.col("e1.w2"))
+        .join(
+            e3,
+            (F.col("e3.w1") == F.col("e1.w1"))
+            & (F.col("e3.w2") == F.col("e2.w2")),
+        )
+        .select(
+            F.col("e1.w1").alias("a"),
+            F.col("e1.w2").alias("b"),
+            F.col("e2.w2").alias("c"),
+        )
+    )
+    per = (
+        tri.select(F.col("a").alias("word"))
+        .unionByName(tri.select(F.col("b").alias("word")))
+        .unionByName(tri.select(F.col("c").alias("word")))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per.orderBy(F.desc("n_triangles"), F.asc("word")).limit(25)
