@@ -594,3 +594,105 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(slope, 4) + F.lit(0.0)).alias("slope"),
         (F.round(F.avg("y") - slope * F.avg("x"), 4) + F.lit(0.0)).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# tfidf_doc_similarity — doc-doc cosine over the inverted index
+# --------------------------------------------------------------------------
+
+SIM_TOP_PAIRS = 20
+# production: words above this doc-frequency are excluded from pair
+# generation (a word in every doc relates everything to everything —
+# the tf-idf analogue of the dedup family's stop-shingle cap).  The
+# default exceeds the fixture vocabulary so oracle parity is exact.
+SIM_DF_CAP = 1_000_000
+
+
+@register(
+    "tfidf_doc_similarity",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), w AS (
+  SELECT tf.doc_id, tf.word, tf.tf * ln(n.n_docs / dfreq.df) AS wt
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+), nrm AS (
+  SELECT doc_id, sqrt(sum(wt * wt)) AS nw FROM w GROUP BY doc_id
+), dot AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS d
+  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(d / (na.nw * nb.nw), 6) + 0 AS cosine
+FROM dot
+JOIN nrm na ON na.doc_id = doc_a
+JOIN nrm nb ON nb.doc_id = doc_b
+ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+LIMIT {SIM_TOP_PAIRS}
+""",
+    description=f"top-{SIM_TOP_PAIRS} doc pairs by tf-idf cosine via the sparse posting join",
+    tags=("text", "similarity", "query"),
+)
+def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-to-document similarity WITHOUT embeddings — the sparse
+    dot product computed through the inverted index itself: candidate
+    pairs come only from docs sharing a word (the posting join), so
+    cost is sum over words of df², never n_docs² — the IR-classic use
+    of the index as a similarity accelerator, tying the reference's
+    index to the engine's similarity family.
+
+    Scale: identical discipline to ``jaccard_pairs`` — the join key is
+    the word, words above ``SIM_DF_CAP`` doc-frequency are excluded
+    before the self-join (a universal word carries no similarity
+    signal and contributes df² pairs), norms are a vocabulary-free
+    per-doc aggregate broadcast back, and top-k is TakeOrdered."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize_documents(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") <= SIM_DF_CAP)), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nw")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("d"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nb"))
+    return (
+        dot.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.round(F.col("d") / (F.col("na") * F.col("nb")), 6) + F.lit(0.0)).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(SIM_TOP_PAIRS)
+    )
