@@ -643,3 +643,57 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("keeper_quality"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# incremental_dedup — dedup the arriving delta against the existing corpus
+# --------------------------------------------------------------------------
+
+
+@register(
+    "incremental_dedup",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 <> 0
+), delta AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 = 0
+)
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM base b WHERE b.h = d.h) AS dup_of_base,
+       EXISTS (SELECT 1 FROM delta d2
+               WHERE d2.h = d.h AND d2.doc_id < d.doc_id) AS dup_in_delta
+FROM delta d
+""",
+    description="incremental exact dedup: arriving delta checked against base + itself",
+    tags=("dedup", "maintenance", "cdc"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refresh-cycle form of ``exact_dedup``: when a delta batch
+    arrives (every 5th doc here), each new document is checked against
+    the EXISTING corpus's hash set (semi-join) and against earlier
+    arrivals in its own batch (min-doc_id window) — the whole corpus
+    is never re-deduped.
+
+    Scale: the base side at 100 TB is the STORED hash column (8-byte
+    xxhash64 or the sha256 already materialized at ingest), so the
+    semi-join shuffles only hashes, co-partitioned with the delta's;
+    the in-batch check is one window over the delta alone.  Cost is
+    proportional to the delta, which is the entire point."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.sha2("text", 256).alias("h")
+    )
+    delta = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    w = Window.partitionBy("h")
+    marked = delta.withColumn("first_in_delta", F.min("doc_id").over(w))
+    hit = base.distinct().withColumn("dup_of_base", F.lit(True))
+    return (
+        marked.join(hit, "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of_base", F.lit(False)).alias("dup_of_base"),
+            (F.col("doc_id") > F.col("first_in_delta")).alias("dup_in_delta"),
+        )
+    )

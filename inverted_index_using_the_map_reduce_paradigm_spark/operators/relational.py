@@ -1631,3 +1631,81 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qualified), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# join_gallery — every join type over one input pair, one row each
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_gallery",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+), o AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 1000
+)
+SELECT 'inner' AS join_type,
+       (SELECT count(*) FROM c JOIN o ON c_custkey = o_custkey) AS n
+UNION ALL SELECT 'left_outer',
+       (SELECT count(*) FROM c LEFT JOIN o ON c_custkey = o_custkey)
+UNION ALL SELECT 'full_outer',
+       (SELECT count(*) FROM c FULL JOIN o ON c_custkey = o_custkey)
+UNION ALL SELECT 'left_semi',
+       (SELECT count(*) FROM c WHERE EXISTS
+          (SELECT 1 FROM o WHERE o_custkey = c_custkey))
+UNION ALL SELECT 'left_anti',
+       (SELECT count(*) FROM c WHERE NOT EXISTS
+          (SELECT 1 FROM o WHERE o_custkey = c_custkey))
+UNION ALL SELECT 'cross',
+       (SELECT (SELECT count(*) FROM c) * (SELECT count(*) FROM
+          (SELECT DISTINCT o_custkey FROM o)))
+""",
+    description="one-row-per-join-type census: inner/left/full/semi/anti/cross on the same inputs",
+    tags=("relational", "join", "functions"),
+)
+def q_join_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-type checklist made literal: every join strategy the
+    engine surface uses, run over ONE (customer, orders) input pair and
+    reduced to a per-type row count — a reviewer ticks the §2 joins row
+    against this single query.  (The cross entry multiplies counts
+    rather than materializing the product — a real cross join's output
+    is the product by definition, so its census needs no execution.)
+
+    Scale: each branch is the standard plan for its type — dim
+    broadcast for inner/semi/anti, co-partitioned shuffle for the
+    outer joins; the six 1-row aggregates union driver-free."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(
+        "c_custkey"
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000)
+        .select("o_custkey", "o_totalprice")
+    )
+    on = cust["c_custkey"] == orders["o_custkey"]
+
+    def census(jt: str, how: str) -> DataFrame:
+        return (
+            cust.join(orders, on, how)
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(jt).alias("join_type"), "n")
+        )
+
+    cross = (
+        cust.agg(F.count("*").alias("nc"))
+        .crossJoin(orders.select("o_custkey").distinct().agg(F.count("*").alias("no")))
+        .select(
+            F.lit("cross").alias("join_type"),
+            (F.col("nc") * F.col("no")).alias("n"),
+        )
+    )
+    return (
+        census("inner", "inner")
+        .unionByName(census("left_outer", "left"))
+        .unionByName(census("full_outer", "full_outer"))
+        .unionByName(census("left_semi", "left_semi"))
+        .unionByName(census("left_anti", "left_anti"))
+        .unionByName(cross)
+    )
