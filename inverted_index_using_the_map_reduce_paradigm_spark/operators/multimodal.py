@@ -171,3 +171,57 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# multimodal_dedup — exact dedup over the BINARY payload column
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+WITH h AS (
+  -- sha256 in DuckDB is VARCHAR-only; it hashes the UTF-8 bytes, which
+  -- are exactly the payload bytes the Spark side hashes as binary
+  SELECT doc_id, sha256(text) AS payload_hash,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       count(*) AS n_copies,
+       CAST(any_value(n_bytes) AS BIGINT) AS n_bytes,
+       payload_hash
+FROM h GROUP BY payload_hash
+""",
+    description="exact dedup over the binary payload column (sha256 of bytes)",
+    tags=("multimodal", "dedup"),
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``exact_dedup``'s semantics applied to the BINARY column — the
+    first pass every image/audio corpus runs (bit-identical files are
+    rampant in crawled media).  Hashing happens directly on the bytes
+    (``sha2`` accepts binary; no decode, no UDF), so the plan is one
+    projection + one hash shuffle regardless of payload size, and the
+    hash can be computed at INGEST and stored alongside the payload —
+    after which dedup never touches the bytes again (the
+    ``incremental_dedup`` pattern)."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        payloads.select(
+            "doc_id",
+            F.sha2("payload", 256).alias("payload_hash"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+        .groupBy("payload_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.first("n_bytes").alias("n_bytes"),
+        )
+        .select("keeper_doc_id", "n_copies", "n_bytes", "payload_hash")
+    )
