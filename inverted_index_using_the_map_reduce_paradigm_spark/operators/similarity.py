@@ -815,3 +815,139 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# kmeans_clusters — oracle-backed Lloyd iterations over embeddings
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3  # assignment passes; centroids update between passes
+KMEANS_CROUND = 6  # centroid rounding between iterations: quantizes away
+# cross-engine float-sum noise so Spark and DuckDB iterate on IDENTICAL
+# centroid values (same trick as word_pagerank's per-iteration rounding)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd loop (KMEANS_ITERS assignment passes) as chained
+    CTEs — the same fixed-iteration-count unrolling as word_pagerank's
+    oracle, which is what makes an iterative algorithm hash-checkable."""
+    dist = "list_distance(e.e, c.c)"
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         e AS c
+  FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+)"""
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f""", a{it} AS (
+  SELECT vec_id, e, cluster, dist FROM (
+    SELECT e.vec_id, e.e, c.cluster, {dist} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist} ASC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1
+)"""
+        )
+        if it < KMEANS_ITERS:
+            parts.append(
+                f""", c{it} AS (
+  SELECT cluster, list(cx ORDER BY dim) AS c FROM (
+    SELECT cluster, dim, round(avg(x), {KMEANS_CROUND}) AS cx FROM (
+      SELECT cluster, unnest(e) AS x, generate_subscripts(e, 1) AS dim
+      FROM a{it})
+    GROUP BY cluster, dim)
+  GROUP BY cluster
+)"""
+            )
+    parts.append(
+        f"""
+SELECT vec_id, cluster, round(dist, {ROUND}) + 0 AS dist
+FROM a{KMEANS_ITERS}
+"""
+    )
+    return "".join(parts)
+
+
+def _euclid(a: F.Column, b: F.Column) -> F.Column:
+    """Euclidean distance as a sequential double fold — the same
+    element order DuckDB's list_distance accumulates in."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    description=f"k-means (k={KMEANS_K}, {KMEANS_ITERS} Lloyd passes) cluster assignment over embeddings",
+    tags=("similarity", "iterative", "clustering"),
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means: seeds are the K lowest vec_ids,
+    each pass assigns every vector to its nearest centroid (ties break
+    on the lower cluster id) and recomputes centroids as per-dimension
+    means rounded to {KMEANS_CROUND} dp — the rounding pins Spark and
+    the oracle to identical centroid bits, so even the third-pass
+    assignment hash-matches.
+
+    100 TB shape: the model state (K x dim doubles) stays a DataFrame
+    end to end — no driver collect anywhere in the loop (contrast the
+    IVF quantizer, which trains on a bounded driver sample by design).
+    Per pass: centroids BROADCAST to a single corpus scan (assignment is
+    array-local math + a per-vector argmin window whose partition is
+    one vector's K rows), and the update is a (K x dim)-group partial
+    aggregation — shuffle output is model-sized, not corpus-sized.
+    Lineage depth is fixed (KMEANS_ITERS), so no checkpoint is needed;
+    a tunable-iteration variant would localCheckpoint like
+    near_dup_clusters."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _emb_double("embedding").alias("e"))
+    cents = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .withColumn(
+            # ranking K rows: the lit(0) partition key keeps the window
+            # spec non-empty (the global-sort warning is about corpus-
+            # sized inputs; this input is exactly K rows by construction)
+            "cluster",
+            (
+                F.row_number().over(
+                    Window.partitionBy(F.lit(0)).orderBy("vec_id")
+                )
+                - 1
+            ).cast("int"),
+        )
+        .select("cluster", F.col("e").alias("c"))
+    )
+    assigned = None
+    for it in range(1, KMEANS_ITERS + 1):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "e", "cluster", _euclid(F.col("e"), F.col("c")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if it < KMEANS_ITERS:
+            cents = (
+                assigned.select("cluster", F.posexplode("e").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(F.round(F.avg("x"), KMEANS_CROUND).alias("cx"))
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s")
+                )
+                .select("cluster", F.transform("s", lambda r: r.cx).alias("c"))
+            )
+    return assigned.select("vec_id", "cluster", _r(F.col("dist")).alias("dist"))

@@ -851,3 +851,56 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# time_decay_score — exponentially decayed engagement per user
+# --------------------------------------------------------------------------
+
+DECAY_TAU_S = 86_400  # e-folding time: 1 day
+
+
+@register(
+    "time_decay_score",
+    oracle=f"""
+WITH ref AS (
+  SELECT {EPOCH.format(c='max(ts)')} AS ref_s FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value * exp(-(ref.ref_s - {EPOCH.format(c='ts')}) / (1.0 * {DECAY_TAU_S}))), 4) + 0
+         AS decayed_value,
+       round(max(value * exp(-(ref.ref_s - {EPOCH.format(c='ts')}) / (1.0 * {DECAY_TAU_S}))), 4) + 0
+         AS top_decayed
+FROM events CROSS JOIN ref
+GROUP BY user_id
+""",
+    description="per-user exponentially time-decayed engagement score (1-day e-folding)",
+    tags=("temporal", "agg", "decay"),
+)
+def q_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement — the freshness signal a training-
+    data pipeline uses to weight recent interactions: every event's
+    value decays by exp(-age/tau) measured from the corpus's newest
+    event, summed per user.  Ages are INTEGER seconds on both engines,
+    so exp() sees bit-identical inputs and the rounded sums hash-match.
+
+    100 TB shape: the reference instant is a 1-row global aggregate
+    broadcast back via cross join (no driver round-trip, same pattern
+    as tf_idf's corpus size N); the weighted sum is then ONE
+    partial-aggregated hash shuffle on user_id.  Decay weighting
+    composes with any windowed variant (weight inside the window
+    frame), but the plain per-key form needs no window at all."""
+    ev = table(spark, sf_dir, "events")
+    ref = ev.agg(_epoch(F.max("ts")).alias("ref_s"))
+    age_s = F.col("ref_s") - _epoch(F.col("ts"))
+    decayed = F.col("value") * F.exp(-age_s / F.lit(float(DECAY_TAU_S)))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum(decayed), 4) + F.lit(0.0)).alias("decayed_value"),
+            (F.round(F.max(decayed), 4) + F.lit(0.0)).alias("top_decayed"),
+        )
+    )

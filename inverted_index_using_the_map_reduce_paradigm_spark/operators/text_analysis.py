@@ -696,3 +696,169 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(SIM_TOP_PAIRS)
     )
+
+
+# --------------------------------------------------------------------------
+# doc_entropy — per-document word-distribution entropy
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_entropy",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, tf AS (
+  SELECT doc_id, word, count(*) AS c FROM toks GROUP BY doc_id, word
+), tot AS (
+  SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(any_value(tot.n) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       round(-sum((t.c / tot.n) * log2(t.c / tot.n)), 4) + 0 AS entropy_bits,
+       CASE WHEN count(*) = 1 THEN 0.0
+            ELSE round(-sum((t.c / tot.n) * log2(t.c / tot.n))
+                       / log2(count(*)), 4) + 0
+       END AS norm_entropy
+FROM tf t JOIN tot USING (doc_id)
+GROUP BY t.doc_id
+""",
+    description="per-doc Shannon entropy of the word distribution (+ normalized)",
+    tags=("text", "quality", "filter"),
+)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic quality signal: low-entropy documents are
+    repetitive boilerplate (the distribution collapses onto few words),
+    entropy near log2(n_distinct) means tokens are spread evenly —
+    ``norm_entropy`` is that ratio, a scale-free 0..1 score that
+    complements ``repetition_signals``'s top-word fractions.
+
+    100 TB shape: one (doc_id, word) partial-aggregated shuffle, then
+    the per-doc total arrives via a window over the SAME doc_id key the
+    rows are already hash-partitioned on (no second exchange — the
+    final per-doc aggregation rides it too).  Nothing is corpus-global;
+    group state is one doc's distinct words."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        tokenize_documents(docs)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    w_doc = Window.partitionBy("doc_id")
+    p = F.col("c") / F.col("n")
+    per_doc = (
+        tf.withColumn("n", F.sum("c").over(w_doc))
+        .withColumn("contrib", p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            (-F.sum("contrib")).alias("ent_raw"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.round(F.col("ent_raw"), 4) + F.lit(0.0)).alias("entropy_bits"),
+        F.when(F.col("n_distinct") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("ent_raw") / F.log2(F.col("n_distinct")), 4) + F.lit(0.0)
+        )
+        .alias("norm_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# vocab_growth — Heaps'-law corpus profile (vocabulary vs tokens seen)
+# --------------------------------------------------------------------------
+
+VOCAB_BUCKET_DOCS = 50  # curve resolution: docs per bucket
+
+
+@register(
+    "vocab_growth",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, docs_b AS (
+  SELECT CAST(floor(doc_id / {VOCAB_BUCKET_DOCS}) AS BIGINT) AS bucket,
+         count(*) AS n_docs
+  FROM documents GROUP BY bucket
+), tok_b AS (
+  SELECT CAST(floor(doc_id / {VOCAB_BUCKET_DOCS}) AS BIGINT) AS bucket,
+         count(*) AS n_tokens
+  FROM toks GROUP BY bucket
+), first_occ AS (
+  SELECT word, min(doc_id) AS first_doc FROM toks GROUP BY word
+), new_b AS (
+  SELECT CAST(floor(first_doc / {VOCAB_BUCKET_DOCS}) AS BIGINT) AS bucket,
+         count(*) AS new_words
+  FROM first_occ GROUP BY bucket
+)
+SELECT d.bucket, d.n_docs,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nb.new_words, 0) AS BIGINT) AS new_words,
+       CAST(sum(coalesce(t.n_tokens, 0)) OVER (ORDER BY d.bucket) AS BIGINT)
+         AS cum_tokens,
+       CAST(sum(coalesce(nb.new_words, 0)) OVER (ORDER BY d.bucket) AS BIGINT)
+         AS cum_vocab
+FROM docs_b d
+LEFT JOIN tok_b t USING (bucket)
+LEFT JOIN new_b nb USING (bucket)
+""",
+    description="Heaps'-law vocabulary-growth curve: cumulative vocab vs tokens per doc bucket",
+    tags=("text", "profile", "agg"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-profile curve for dedup/mix planning: how fast does the
+    vocabulary grow as documents are ingested in doc_id order?  A word
+    counts as NEW in the bucket of its first occurrence (min(doc_id)
+    per word — a vocabulary-sized aggregate, the inverted index's df
+    computation with min instead of collect).
+
+    100 TB shape: all corpus-sized work is two partial-aggregated hash
+    shuffles (tokens per bucket, first occurrence per word).  The
+    cumulative prefix sum runs over BUCKET SUMMARIES only —
+    corpus/{VOCAB_BUCKET_DOCS} rows, bounded by choosing the bucket
+    width to the curve resolution wanted (~10^4 points), never over
+    docs — the same two-level decomposition as sequence_packing's
+    sharded offsets; a finer-grained curve would reuse that exact
+    shard rollup."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize_documents(docs)
+    bucket_of = lambda c: F.floor(F.col(c) / VOCAB_BUCKET_DOCS).cast("long")  # noqa: E731
+    docs_b = docs.groupBy(bucket_of("doc_id").alias("bucket")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tok_b = toks.groupBy(bucket_of("doc_id").alias("bucket")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    new_b = (
+        toks.groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(bucket_of("first_doc").alias("bucket"))
+        .agg(F.count("*").alias("new_words"))
+    )
+    base = (
+        docs_b.join(tok_b, "bucket", "left")
+        .join(new_b, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "new_words",
+        F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
+        F.sum("new_words").over(w_cum).alias("cum_vocab"),
+    )

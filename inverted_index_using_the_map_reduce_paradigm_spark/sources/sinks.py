@@ -185,10 +185,25 @@ def write_range_layout(
 
 def collect_reference_layout(out_dir: str) -> None:
     """Flatten the partitioned sink into the reference's exact layout:
-    ``<letter>.txt`` for every letter a-z (empty file when absent)."""
+    ``<letter>.txt`` for every letter a-z (empty file when absent).
+
+    Ordering contract: the per-file row order (doc_freq DESC, word ASC,
+    main.c++:37-44) is established by ``sortWithinPartitions`` inside
+    ONE task per letter — both sinks above ``repartition("letter")``, so
+    every ``letter=x`` directory holds at most one part file and no
+    cross-file ordering question exists.  A future sink that split a
+    letter across tasks would have no such guarantee (part-file name
+    order is task order, not sort order), so this flattener refuses
+    multi-part letters instead of silently concatenating them."""
     for letter in string.ascii_lowercase:
         target = os.path.join(out_dir, f"{letter}.txt")
         parts = sorted(glob.glob(os.path.join(out_dir, f"letter={letter}", "part-*")))
+        if len(parts) > 1:
+            raise ValueError(
+                f"letter={letter} produced {len(parts)} part files; the "
+                "reference layout requires one task per letter (write the "
+                "sink with repartition('letter')) so file order is row order"
+            )
         with open(target, "wb") as out:
             for p in parts:
                 with open(p, "rb") as f:
