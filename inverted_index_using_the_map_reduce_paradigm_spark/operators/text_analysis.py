@@ -733,11 +733,12 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``norm_entropy`` is that ratio, a scale-free 0..1 score that
     complements ``repetition_signals``'s top-word fractions.
 
-    100 TB shape: one (doc_id, word) partial-aggregated shuffle, then
-    the per-doc total arrives via a window over the SAME doc_id key the
-    rows are already hash-partitioned on (no second exchange — the
-    final per-doc aggregation rides it too).  Nothing is corpus-global;
-    group state is one doc's distinct words."""
+    100 TB shape: two partial-aggregated shuffles — (doc_id, word) for
+    term counts, then doc_id for the window that attaches each doc's
+    total; the final per-doc aggregation RIDES the window's doc_id
+    partitioning (no third exchange — pinned in test_plan_quality).
+    Nothing is corpus-global; group state is one doc's distinct
+    words."""
     docs = table(spark, sf_dir, "documents")
     tf = (
         tokenize_documents(docs)

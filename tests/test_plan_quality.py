@@ -564,3 +564,42 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_doc_entropy_final_agg_rides_window_partitioning(spark):
+    """The per-doc rollup must reuse the window's doc_id exchange:
+    everything above the Window operator (final + partial aggregate)
+    runs with no further Exchange."""
+    plan = physical_plan(spark, "doc_entropy")
+    above_window = plan.split("Window")[0]
+    assert "HashAggregate" in above_window
+    assert "Exchange" not in above_window
+
+
+def test_kmeans_broadcasts_centroids_every_pass(spark):
+    """Lloyd assignment must broadcast the model (K x dim) to the
+    corpus scan each pass — one BroadcastNestedLoopJoin per iteration,
+    never a shuffled join or an unbroadcast cartesian product."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import KMEANS_ITERS
+
+    plan = physical_plan(spark, "kmeans_clusters")
+    assert plan.count("BroadcastNestedLoopJoin") == KMEANS_ITERS
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_decay_single_user_shuffle_with_broadcast_ref(spark):
+    """The reference instant (1-row global max) joins back as a
+    broadcast; the only corpus-sized shuffle hashes on user_id."""
+    plan = physical_plan(spark, "time_decay_score")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_vocab_growth_joins_bucket_summaries_broadcast(spark):
+    """The bucket-level left joins combine summary tables (corpus/W
+    rows) — they must broadcast, and the corpus-sized work stays in
+    the partial-aggregated shuffles below them."""
+    plan = physical_plan(spark, "vocab_growth")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
