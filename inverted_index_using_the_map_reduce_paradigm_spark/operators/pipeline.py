@@ -779,3 +779,85 @@ def q_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_keys"),
     ).select(F.lit("json").alias("fmt"), "n_docs", "sum_chars", "n_keys")
     return c.unionByName(j)
+
+
+# --------------------------------------------------------------------------
+# orc_roundtrip — the columnar ORC source+sink with pruning + pushdown
+# --------------------------------------------------------------------------
+
+_ORC_DIRS: dict[str, str] = {}
+ORC_MIN_CHARS = 200
+ORC_LANGS = ("de", "en", "es")  # partition-pruning predicate
+
+
+def _orc_base(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per process) an ORC export of every 3rd+2 doc,
+    hive-partitioned by lang, via ``sources.formats.write_table``."""
+    got = _ORC_DIRS.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+    import tempfile
+
+    from ..sources.formats import write_table
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_orc_{os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    docs = table(spark, sf_dir, "documents")
+    write_table(
+        docs.filter(F.col("doc_id") % 3 == 2).select(
+            "doc_id", "source", "n_chars", "lang"
+        ),
+        base,
+        "orc",
+        partition_by=["lang"],
+    )
+    _ORC_DIRS[sf_dir] = base
+    return base
+
+
+@register(
+    "orc_roundtrip",
+    oracle=f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents
+WHERE doc_id % 3 = 2 AND n_chars >= {ORC_MIN_CHARS}
+  AND lang IN ('de', 'en', 'es')
+GROUP BY lang
+""",
+    description="ORC write/read roundtrip: lang-partitioned export, pushed predicate census",
+    tags=("pipeline", "formats", "storage"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the format surface on the verified registry: the
+    self-describing columnar path (ORC) alongside interchange_roundtrip's
+    text formats.  A corpus slice is exported hive-partitioned by lang
+    through ``write_table``, read back with ``read_table`` (no schema
+    needed — ORC is self-describing), filtered, and censused against
+    the parquet originals.
+
+    Scale: the ``n_chars`` predicate pushes into the ORC reader
+    (row-group stats skip), the ``lang`` partition column prunes
+    directories before IO, and the scan reads only the three projected
+    columns — the pruning trio pinned in test_plan_quality.  ORC splits
+    per stripe, so the read parallelizes like parquet."""
+    from ..sources.formats import read_table
+
+    base = _orc_base(spark, sf_dir)
+    orc = read_table(spark, base, "orc")
+    return (
+        orc.filter(
+            (F.col("n_chars") >= ORC_MIN_CHARS) & F.col("lang").isin(*ORC_LANGS)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

@@ -904,3 +904,141 @@ def q_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.max(decayed), 4) + F.lit(0.0)).alias("top_decayed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# session_paths — frequent event-type sequences per session
+# --------------------------------------------------------------------------
+
+PATH_MAX_STEPS = 5
+PATH_TOP = 10
+
+
+@register(
+    "session_paths",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+), paths AS (
+  SELECT user_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id),
+                      1, {PATH_MAX_STEPS}), '>') AS path
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT path, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP}
+""",
+    description=f"top-{PATH_TOP} session event-type paths (first {PATH_MAX_STEPS} steps, {GAP_MIN}-min sessions)",
+    tags=("temporal", "session", "sequence"),
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining lite — which event-type journeys do sessions
+    actually take?  Sessions come from the native ``session_window``
+    (same {GAP_MIN}-minute gap as events_sessionize); each session's
+    path is its first {PATH_MAX_STEPS} event types in (ts, event_id)
+    order, and the result is the top-{PATH_TOP} paths with session and
+    distinct-user counts.
+
+    100 TB shape: ONE corpus shuffle (user_id for the session window);
+    the path is assembled array-locally inside the session aggregate —
+    ``array_sort(collect_list(struct))`` holds one session's events,
+    whose size the {GAP_MIN}-minute gap bounds organically — and the
+    path rollup shuffles session-count rows, then TakeOrdered replaces
+    a global sort for the top-{PATH_TOP}."""
+    ev = table(spark, sf_dir, "events")
+    path = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda r: r.event_type,
+            ),
+            1,
+            PATH_MAX_STEPS,
+        ),
+    )
+    sessions = ev.groupBy(
+        F.session_window("ts", f"{GAP_MIN} minutes").alias("sw"), "user_id"
+    ).agg(path.alias("path"))
+    return (
+        sessions.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# winsorized_stats — tail-robust per-type statistics
+# --------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "winsorized_stats",
+    oracle=f"""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS lo,
+         quantile_cont(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       round(avg(e.value), 4) + 0 AS raw_avg,
+       round(avg(least(greatest(e.value, c.lo), c.hi)), 4) + 0 AS winsor_avg,
+       round(c.lo, 4) + 0 AS p05,
+       round(c.hi, 4) + 0 AS p95
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY e.event_type, c.lo, c.hi
+""",
+    description="tail-robust per-type stats: mean before/after p05-p95 winsorization",
+    tags=("temporal", "agg", "quality"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust aggregate screening: clip each type's values to
+    its own [p05, p95] and compare the winsorized mean to the raw one —
+    a large gap flags a metric whose average is tail-driven (the same
+    screen a reward/quality pipeline runs before trusting a mean).
+
+    100 TB shape: the cut points are a per-type aggregate (group count
+    rows) joined back via BROADCAST, then one partial-aggregated
+    shuffle on event_type.  Exact percentiles sort within each group —
+    at scale swap for approx_percentile's t-digest (sketch-mergeable,
+    map-side partials), same contract as event_type_stats."""
+    ev = table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("raw_avg"),
+            (F.round(F.avg(clipped), 4) + F.lit(0.0)).alias("winsor_avg"),
+            (F.round(F.first("lo"), 4) + F.lit(0.0)).alias("p05"),
+            (F.round(F.first("hi"), 4) + F.lit(0.0)).alias("p95"),
+        )
+    )

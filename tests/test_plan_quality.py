@@ -603,3 +603,30 @@ def test_vocab_growth_joins_bucket_summaries_broadcast(spark):
     plan = physical_plan(spark, "vocab_growth")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_orc_roundtrip_prunes_partitions_and_pushes_predicates(spark):
+    """The ORC read must show the pruning trio: lang directories pruned
+    (PartitionFilters), the n_chars predicate pushed to row-group stats
+    (PushedFilters), and only the projected columns in ReadSchema."""
+    plan = physical_plan(spark, "orc_roundtrip")
+    assert "PartitionFilters: [lang" in plan and "IN (de,en,es)" in plan
+    assert "GreaterThanOrEqual(n_chars,200)" in plan
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in plan
+
+
+def test_session_paths_single_corpus_shuffle_and_takeordered(spark):
+    """One user_id exchange feeds the session window; the final
+    top-10 is TakeOrdered (no global sort of the path rollup)."""
+    plan = physical_plan(spark, "session_paths")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in plan  # pruned
+
+
+def test_winsorized_stats_broadcasts_cuts(spark):
+    """The per-type cut points join back as a broadcast — the corpus
+    never lands on a join build side."""
+    plan = physical_plan(spark, "winsorized_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
