@@ -1432,19 +1432,14 @@ WHERE p.p_partkey = e.l_partkey AND p.p_size = 15 AND p.p_type = 'STANDARD'
     tags=("relational", "join", "subquery"),
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2's correlated MIN subquery becomes a window min over partkey:
-    the per-(part, supplier) cost table (min shipped price — fixture
-    has no partsupp) is region-filtered via broadcast supplier/nation/
-    region and pruned to qualifying parts via broadcast part BEFORE
-    the window, so the partkey re-exchange the window needs carries
-    only EUROPE suppliers x qualifying parts — a sliver of the fact
-    table.  The correlated-subquery-free plan reads lineitem exactly
-    once."""
-    cost = (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(_dec("l_extendedprice")).alias("mincost"))
-    )
+    """Q2's correlated MIN subquery becomes a window min over partkey.
+    Both selective dimension filters (EUROPE suppliers, qualifying
+    parts) are broadcast-joined to lineitem BELOW the aggregation —
+    they filter on the group keys, so they commute with the per-group
+    min, and the (partkey, suppkey) shuffle carries only the
+    qualifying sliver of the fact instead of every group.  The window
+    re-exchange then sees that same sliver.  One lineitem scan, no
+    correlated subquery anywhere."""
     eu_sup = (
         table(spark, sf_dir, "supplier")
         .join(
@@ -1463,10 +1458,18 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
         .select("p_partkey")
     )
-    eu = (
-        cost.join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    cost = (
+        table(spark, sf_dir, "lineitem")
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(eu_sup.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("mincost"))
     )
+    eu = cost.join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("l_partkey")
     return (
         eu.withColumn("best", F.min("mincost").over(w))
