@@ -11,6 +11,7 @@ broadcast back over the corpus.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -860,4 +861,74 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
             F.countDistinct("source").alias("n_sources"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# geo_length_stats — the grouped-aggregate pandas UDF on the surface
+# --------------------------------------------------------------------------
+
+
+def _geo_mean_udf():
+    """Grouped-agg pandas UDF (series -> scalar): the one Arrow UDF
+    flavor the rest of the engine doesn't exercise (scalar pandas_udf:
+    IVF assigner; mapInPandas: GEMM tiles / multimodal; cogrouped
+    applyInPandas: merge_asof; applyInPandasWithState: stream stats).
+    The pd.Series hint resolves against module globals (PEP 563
+    stringifies it), which is why pandas imports at module top."""
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    return geo_mean
+
+
+@register(
+    "geo_length_stats",
+    oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(exp(avg(ln(n_chars))), 4) + 0 AS geo_mean_chars,
+       round(avg(n_chars), 4) + 0 AS arith_mean_chars
+FROM documents
+GROUP BY lang, source
+""",
+    description="per-(lang, source) geometric vs arithmetic mean doc length (grouped-agg pandas UDF)",
+    tags=("pipeline", "profile", "udf"),
+)
+def q_geo_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length is roughly log-normal, so the geometric mean is
+    the honest central tendency for a per-stratum length profile — the
+    arithmetic mean rides the heavy tail (the gap between the two
+    columns is itself a tail-heaviness signal).
+
+    This entry also puts the grouped-aggregate pandas UDF on the
+    verified surface: the custom aggregate receives one stratum's
+    values as an Arrow batch and returns a scalar, hash-checked against
+    the closed-form oracle (exp∘avg∘ln).  Scale honesty: grouped-agg
+    UDFs get NO partial aggregation — per-group state is the whole
+    group, fine for bounded strata like (lang, source) but wrong for
+    corpus-sized keys, where the decomposed built-in form
+    ``exp(avg(ln(x)))`` (map-side partials, one shuffle) is the 100 TB
+    path.  The UDF here is the API demonstration; the oracle IS the
+    decomposed form, proving both agree."""
+    docs = table(spark, sf_dir, "documents")
+    geo_mean = _geo_mean_udf()
+    # Spark disallows mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg() — the two aggregations run separately on
+    # the same keys (both stratum-count-sized) and join back.
+    base = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.round(F.avg("n_chars"), 4) + F.lit(0.0)).alias("arith_mean_chars"),
+    )
+    geo = docs.groupBy("lang", "source").agg(
+        (F.round(geo_mean(F.col("n_chars").cast("double")), 4) + F.lit(0.0)).alias(
+            "geo_mean_chars"
+        )
+    )
+    return base.join(geo, ["lang", "source"]).select(
+        "lang", "source", "n_docs", "geo_mean_chars", "arith_mean_chars"
     )
