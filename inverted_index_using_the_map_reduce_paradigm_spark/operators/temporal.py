@@ -1042,3 +1042,47 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.first("hi"), 4) + F.lit(0.0)).alias("p95"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# hll_union_rollup — re-aggregatable distinct-count sketches
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hll_union_rollup",
+    oracle=None,  # sketch binaries are engine-specific; the tolerance
+    # test checks the merged estimate against the exact distinct count
+    # and the structural guarantee merged <= sum-of-daily.
+    description="DataSketches HLL per (type, day), unioned to per-type distincts (mergeable rollup)",
+    tags=("temporal", "agg", "sketch", "scale"),
+)
+def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pre-aggregation pattern for distinct counts at 100 TB:
+    distinct users per (event_type, day) materialize once as
+    DataSketches HLL binaries, and any coarser rollup (here: per type
+    across all days) UNIONS the stored sketches instead of rescanning
+    the raw corpus — distinct counts don't sum (a user active on two
+    days is one user), but sketches merge losslessly.  ``sum_daily``
+    is the naive sum kept to show the overcount the union removes.
+
+    Scale shape: stage 1 is one partial-aggregated shuffle on the fine
+    key (sketch state is constant-size per group, merged map-side);
+    stage 2 shuffles only group-count rows of sketch binaries.  In a
+    stored pipeline, stage 1's output IS the daily cube table and this
+    query reads only that."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.approx_count_distinct("user_id").alias("daily_users"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("daily_users").alias("sum_daily"),
+        )
+    )

@@ -89,3 +89,21 @@ def test_sketches_within_tolerance_of_exact(spark):
         assert abs(s.approx_median - e.median_value) <= 0.05 * max(
             abs(e.median_value), 1.0
         ), et
+
+
+def test_hll_union_rollup_merges_within_tolerance(spark):
+    """The merged-sketch estimate must land within HLL tolerance of the
+    exact per-type distinct count, and at or below the naive
+    sum-of-daily-distincts it exists to correct."""
+    qs = load_all()
+    exact = {
+        r.event_type: r.n_users
+        for r in qs["event_type_stats"].fn(spark, SF).collect()
+    }
+    rolled = {r.event_type: r for r in qs["hll_union_rollup"].fn(spark, SF).collect()}
+    assert set(rolled) == set(exact)
+    for et, r in rolled.items():
+        assert abs(r.approx_users - exact[et]) / exact[et] <= 0.05, et
+        # a user active on several days inflates the naive sum, never
+        # the union (allow HLL estimation jitter of a few percent)
+        assert r.approx_users <= r.sum_daily * 1.05, et
