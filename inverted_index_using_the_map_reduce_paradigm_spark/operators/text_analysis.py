@@ -601,11 +601,22 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 SIM_TOP_PAIRS = 20
-# production: words above this doc-frequency are excluded from pair
-# generation (a word in every doc relates everything to everything —
-# the tf-idf analogue of the dedup family's stop-shingle cap).  The
-# default exceeds the fixture vocabulary so oracle parity is exact.
-SIM_DF_CAP = 1_000_000
+# Stop-word exclusion for the doc-doc similarity: words are dropped
+# from the whole computation (weights, norms, pairs) when their doc
+# frequency exceeds EITHER cap below — the tf-idf analogue of the
+# dedup family's stop-shingle cap, and the IR champion-list trick.
+# A near-universal word relates everything to everything: it carries
+# df² candidate pairs but near-zero idf weight, so keeping it turns
+# the "sparse" posting join dense (measured: the uncapped form never
+# finished at sf0.1 — every one of ~12.5M doc pairs shares a common
+# word).  The RELATIVE cap (df/n_docs > 3/10, exact integer compare
+# so both engines agree) is the semantic stop-word rule and does the
+# work at fixture scale; the ABSOLUTE cap bounds per-word join
+# fan-out no matter the corpus size (production sets it O(10^3),
+# like HOT_SHINGLE_CAP).
+SIM_DF_FRAC_NUM = 3
+SIM_DF_FRAC_DEN = 10
+SIM_DF_CAP = 100_000
 
 
 @register(
@@ -621,6 +632,8 @@ SIM_DF_CAP = 1_000_000
 ), w AS (
   SELECT tf.doc_id, tf.word, tf.tf * ln(n.n_docs / dfreq.df) AS wt
   FROM tf JOIN dfreq USING (word) CROSS JOIN n
+  WHERE dfreq.df * {SIM_DF_FRAC_DEN} <= n.n_docs * {SIM_DF_FRAC_NUM}
+    AND dfreq.df <= {SIM_DF_CAP}
 ), nrm AS (
   SELECT doc_id, sqrt(sum(wt * wt)) AS nw FROM w GROUP BY doc_id
 ), dot AS (
@@ -647,24 +660,29 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the index as a similarity accelerator, tying the reference's
     index to the engine's similarity family.
 
-    Scale: identical discipline to ``jaccard_pairs`` — the join key is
-    the word, words above ``SIM_DF_CAP`` doc-frequency are excluded
-    before the self-join (a universal word carries no similarity
-    signal and contributes df² pairs), norms are a vocabulary-free
+    Scale: identical discipline to ``jaccard_pairs`` — the join key
+    is the word, and stop words (relative cap) plus any word beyond
+    the absolute ``SIM_DF_CAP`` are excluded from the whole
+    computation: a near-universal word carries no similarity signal
+    but contributes df² join pairs, so the caps are what keep the
+    posting join actually sparse as the corpus grows.  Norms are a
     per-doc aggregate broadcast back, and top-k is TakeOrdered."""
     docs = table(spark, sf_dir, "documents")
     toks = tokenize_documents(docs)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))
-    w = (
-        tf.join(F.broadcast(dfreq.filter(F.col("df") <= SIM_DF_CAP)), "word")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "word",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"),
+    kept = (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") * SIM_DF_FRAC_DEN <= F.col("n_docs") * SIM_DF_FRAC_NUM)
+            & (F.col("df") <= SIM_DF_CAP)
         )
+    )
+    w = tf.join(F.broadcast(kept), "word").select(
+        "doc_id",
+        "word",
+        (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"),
     )
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nw")
