@@ -242,6 +242,48 @@ LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
 BAND_ROWS = MINHASH_K // LSH_BANDS
 
 
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, n_sh) with empty-set docs dropped — the shared
+    input of every MinHash stage."""
+    return (
+        docs.select("doc_id", shingles_of(F.col("text")).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+        .filter(F.col("n_sh") > 0)
+    )
+
+
+def _minhash_band_table(sh: DataFrame, band_cap: int) -> DataFrame:
+    """(doc_id, band, bh): the LSH banding of each doc's MinHash
+    signature — signature rows are min(xxhash64(shingle, seed)), a
+    band's key is the hash of its rows.  This is the table a stored
+    dedup pipeline MATERIALIZES at ingest (LSH_BANDS small rows per
+    doc), so later batches join against it without touching text."""
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{bi * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    return _drop_hot_keys(bands, ["band", "bh"], band_cap)
+
+
 @register(
     "minhash_lsh_dedup",
     oracle=None,  # banding uses xxhash64 — not portable SQL; every pair is
@@ -268,35 +310,8 @@ def minhash_pairs(docs: DataFrame, band_cap: int = HOT_BAND_CAP) -> DataFrame:
     Capping affects RECALL only — precision stays 1.0 because every
     surviving candidate is exact-Jaccard verified against the full
     shingle sets."""
-    sh = docs.select(
-        "doc_id", shingles_of(F.col("text")).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
-
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
-    # band hash = hash of the band's signature rows
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh{bi * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-                        ).alias("bh"),
-                    )
-                    for bi in range(LSH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
-    bands = _drop_hot_keys(bands, ["band", "bh"], band_cap)
+    sh = _shingle_sets(docs)
+    bands = _minhash_band_table(sh, band_cap)
 
     ba = bands.alias("x")
     bb = bands.alias("y")
@@ -696,4 +711,93 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_of_base", F.lit(False)).alias("dup_of_base"),
             (F.col("doc_id") > F.col("first_in_delta")).alias("dup_in_delta"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental_near_dedup — delta near-dups against the stored signature base
+# --------------------------------------------------------------------------
+
+
+@register(
+    "incremental_near_dedup",
+    oracle=None,  # banding uses xxhash64 (not portable SQL); the test
+    # asserts the result equals the full-corpus minhash pairs restricted
+    # to pairs touching the delta — the incremental/batch equivalence.
+    description="incremental MinHash near-dedup: delta banded against the stored base signature table",
+    tags=("dedup", "approx", "maintenance", "cdc"),
+)
+def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_dedup``'s refresh-cycle contract lifted from exact
+    to NEAR duplicates: when a delta batch arrives (every 5th doc), its
+    MinHash bands join against the corpus's STORED band table (built at
+    ingest by ``_minhash_band_table`` — LSH_BANDS 16-byte rows per doc)
+    plus earlier arrivals in its own batch; only surviving candidates
+    are exact-Jaccard verified.  The full corpus is never re-banded,
+    re-shingled, or re-paired.
+
+    Because a doc's signature depends only on its text, the result is
+    EXACTLY the full-corpus ``minhash_lsh_dedup`` pairs restricted to
+    pairs touching the delta — the batch/incremental equivalence the
+    test pins.
+
+    Scale: cost scales with the delta — its shingle pass, a band join
+    whose base side is the stored table (co-partitioned on the band
+    key, hot-band-capped at write), and a verify join that re-shingles
+    only candidate base docs (here: a semi-joined re-derivation; a
+    production store keeps shingle sets or re-reads just those docs)."""
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 5 == 0
+    sh_all = _shingle_sets(docs)
+    # One band table stands in for the STORE: a doc's bands depend only
+    # on its own text, so filtering the corpus band table by side is
+    # identical to banding each side separately — and the shingle UDF +
+    # signature aggregation run once, with ReuseExchange sharing the
+    # subtree between the two filters.
+    bands_all = _minhash_band_table(sh_all, HOT_BAND_CAP)
+    base_bands = bands_all.filter(~((F.col("doc_id") % 5) == 0))
+    delta_bands = bands_all.filter((F.col("doc_id") % 5) == 0)
+
+    d = delta_bands.alias("d")
+    b = base_bands.alias("b")
+    d2b = d.join(
+        b, (F.col("d.band") == F.col("b.band")) & (F.col("d.bh") == F.col("b.bh"))
+    ).select(
+        F.col("d.doc_id").alias("new_doc_id"),
+        F.col("b.doc_id").alias("matched_doc_id"),
+    )
+    d2 = delta_bands.alias("e")
+    d2d = d.join(
+        d2,
+        (F.col("d.band") == F.col("e.band"))
+        & (F.col("d.bh") == F.col("e.bh"))
+        & (F.col("e.doc_id") < F.col("d.doc_id")),
+    ).select(
+        F.col("d.doc_id").alias("new_doc_id"),
+        F.col("e.doc_id").alias("matched_doc_id"),
+    )
+    cand = d2b.unionByName(d2d).distinct()
+
+    sets = sh_all.select("doc_id", "shingles", "n_sh")
+    verified = (
+        cand.join(
+            sets.withColumnRenamed("doc_id", "new_doc_id")
+            .withColumnRenamed("shingles", "sh_n")
+            .withColumnRenamed("n_sh", "nn"),
+            "new_doc_id",
+        )
+        .join(
+            sets.withColumnRenamed("doc_id", "matched_doc_id")
+            .withColumnRenamed("shingles", "sh_m")
+            .withColumnRenamed("n_sh", "nm"),
+            "matched_doc_id",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_n", "sh_m")))
+    )
+    jac = F.col("n_common") / (F.col("nn") + F.col("nm") - F.col("n_common"))
+    return verified.filter(jac >= JACCARD_THRESHOLD).select(
+        "new_doc_id",
+        "matched_doc_id",
+        (F.col("matched_doc_id") % 5 != 0).alias("match_in_base"),
+        F.round(jac, 6).alias("jaccard"),
     )

@@ -187,3 +187,27 @@ def test_production_cap_on_skewed_corpus_budget_and_recall(spark):
     assert set(capped) == set(uncapped)
     for k in capped:
         assert capped[k] <= uncapped[k] + 1e-9
+
+
+def test_incremental_near_dedup_equals_batch_restricted_to_delta(spark):
+    """A doc's MinHash signature depends only on its text, so banding
+    the delta against the stored base band table must surface EXACTLY
+    the full-corpus minhash pairs that touch a delta doc (batch /
+    incremental equivalence), with identical verified Jaccard values."""
+    qs = load_all()
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in qs["minhash_lsh_dedup"].fn(spark, SF).collect()
+    }
+    inc = {
+        (min(r.new_doc_id, r.matched_doc_id), max(r.new_doc_id, r.matched_doc_id)):
+        r.jaccard
+        for r in qs["incremental_near_dedup"].fn(spark, SF).collect()
+    }
+    expected = {
+        pair: j
+        for pair, j in full.items()
+        if pair[0] % 5 == 0 or pair[1] % 5 == 0
+    }
+    assert inc == expected
+    assert inc, "fixture should contain at least one delta-touching near-dup"
