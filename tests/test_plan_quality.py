@@ -630,3 +630,15 @@ def test_winsorized_stats_broadcasts_cuts(spark):
     plan = physical_plan(spark, "winsorized_stats")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_doc_similarity_caps_sit_below_the_pair_join(spark):
+    """Regression pin for the dense-join blowup: both stop-word caps —
+    the relative (df*10 <= n_docs*3, applied as the broadcast cross
+    join's condition) and the absolute fan-out cap — must filter the
+    weight table BEFORE the word-key self-join, and the top-k must be
+    TakeOrdered, not a global sort."""
+    plan = physical_plan(spark, "tfidf_doc_similarity")
+    assert "(df#" in plan and "* 10) <= (n_docs#" in plan
+    assert "<= 100000)" in plan
+    assert "TakeOrderedAndProject" in plan
