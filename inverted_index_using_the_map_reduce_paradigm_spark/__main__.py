@@ -33,7 +33,9 @@ USAGE = (
     "   or: python -m inverted_index_using_the_map_reduce_paradigm_spark"
     " sql \"<query>\" [sf_dir]\n"
     "   or: python -m inverted_index_using_the_map_reduce_paradigm_spark"
-    " query <name|--list> [sf_dir]"
+    " query <name|--list> [sf_dir]\n"
+    "   or: python -m inverted_index_using_the_map_reduce_paradigm_spark"
+    " explain <name> [sf_dir]"
 )
 
 
@@ -90,11 +92,44 @@ def query_main(argv: list[str]) -> int:
     return 0
 
 
+def explain_main(argv: list[str]) -> int:
+    """Print the scale-relevant plan audit for a registered query —
+    pushed filters, join strategies, exchange (shuffle) count, then
+    the full physical plan.  The same facts the plan-quality tests
+    pin and PLANS.md records, on demand for any query."""
+    from .plans import audit
+    from .registry import load_all
+
+    if not argv or len(argv) > 2:
+        print(USAGE, file=sys.stderr)
+        return 2
+    qs = load_all()
+    name = argv[0]
+    if name not in qs:
+        print(f"unknown query {name!r}; see `query --list`", file=sys.stderr)
+        return 2
+    sf_dir = argv[1] if len(argv) == 2 else "/root/testdata/sf0.001"
+    spark = get_spark("inverted_index_explain")
+    df = qs[name].fn(spark, sf_dir)
+    print(f"# {name} — {qs[name].description}")
+    print(f"join strategies: {audit.join_strategies(df) or 'none'}")
+    print(f"exchanges: {audit.exchange_count(df)}")
+    pushed = audit.pushed_filters(df)
+    print(f"scans with pushed filters: {len(pushed)}")
+    for pf in pushed:
+        print(f"  {pf}")
+    print()
+    print(audit.physical_plan(df))
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if argv and argv[0] == "sql":
         return sql_main(argv[1:])
     if argv and argv[0] == "query":
         return query_main(argv[1:])
+    if argv and argv[0] == "explain":
+        return explain_main(argv[1:])
     if len(argv) != 4:
         print(USAGE, file=sys.stderr)
         return 2

@@ -327,3 +327,17 @@ def test_reference_layout_refuses_multi_part_letters(tmp_path):
 
     with pytest.raises(ValueError, match="letter=b produced 2 part files"):
         collect_reference_layout(str(out))
+
+
+def test_cli_explain_surface(spark, capsys):
+    """``explain <name>`` prints the plan audit (join strategies,
+    exchange count, pushed filters, physical plan) for any registered
+    query — the PLANS.md facts on demand."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.__main__ import main
+
+    assert main(["explain", "tpch_q3"]) == 0
+    out = capsys.readouterr().out
+    assert "join strategies:" in out and "BroadcastHashJoin" in out
+    assert "exchanges:" in out
+    assert "PushedFilters" in out
+    assert main(["explain", "no_such_query"]) == 2
