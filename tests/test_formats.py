@@ -126,3 +126,55 @@ def test_range_layout_files_have_disjoint_key_ranges(spark, tmp_path):
         assert hi_a <= lo_b, f"overlapping file ranges: {ranges}"
     # row preservation
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_zorder_layout_shrinks_file_ranges_on_every_dimension(spark, tmp_path):
+    """Z-ordering on (user_id, value) must give BOTH columns usable
+    per-file min-max stats, where the single-column sort gives the
+    secondary column none (every file spans its full range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.sinks import (
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def avg_coverage(path: str, col_name: str) -> float:
+        """Mean fraction of the column's global range a file spans."""
+        spans, glo, ghi = [], None, None
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col_name
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            spans.append((min(mins), max(maxs)))
+            glo = min(glo, *mins) if glo is not None else min(mins)
+            ghi = max(ghi, *maxs) if ghi is not None else max(maxs)
+        width = ghi - glo
+        return sum((hi - lo) / width for lo, hi in spans) / len(spans)
+
+    z_out = str(tmp_path / "z")
+    write_zorder_layout(ev, z_out, ["user_id", "value"], n_files=8)
+    s_out = str(tmp_path / "s")
+    write_range_layout(ev, s_out, "value", n_files=8)
+
+    # single sort: value files are tight, user_id files are useless
+    assert avg_coverage(s_out, "value") < 0.3
+    assert avg_coverage(s_out, "user_id") > 0.8
+    # z-order: BOTH dimensions shrink enough to skip files
+    assert avg_coverage(z_out, "user_id") < 0.6
+    assert avg_coverage(z_out, "value") < 0.6
+    assert spark.read.parquet(z_out).count() == ev.count()
