@@ -932,3 +932,75 @@ def q_geo_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(geo, ["lang", "source"]).select(
         "lang", "source", "n_docs", "geo_mean_chars", "arith_mean_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# zorder_pruned_scan — the Z-order layout on the query surface
+# --------------------------------------------------------------------------
+
+_ZORDER_DIRS: dict[str, str] = {}
+ZORDER_UID_LO, ZORDER_UID_HI = 40, 60
+ZORDER_VAL_LO, ZORDER_VAL_HI = 10.0, 50.0
+
+
+def _zorder_base(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per process) the events table Z-order
+    clustered on (user_id, value) via ``sinks.write_zorder_layout``."""
+    got = _ZORDER_DIRS.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+    import tempfile
+
+    from ..sources.sinks import write_zorder_layout
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_zorder_{os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    write_zorder_layout(ev, base, ["user_id", "value"], n_files=8)
+    _ZORDER_DIRS[sf_dir] = base
+    return base
+
+
+@register(
+    "zorder_pruned_scan",
+    oracle=f"""
+SELECT count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) + 0 AS sum_value
+FROM events
+WHERE user_id BETWEEN {ZORDER_UID_LO} AND {ZORDER_UID_HI}
+  AND value BETWEEN {ZORDER_VAL_LO} AND {ZORDER_VAL_HI}
+""",
+    description="two-dimensional predicate scan over the Z-order clustered events layout",
+    tags=("pipeline", "storage", "scale"),
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puts the Z-order layout on the verified surface: events are
+    stored clustered on the Morton interleave of (user_id, value), and
+    this query filters on BOTH dimensions — each predicate pushes into
+    the parquet scan and each can skip files, because the interleave
+    gives both columns tight per-file min-max stats (measured in
+    test_formats.py; a single-column sort serves only its own key).
+    The census must match the raw parquet originals exactly, proving
+    the rewrite preserved the rows."""
+    from ..sources.formats import read_table
+
+    base = _zorder_base(spark, sf_dir)
+    ev = read_table(spark, base, "parquet")
+    return (
+        ev.filter(
+            F.col("user_id").between(ZORDER_UID_LO, ZORDER_UID_HI)
+            & F.col("value").between(ZORDER_VAL_LO, ZORDER_VAL_HI)
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
