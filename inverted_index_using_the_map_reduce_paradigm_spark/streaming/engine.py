@@ -463,3 +463,81 @@ def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("value", 2) + F.lit(0.0)).alias("value"),
     )
     return _run_to_memory(joined, "append")
+
+
+# --------------------------------------------------------------------------
+# foreachBatch upsert sink: the production merge-into-store write path
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_upsert_store",
+    # arrival-order first-seen upsert; over the pinned single trigger
+    # (and under any doc_id-ordered batch split) the store holds the
+    # batch min-doc_id keeper per hash
+    oracle="""
+SELECT sha256(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM documents GROUP BY content_hash
+""",
+    description="foreachBatch upsert sink: streaming dedup store merged per micro-batch",
+    bench=False,
+    tags=("streaming", "dedup", "sink"),
+)
+def q_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming WRITE pattern the rest of the family
+    doesn't exercise: ``foreachBatch`` hands each micro-batch to
+    ordinary batch code, which MERGES it into a persistent store —
+    here a parquet dedup store keyed on content hash (in-batch groupBy
+    for the batch's keeper, anti-join against the store for cross-
+    batch dedup, append survivors).  Unlike the memory-sink queries,
+    this contract is multi-batch SAFE by construction: every batch
+    dedups against everything already stored, so any micro-batch split
+    (in doc_id order) converges to the same store.
+
+    Scale: the anti-join is hash-store-sized on the build side only if
+    broadcast; at 100 TB the store is bucketed on content_hash (see
+    write_bucketed) so the per-batch anti-join co-partitions with no
+    full-store shuffle, and the store append is the idempotent-by-
+    checkpoint exactly-once path (run_to_parquet_once's contract)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_upsert_{_uuid.uuid4().hex[:8]}"
+    )
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        # documents*.parquet (not the exact name): lets tests feed a
+        # multi-file split corpus one file per trigger
+        .option("pathGlobFilter", "documents*.parquet")
+        .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
+        .parquet(sf_dir)
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                F.sha2("text", 256).alias("content_hash"), "doc_id"
+            )
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keeper_doc_id"))
+        )
+        if os.path.isdir(store):
+            existing = sess.read.parquet(store).select("content_hash")
+            batch = batch.join(existing, "content_hash", "left_anti")
+        batch.write.mode("append").parquet(store)
+
+    q = (
+        docs.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store)
