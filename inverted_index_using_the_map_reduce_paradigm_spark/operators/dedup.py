@@ -165,7 +165,7 @@ def _drop_hot_keys(ex: DataFrame, keys: list[str], cap: int) -> DataFrame:
 
 @register(
     "ngram_jaccard_dedup",
-    oracle=f"""
+    oracle=(NGRAM_JACCARD_ORACLE := f"""
 WITH sh AS (
   SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles FROM documents
 ), sized AS (
@@ -183,7 +183,7 @@ SELECT doc_a, doc_b,
        round(n_common / (na + nb - n_common), 6) AS jaccard
 FROM pairs
 WHERE n_common / (na + nb - n_common) >= {JACCARD_THRESHOLD}
-""",
+"""),
     description="exact n-gram Jaccard near-dup pairs via sparse shingle join",
     tags=("dedup",),
 )
@@ -800,4 +800,89 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_doc_id",
         (F.col("matched_doc_id") % 5 != 0).alias("match_in_base"),
         F.round(jac, 6).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# jaccard_prefix_dedup — prefix-filtered exact Jaccard (PPJoin-style)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "jaccard_prefix_dedup",
+    # same result, same oracle: prefix filtering is candidate PRUNING,
+    # not an approximation — the theorem below guarantees no pair above
+    # the threshold is lost
+    oracle=NGRAM_JACCARD_ORACLE,
+    description="exact n-gram Jaccard near-dups via prefix filtering (same result, pruned candidates)",
+    tags=("dedup", "scale"),
+)
+def q_jaccard_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs_prefix(table(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """``jaccard_pairs``'s exact result with PPJoin-style prefix
+    filtering: under any global total order of shingles, two sets with
+    Jaccard >= t must share a shingle within each one's first
+    ``|s| - ceil(t*|s|) + 1`` shingles (if the prefixes were disjoint,
+    fewer than t*|s| shingles could overlap — below the threshold's
+    minimum intersection).  So the candidate join runs over PREFIXES
+    only, and candidates are re-verified with exact Jaccard on the
+    full sets: identical output, provably, which is why this query
+    shares ``ngram_jaccard_dedup``'s oracle.
+
+    The order is ascending global frequency (rarest first), the
+    standard choice: prefixes then hold each doc's rarest shingles,
+    so the join keys with the worst df² fan-out (stop-shingles) fall
+    OUT of the candidate stage entirely — where ``jaccard_pairs``
+    must cap them away with a recall warning, prefix filtering drops
+    them with zero recall cost.  tests/test_dedup.py measures the
+    candidate-pair reduction.
+
+    Scale: the frequency table joins back on the shingle hash it was
+    aggregated on (exchange reuse, no broadcast — at 100 TB it is
+    vocabulary-sized); the per-doc prefix rank is a window over one
+    doc's shingles; the candidate join and verify join are the same
+    sparse-key shapes as ``jaccard_pairs``."""
+    sh = _shingle_sets(docs)
+    ex = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("s")
+    ).select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
+    freq = ex.groupBy("h").agg(F.count("*").alias("gf"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("h"))
+    ranked = ex.join(freq, "h").withColumn("pos", F.row_number().over(w_doc))
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "h")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.select("doc_id", "shingles", "n_sh")
+    verified = (
+        cand.join(
+            sets.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("shingles", "sh_a")
+            .withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sets.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("shingles", "sh_b")
+            .withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return verified.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )

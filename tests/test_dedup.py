@@ -264,3 +264,65 @@ def test_tfidf_similarity_caps_bound_dense_vocab_pairs(spark):
     assert n_pairs == n // 2
     kept_words = {r.word for r in kept.select("word").collect()}
     assert "common" not in kept_words and "rareaa" in kept_words
+
+
+def test_prefix_filtering_same_pairs_fewer_candidates(spark):
+    """jaccard_prefix_dedup must emit EXACTLY ngram_jaccard_dedup's
+    pairs (prefix filtering is lossless pruning, not approximation)
+    while generating strictly fewer candidate pairs than the
+    all-shingles join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _shingle_sets,
+    )
+
+    qs = load_all()
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in qs["ngram_jaccard_dedup"].fn(spark, SF).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in qs["jaccard_prefix_dedup"].fn(spark, SF).collect()
+    }
+    assert pref == full and full
+
+    # candidate volume: all-shingle join vs prefix join
+    sh = _shingle_sets(table(spark, SF, "documents"))
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s")).select(
+        "doc_id", "n_sh", F.xxhash64("s").alias("h")
+    )
+    all_cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    freq = ex.groupBy("h").agg(F.count("*").alias("gf"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("h"))
+    ranked = ex.join(freq, "h").withColumn("pos", F.row_number().over(w_doc))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1
+    )
+    pref_cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert pref_cand < all_cand
+    print(f"candidates: all-shingles {all_cand} -> prefix {pref_cand}")
