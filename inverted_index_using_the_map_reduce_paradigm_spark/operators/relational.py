@@ -1712,3 +1712,96 @@ def q_join_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census("left_anti", "left_anti"))
         .unionByName(cross)
     )
+
+
+# --------------------------------------------------------------------------
+# market_basket — pairwise part affinity over orders
+# --------------------------------------------------------------------------
+
+BASKET_MIN_BOTH = 2  # minimum co-occurrence support
+BASKET_TOP = 30
+
+
+@register(
+    "market_basket",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+), isup AS (
+  SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+)
+SELECT p.part_a, p.part_b, p.n_both,
+       round(p.n_both * n.n_orders / (sa.s * 1.0 * sb.s), 4) + 0 AS lift
+FROM pairs p
+JOIN isup sa ON sa.l_partkey = p.part_a
+JOIN isup sb ON sb.l_partkey = p.part_b
+CROSS JOIN n
+WHERE p.n_both >= {BASKET_MIN_BOTH}
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP}
+""",
+    description=f"market-basket affinity: top-{BASKET_TOP} part pairs by lift over shared orders",
+    tags=("relational", "join", "agg", "affinity"),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rules-lite over the fact table: which parts ride in
+    the same order more often than chance?  Lift = P(a,b)/(P(a)P(b))
+    over distinct (order, part) pairs, thresholded on co-occurrence
+    support.
+
+    Scale: the pair join fans out k² per ORDER where k is basket size
+    — a bounded, data-model constant (contrast doc-doc joins keyed on
+    corpus-frequency words), so total pair volume is linear in orders;
+    a pathological mega-basket would hit the same hot-key cap
+    discipline as the dedup family.  Item supports are a part-count
+    aggregate broadcast back; the distinct, the pair aggregation, and
+    the top-k (TakeOrdered) are the only shuffles."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    isup = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_BOTH)
+    )
+    sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
+    sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            (
+                F.round(
+                    F.col("n_both") * F.col("n_orders") / (F.col("sa") * F.col("sb")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP)
+    )
