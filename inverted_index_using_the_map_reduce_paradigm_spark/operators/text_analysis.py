@@ -881,3 +881,70 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
         F.sum("new_words").over(w_cum).alias("cum_vocab"),
     )
+
+
+# --------------------------------------------------------------------------
+# doc_keywords — per-document top-k tf-idf terms
+# --------------------------------------------------------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+@register(
+    "doc_keywords",
+    oracle=f"""
+{SQL_TOKS_CTE}
+, tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln(n.n_docs / dfreq.df), 6) + 0 AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(n.n_docs / dfreq.df) DESC, tf.word ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, word, score
+FROM ranked WHERE rank <= {KEYWORDS_PER_DOC}
+""",
+    description=f"top-{KEYWORDS_PER_DOC} tf-idf keywords per document (window group limit)",
+    tags=("text", "query", "topk"),
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction, RAKE-lite: each document's most
+    distinctive terms by tf-idf — the per-doc labels a corpus browser
+    or a weak topic model starts from.
+
+    Scale: tf_idf's shapes (one (doc_id, word) shuffle, vocabulary
+    broadcast, 1-row N) plus a per-doc rank window that
+    InferWindowGroupLimit prunes to a streaming top-{KEYWORDS_PER_DOC}
+    inside the doc_id exchange — the ranking never materializes more
+    than k rows per doc past the sort."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize_documents(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYWORDS_PER_DOC)
+        .select(
+            "doc_id",
+            "rank",
+            "word",
+            (F.round(F.col("raw"), 6) + F.lit(0.0)).alias("score"),
+        )
+    )
