@@ -11,7 +11,10 @@ broadcast back over the corpus.
 
 from __future__ import annotations
 
+import sys
+
 import pandas as pd  # module-level: pandas_udf type hints resolve here
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,6 +22,11 @@ from ..data import table
 from ..functions.text import sql_tokens, tokens_of
 from ..registry import register
 from .dedup import JACCARD_THRESHOLD, sql_shingles
+
+# The grouped-map worker below runs in Python workers; ship this
+# module's functions by value so executors need no package import
+# (same rationale as operators/multimodal.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 # --------------------------------------------------------------------------
 # dataset_split — deterministic, engine-portable train/val/test assignment
@@ -1003,4 +1011,67 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# mad_by_lang — grouped-map applyInPandas on the surface
+# --------------------------------------------------------------------------
+
+MAD_SCHEMA = "lang string, n_docs long, median_chars double, mad_chars double"
+
+
+def _mad_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map worker: one language's rows arrive as a single
+    pandas frame; return its robust-spread summary row."""
+    import numpy as np
+
+    x = pdf["n_chars"].to_numpy(dtype="float64")
+    m = float(np.median(x))
+    mad = float(np.median(np.abs(x - m)))
+    return pd.DataFrame(
+        {
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(x)],
+            "median_chars": [round(m, 4) + 0.0],
+            "mad_chars": [round(mad, 4) + 0.0],
+        }
+    )
+
+
+@register(
+    "mad_by_lang",
+    oracle="""
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS m FROM documents GROUP BY lang
+)
+SELECT d.lang, count(*) AS n_docs,
+       round(any_value(med.m), 4) + 0 AS median_chars,
+       round(quantile_cont(abs(d.n_chars - med.m), 0.5), 4) + 0 AS mad_chars
+FROM documents d JOIN med USING (lang)
+GROUP BY d.lang
+""",
+    description="per-language median + median absolute deviation of doc length (grouped-map applyInPandas)",
+    tags=("pipeline", "profile", "udf"),
+)
+def q_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length profile per stratum: median and MAD are the
+    outlier-immune center/spread pair (winsorized_stats' cousin on the
+    documents table), and MAD needs TWO dependent order statistics —
+    the shape that motivates handing the whole group to custom code.
+
+    This completes the Arrow UDF surface: grouped-map
+    ``applyInPandas`` (one group in, any rows out), alongside the
+    scalar, grouped-agg, cogrouped, stateful, and mapInPandas flavors
+    already on the registry.  Scale honesty: grouped-map ships the
+    ENTIRE group to one task — right for bounded strata, wrong for
+    corpus-sized keys, where the two-pass built-in percentile form
+    (the oracle's shape: distributed sort-based quantiles, then a
+    second aggregation over deviations) or a t-digest sketch takes
+    over.  Both computations are hash-checked equal here."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(_mad_group, schema=MAD_SCHEMA)
     )
