@@ -748,13 +748,14 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production store keeps shingle sets or re-reads just those docs)."""
     docs = table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % 5 == 0
-    sh_all = _shingle_sets(docs)
-    # One band table stands in for the STORE: a doc's bands depend only
-    # on its own text, so filtering the corpus band table by side is
-    # identical to banding each side separately — and the shingle UDF +
-    # signature aggregation run once, with ReuseExchange sharing the
-    # subtree between the two filters.
-    bands_all = _minhash_band_table(sh_all, HOT_BAND_CAP)
+    # Both derived tables are localCheckpoint-ed because they stand in
+    # for what a production pipeline PERSISTS at ingest (the shingle
+    # sets and the band table), and because five join branches consume
+    # them — without materialization Spark re-evaluates the shingle UDF
+    # and the 16-hash signature aggregation once per branch (measured
+    # 12 UDF evaluations in the un-checkpointed plan).
+    sh_all = _shingle_sets(docs).localCheckpoint()
+    bands_all = _minhash_band_table(sh_all, HOT_BAND_CAP).localCheckpoint()
     base_bands = bands_all.filter(~((F.col("doc_id") % 5) == 0))
     delta_bands = bands_all.filter((F.col("doc_id") % 5) == 0)
 
