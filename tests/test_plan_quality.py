@@ -642,3 +642,25 @@ def test_tfidf_doc_similarity_caps_sit_below_the_pair_join(spark):
     assert "(df#" in plan and "* 10) <= (n_docs#" in plan
     assert "<= 100000)" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_signature_store_queries_run_the_udf_zero_times_per_execution(spark):
+    """jaccard_prefix_dedup and incremental_near_dedup materialize
+    their signature stores (localCheckpoint): the execution plan must
+    contain NO Python UDF evaluation (the shingle work happened once at
+    store build) and must read the materialized store instead —
+    regression pin for the diamond-DAG re-evaluation (measured 8 and 12
+    UDF evaluations before materialization)."""
+    for name in ("jaccard_prefix_dedup", "incremental_near_dedup"):
+        plan = physical_plan(spark, name)
+        assert "ArrowEvalPython" not in plan, name
+        assert "Scan ExistingRDD" in plan, name
+
+
+def test_market_basket_broadcasts_supports_with_takeordered(spark):
+    """Item supports and the order count join back as broadcasts; the
+    top-k is TakeOrdered, never a global sort."""
+    plan = physical_plan(spark, "market_basket")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
