@@ -1051,24 +1051,65 @@ SELECT d.lang, count(*) AS n_docs,
 FROM documents d JOIN med USING (lang)
 GROUP BY d.lang
 """,
-    description="per-language median + median absolute deviation of doc length (grouped-map applyInPandas)",
-    tags=("pipeline", "profile", "udf"),
+    description="per-language median + median absolute deviation of doc length (two-pass built-in percentile)",
+    tags=("pipeline", "profile"),
 )
 def q_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust length profile per stratum: median and MAD are the
     outlier-immune center/spread pair (winsorized_stats' cousin on the
-    documents table), and MAD needs TWO dependent order statistics —
-    the shape that motivates handing the whole group to custom code.
+    documents table).  MAD needs TWO dependent order statistics, so
+    this is the two-pass built-in form — distributed exact percentile
+    for the per-group median, a broadcast join of the tiny per-lang
+    median table (rows = #languages, bounded) back onto the rows, then
+    a second percentile over the absolute deviations.  Every stage is
+    JVM-side and group size never has to fit one task, so this is the
+    shape that survives corpus-sized strata; the grouped-map
+    ``applyInPandas`` flavor of the same computation is registered as
+    ``mad_by_lang_grouped`` (right only for bounded groups)."""
+    docs = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = docs.groupBy("lang").agg(F.percentile("n_chars", 0.5).alias("m"))
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.any_value("m"), 4) + F.lit(0.0)).alias("median_chars"),
+            (
+                F.round(
+                    F.percentile(F.abs(F.col("n_chars") - F.col("m")), 0.5), 4
+                )
+                + F.lit(0.0)
+            ).alias("mad_chars"),
+        )
+    )
 
-    This completes the Arrow UDF surface: grouped-map
-    ``applyInPandas`` (one group in, any rows out), alongside the
-    scalar, grouped-agg, cogrouped, stateful, and mapInPandas flavors
-    already on the registry.  Scale honesty: grouped-map ships the
-    ENTIRE group to one task — right for bounded strata, wrong for
-    corpus-sized keys, where the two-pass built-in percentile form
-    (the oracle's shape: distributed sort-based quantiles, then a
-    second aggregation over deviations) or a t-digest sketch takes
-    over.  Both computations are hash-checked equal here."""
+
+@register(
+    "mad_by_lang_grouped",
+    oracle="""
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS m FROM documents GROUP BY lang
+)
+SELECT d.lang, count(*) AS n_docs,
+       round(any_value(med.m), 4) + 0 AS median_chars,
+       round(quantile_cont(abs(d.n_chars - med.m), 0.5), 4) + 0 AS mad_chars
+FROM documents d JOIN med USING (lang)
+GROUP BY d.lang
+""",
+    description="same MAD profile via grouped-map applyInPandas (bounded-key UDF flavor)",
+    tags=("pipeline", "profile", "udf"),
+)
+def q_mad_by_lang_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map ``applyInPandas`` flavor of ``mad_by_lang`` —
+    one group arrives as a single pandas frame and custom code returns
+    its summary row.  This completes the Arrow UDF surface (grouped-map
+    alongside the scalar, grouped-agg, cogrouped, stateful and
+    mapInPandas flavors already registered).  Scale honesty: grouped-map
+    ships the ENTIRE group to one task, so it is right only for bounded
+    strata like the ~5-language key here; the registered primary
+    ``mad_by_lang`` is the two-pass built-in percentile form that
+    distributes within each group.  Both share one oracle, so the
+    driver hash-checks them equal."""
     docs = table(spark, sf_dir, "documents")
     return (
         docs.select("lang", "n_chars")

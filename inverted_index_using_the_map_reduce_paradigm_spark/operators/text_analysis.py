@@ -137,9 +137,12 @@ GROUP BY p.lang
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = tokenize_documents(docs).join(
-        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
-    )
+    # `lang` rides through the explode itself (extra_cols) — NO join:
+    # the alternative (joining the token stream back to a broadcast of
+    # doc_id->lang) broadcasts one row per *document*, which is corpus-
+    # sized and OOMs at scale.  Carrying the column is free: it is one
+    # extra parquet column pruned at the scan, duplicated per token.
+    toks = tokenize_documents(docs, extra_cols=["lang"])
     per_lang = toks.groupBy("lang").agg(
         F.count("*").alias("n_tokens"),
         F.countDistinct("word").alias("n_distinct_words"),
@@ -665,8 +668,10 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the absolute ``SIM_DF_CAP`` are excluded from the whole
     computation: a near-universal word carries no similarity signal
     but contributes df² join pairs, so the caps are what keep the
-    posting join actually sparse as the corpus grows.  Norms are a
-    per-doc aggregate broadcast back, and top-k is TakeOrdered."""
+    posting join actually sparse as the corpus grows.  The per-doc
+    norm table is corpus-sized, so it is joined WITHOUT a broadcast
+    hint (AQE picks broadcast at small scale, shuffle at large);
+    top-k is TakeOrdered."""
     docs = table(spark, sf_dir, "documents")
     toks = tokenize_documents(docs)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
@@ -699,11 +704,16 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("d"))
     )
+    # NOTE: `nrm` has one row per document — corpus-sized, so it must
+    # NOT carry a broadcast hint (a 25B-row broadcast is an instant OOM
+    # at 100 TB).  Left unhinted, AQE broadcasts it at fixture scale and
+    # falls back to a shuffle join at scale; `dot` is pair-bounded by
+    # the df caps, so the shuffle join is cheap either way.
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nb"))
     return (
-        dot.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

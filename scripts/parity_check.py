@@ -13,16 +13,19 @@ count (the driver's rows-only check).
 
 from __future__ import annotations
 
-import math
+import os
 import sys
 import time
 
-import duckdb
 import pandas as pd
 
-sys.path.insert(0, ".")
+# Resolve the repo root from this file so the script runs from any cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from inverted_index_using_the_map_reduce_paradigm_spark.data import TABLES
+from inverted_index_using_the_map_reduce_paradigm_spark.parity import (
+    duck_con,
+    normalize,
+)
 from inverted_index_using_the_map_reduce_paradigm_spark.registry import (
     _prior_driver_rows,
     load_all,
@@ -30,33 +33,21 @@ from inverted_index_using_the_map_reduce_paradigm_spark.registry import (
 from inverted_index_using_the_map_reduce_paradigm_spark.session import get_spark
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-
-    def cell(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "<null>"
-        if isinstance(v, float):
-            return f"{v:.6f}"
-        return str(v)
-
-    out = df.apply(lambda col: col.map(cell))
-    return out.sort_values(by=list(out.columns), ignore_index=True)
-
-
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     qs = load_all()
     if len(sys.argv) > 2:
         names = sys.argv[2:]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}\nknown: {sorted(qs)}")
+            return 2
     else:
         covered, _ = _prior_driver_rows()
         names = [n for n in qs if n not in covered]
 
     spark = get_spark()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duck_con(sf_dir)
 
     failures = []
     for name in names:

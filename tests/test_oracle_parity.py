@@ -14,37 +14,16 @@ themselves so exact match is the expectation).
 
 from __future__ import annotations
 
-import math
-
-import duckdb
 import pandas as pd
 import pytest
 
-from inverted_index_using_the_map_reduce_paradigm_spark.data import TABLES
+from inverted_index_using_the_map_reduce_paradigm_spark.parity import (
+    duck_con,
+    normalize,
+)
 from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
 
 SF = "/root/testdata/sf0.001"
-
-
-def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con
-
-
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # stringify with float rounding for a stable sort/compare
-    def cell(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "<null>"
-        if isinstance(v, float):
-            return f"{v:.6f}"
-        return str(v)
-
-    out = df.apply(lambda col: col.map(cell))
-    return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
 ORACLE_QUERIES = [(n, q) for n, q in load_all().items() if q.oracle]

@@ -657,6 +657,62 @@ def test_signature_store_queries_run_the_udf_zero_times_per_execution(spark):
         assert "Scan ExistingRDD" in plan, name
 
 
+def test_text_stats_carries_lang_through_explode_no_docid_join(spark):
+    """`lang` must ride the tokenize explode itself (extra_cols), never
+    a join of the token stream back to a doc_id->lang map — that map is
+    one row per DOCUMENT, and broadcasting it is a 100 TB OOM
+    (regression pin: the query used to do exactly that).  The only join
+    left combines the two per-language rollups (#languages rows each)."""
+    df = load_all()["text_stats"].fn(spark, SF)
+    assert len(audit.join_strategies(df)) == 1
+    plan = audit.physical_plan(df)
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "lang" in ln
+    ]
+    assert join_lines and not any("doc_id" in ln for ln in join_lines)
+    # and no join anywhere keys on doc_id
+    assert not any(
+        "doc_id" in ln for ln in plan.splitlines() if "Join " in ln
+    )
+
+
+def test_tfidf_doc_similarity_norm_tables_join_unhinted(spark):
+    """The per-doc norm table (`nrm`) is corpus-sized: it must NOT
+    carry a broadcast hint (regression pin: there were 4 hints — the
+    vocab `kept`, the 1-row `n_docs`, and the two norm aliases; the
+    norm hints were 100 TB OOMs).  AQE remains free to broadcast at
+    fixture scale, so the pin is on the analyzed logical plan's
+    EXPLICIT hints, not on the runtime physical strategy.  The `w`
+    subtree (which legitimately hints the vocab `kept` and 1-row `n`)
+    is duplicated per alias in the analyzed tree, so the pin inspects
+    each hint's CHILD operator: every hint must sit over the df-cap
+    Filter or the corpus-count Aggregate, never over the norm table
+    (a `nw`/sqrt projection)."""
+    df = load_all()["tfidf_doc_similarity"].fn(spark, SF)
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    hint_children = [
+        lines[i + 1] for i, ln in enumerate(lines) if "ResolvedHint" in ln
+    ]
+    assert hint_children
+    for child in hint_children:
+        assert ("Filter" in child and "df#" in child) or (
+            "Aggregate [count(1) AS n_docs" in child
+        ), child
+        assert "nw" not in child and "SQRT" not in child.upper(), child
+
+
+def test_mad_by_lang_two_pass_percentile_broadcasts_tiny_medians(spark):
+    """The registered primary must be the built-in two-pass percentile
+    form: the only broadcast is the per-lang median table (#languages
+    rows), there is no Python evaluation, and no grouped-map ships a
+    whole stratum to one task."""
+    plan = physical_plan(spark, "mad_by_lang")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "percentile" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_market_basket_broadcasts_supports_with_takeordered(spark):
     """Item supports and the order count join back as broadcasts; the
     top-k is TakeOrdered, never a global sort."""
