@@ -39,11 +39,22 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else -1.0
 
+    # Load annotation: BENCH_r04's driver run came in ~2x the committed
+    # quiet medians with two >10x outliers, and nothing in the artifact
+    # recorded the host conditions — so driver-vs-quiet discrepancies
+    # had to be argued instead of read.  Record wall-clock timestamps
+    # and the 1-minute loadavg around each query (and for the whole
+    # run) so any inflated number carries its own explanation.
+    started_at = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    load_start = round(os.getloadavg()[0], 2)
+
     timings: dict[str, float] = {}
+    conditions: dict[str, dict] = {}
     for name, q in load_all().items():
         if not q.bench:
             continue
         t0 = time.perf_counter()
+        load_before = round(os.getloadavg()[0], 2)
         df = q.fn(spark, SF_DIR)
         warm = run_once(df)  # warm-up (also JIT + file listing)
         # The plan is built ONCE and re-executed per timed run (the noop
@@ -54,11 +65,17 @@ def main() -> None:
         # their cross-run variance is absolute noise, and the saved wall
         # time keeps the full 90+-query suite inside the harness budget.
         runs = RUNS if warm >= 0.3 else 1
-        timings[name] = round(
-            statistics.median(run_once(df) for _ in range(runs)), 4
-        )
+        samples = sorted(run_once(df) for _ in range(runs))
+        timings[name] = round(statistics.median(samples), 4)
+        conditions[name] = {
+            "runs": [round(s, 4) for s in samples],
+            "warm": round(warm, 4),
+            "load1_before": load_before,
+            "load1_after": round(os.getloadavg()[0], 2),
+        }
         print(
-            f"{name} median={timings[name]:.2f} wall={time.perf_counter() - t0:.2f}",
+            f"{name} median={timings[name]:.2f} wall={time.perf_counter() - t0:.2f}"
+            f" load1={conditions[name]['load1_after']:.1f}",
             file=sys.stderr,
             flush=True,
         )
@@ -69,6 +86,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
+        "load1": [load_start, round(os.getloadavg()[0], 2)],
+        "started_at": started_at,
     }
     # The driver keeps only the last ~2000 chars of stdout, so a JSON
     # line longer than that is truncated mid-object and never parses
@@ -82,7 +101,21 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",
     ) as f:
-        json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump(
+            {
+                "sf": sf,
+                "started_at": started_at,
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+                "load1_start": load_start,
+                "load1_end": round(os.getloadavg()[0], 2),
+                "ncpus": os.cpu_count(),
+                "queries": timings,
+                "conditions": conditions,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
 
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1800:

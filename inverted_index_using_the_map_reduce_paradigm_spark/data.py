@@ -107,6 +107,26 @@ def _canon(df: DataFrame, name: str) -> DataFrame:
     return df.withColumns({c: F.col(c).cast(t) for c, t in drifted.items()})
 
 
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage / pin a multi-consumer table, cluster-safely.
+
+    Every iterative operator (connected components, PageRank, BPE) and
+    every multi-consumer signature store needs its state materialized
+    per round.  ``localCheckpoint`` is the right default on local[
+    N] — no HDFS round-trip — but it stores blocks on executors ONLY,
+    so an executor loss on a real cluster kills the job with no
+    recompute path.  When the session has a reliable checkpoint
+    directory configured (``sc.setCheckpointDir``), use the reliable
+    ``checkpoint`` instead: blocks land in fault-tolerant storage and
+    survive executor churn.  One switch, honored everywhere, so a
+    cluster deployment flips ALL materialization sites at once.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..data import table
+from ..data import materialize, table
 from ..functions.text import sql_tokens, tokens_of
 from ..registry import register
 
@@ -450,16 +450,18 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     large-star/small-star variant that halves round count is not worth
     its extra shuffles here).
 
-    Iterative lineage is truncated every round with ``localCheckpoint``
-    (on a cluster with a checkpoint dir, swap for reliable
-    ``checkpoint``) — without it each round's plan re-plans all prior
-    rounds and driver planning time grows quadratically.
+    Iterative lineage is truncated every round with ``materialize``
+    (``localCheckpoint`` locally; the reliable ``checkpoint`` whenever
+    the session has ``sc.setCheckpointDir`` configured, so a cluster
+    run survives executor loss) — without it each round's plan
+    re-plans all prior rounds and driver planning time grows
+    quadratically.
     """
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(max_iter):
         neigh = (
@@ -477,7 +479,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.col("old_label"), F.coalesce("nlabel", "old_label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = new.filter(F.col("label") != F.col("old_label")).limit(1).count()
         labels = new.select("doc_id", "label")
@@ -537,7 +539,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         jaccard_pairs(table(spark, sf_dir, "documents"))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -617,7 +619,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, not the engine, is wrong)."""
     docs = table(spark, sf_dir, "documents")
     pairs = (
-        jaccard_pairs(docs).select("doc_a", "doc_b").localCheckpoint(eager=True)
+        jaccard_pairs(docs).select("doc_a", "doc_b").transform(materialize)
     )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -754,8 +756,8 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them — without materialization Spark re-evaluates the shingle UDF
     # and the 16-hash signature aggregation once per branch (measured
     # 12 UDF evaluations in the un-checkpointed plan).
-    sh_all = _shingle_sets(docs).localCheckpoint()
-    bands_all = _minhash_band_table(sh_all, HOT_BAND_CAP).localCheckpoint()
+    sh_all = _shingle_sets(docs).transform(materialize)
+    bands_all = _minhash_band_table(sh_all, HOT_BAND_CAP).transform(materialize)
     base_bands = bands_all.filter(~((F.col("doc_id") % 5) == 0))
     delta_bands = bands_all.filter((F.col("doc_id") % 5) == 0)
 
@@ -822,8 +824,18 @@ def q_jaccard_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(table(spark, sf_dir, "documents"))
 
 
+# Candidate sets at or below this many pairs broadcast into the verify
+# joins (~tens of MB of HashedRelation); above it the hint is withheld
+# and the verify runs as ordinary shuffle joins — a pathological corpus
+# (every doc sharing rare shingles) can then still complete instead of
+# OOMing the broadcast build.
+PREFIX_BROADCAST_CAP = 1_000_000
+
+
 def jaccard_pairs_prefix(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    broadcast_cap: int = PREFIX_BROADCAST_CAP,
 ) -> DataFrame:
     """``jaccard_pairs``'s exact result with PPJoin-style prefix
     filtering: under any global total order of shingles, two sets with
@@ -873,7 +885,7 @@ def jaccard_pairs_prefix(
             ).alias("hs"),
             F.first("n_sh").alias("n_sh"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
@@ -892,16 +904,25 @@ def jaccard_pairs_prefix(
         .distinct()
     )
     # the pruned candidate set is small by construction (that is the
-    # point of the prefix), so it BROADCASTS into the verify joins and
-    # the signature arrays stream through map-side; intersections count
-    # hash matches, exactly as jaccard_pairs' posting join does
+    # point of the prefix), so it normally BROADCASTS into the verify
+    # joins and the signature arrays stream through map-side — but
+    # "small by construction" is a claim, not a guarantee, so ENFORCE
+    # it: materialize the candidates (they are consumed by the verify
+    # either way, and materializing also stops the prefix join from
+    # re-running per consumer), count them, and withhold the hint
+    # above the cap — the verify then falls back to shuffle joins,
+    # which complete on any corpus instead of OOMing the broadcast
+    # build.  Intersections count hash matches, exactly as
+    # jaccard_pairs' posting join does.
+    cand = materialize(cand)
+    cand_hinted = F.broadcast(cand) if cand.count() <= broadcast_cap else cand
     verified = (
         sets.select(
             F.col("doc_id").alias("doc_a"),
             F.col("hs").alias("hs_a"),
             F.col("n_sh").alias("na"),
         )
-        .join(F.broadcast(cand), "doc_a")
+        .join(cand_hinted, "doc_a")
         .join(
             sets.select(
                 F.col("doc_id").alias("doc_b"),

@@ -18,7 +18,7 @@ from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import table
+from ..data import materialize, table
 from ..functions.text import sql_tokens, tokens_of
 from ..registry import register
 from .dedup import JACCARD_THRESHOLD, sql_shingles
@@ -401,7 +401,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         jaccard_pairs(survivors)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

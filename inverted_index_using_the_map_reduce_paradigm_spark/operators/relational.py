@@ -1756,31 +1756,53 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     over distinct (order, part) pairs, thresholded on co-occurrence
     support.
 
-    Scale: the pair join fans out k² per ORDER where k is basket size
-    — a bounded, data-model constant (contrast doc-doc joins keyed on
-    corpus-frequency words), so total pair volume is linear in orders;
-    a pathological mega-basket would hit the same hot-key cap
-    discipline as the dedup family.  Item supports are a part-count
-    aggregate broadcast back; the distinct, the pair aggregation, and
-    the top-k (TakeOrdered) are the only shuffles."""
-    items = (
+    Scale/robustness: pair generation is ARRAY-LOCAL — one
+    ``collect_set`` shuffle builds each order's basket, then the
+    ordered pairs come from a sorted-array slice expression inside
+    codegen, so there is no self-join at all.  The previous self-join
+    form was oracle-correct but fragile: AQE runtime-broadcast the
+    entire distinct items table (corpus-sized — fine at fixture scale,
+    ~10-30 MB borderline, and exactly the memory-pressure-sensitive
+    build that degraded >10x under host contention in BENCH_r04), and
+    lineitem was scanned + distinct-shuffled three times (pairs,
+    supports, order count).  Now the supports branch reads the SAME
+    basket exchange (ReusedExchange at runtime), and the order-count
+    branch is column-pruned by Catalyst to a one-column distinct —
+    cheaper than reuse would be.  Pair volume is k² per order
+    where k is basket size, a data-model constant (TPC-H ≤ 7); a
+    pathological mega-basket would hit the same hot-key cap discipline
+    as the dedup family.  Supports are a part-count aggregate
+    broadcast back; the pair aggregation and the TakeOrdered top-k
+    are the only other shuffles."""
+    baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
-    isup = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
-    a, b = items.alias("a"), items.alias("b")
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    isup = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("s"))
+    )
+    # ordered pairs (a < b) straight from the sorted array: for element
+    # i, pair it with every later element — k(k-1)/2 structs per order,
+    # all inside whole-stage codegen.
+    parts = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= BASKET_MIN_BOTH)
     )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..data import table
+from ..data import materialize, table
 from ..functions.text import sql_tokens, tokenize_documents, tokens_of
 from ..registry import register
 from .dedup import shingles_of, sql_shingles
@@ -625,8 +625,9 @@ def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded per-doc vocab self-join as ``pmi_cooccurrence``.  Each
     iteration is one edge-keyed join plus one dst-keyed aggregate over
     the VOCAB-sized rank table — corpus data is never touched again.
-    Lineage is truncated per round (localCheckpoint; reliable
-    checkpoint on a cluster) so the plan does not deepen with
+    Lineage is truncated per round (``materialize``: localCheckpoint
+    locally, reliable checkpoint when a checkpoint dir is
+    configured) so the plan does not deepen with
     iterations, and N arrives as a broadcast single-row aggregate, not
     a driver count().
     """
@@ -651,8 +652,8 @@ def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w1").alias("src"), F.col("w2").alias("dst")
     ).unionAll(pair.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
     deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
-    edv = ed.join(deg, "src").localCheckpoint(eager=False)
-    nodes = dfreq.select("word").localCheckpoint(eager=False)
+    edv = ed.join(deg, "src").transform(materialize, eager=False)
+    nodes = dfreq.select("word").transform(materialize, eager=False)
     nn = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
@@ -675,7 +676,7 @@ def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize, eager=False)
         )
     return ranks.select(
         "word", (F.round("rank", 6) + F.lit(0.0)).alias("pagerank")
@@ -726,7 +727,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     syms = wf.select(
         "freq",
         F.filter(F.split("word", ""), lambda c: c != "").alias("arr"),
-    ).localCheckpoint()
+    ).transform(materialize)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, BPE_MERGES + 1):
@@ -766,7 +767,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        syms = syms.select("freq", merged.alias("arr")).localCheckpoint()
+        syms = syms.select("freq", merged.alias("arr")).transform(materialize)
 
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_freq bigint"

@@ -326,3 +326,58 @@ def test_prefix_filtering_same_pairs_fewer_candidates(spark):
     )
     assert pref_cand < all_cand
     print(f"candidates: all-shingles {all_cand} -> prefix {pref_cand}")
+
+
+def test_materialize_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """materialize() must switch every checkpoint site to the reliable
+    (fault-tolerant storage) form when the session has a checkpoint dir
+    configured, producing identical results — the one-switch cluster
+    deployment contract.  near_dup_clusters exercises the iterative
+    connected-components loop plus the materialized pair set."""
+    qs = load_all()
+    local_rows = sorted(
+        map(tuple, qs["near_dup_clusters"].fn(spark, SF).collect())
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = tmp_path / "ckpt"
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        reliable_rows = sorted(
+            map(tuple, qs["near_dup_clusters"].fn(spark, SF).collect())
+        )
+        # the reliable path really ran: checkpoint data landed on disk
+        assert any(ckpt.rglob("*")), "no reliable checkpoint files written"
+    finally:
+        # Scala's setCheckpointDir(null) resolves to Option(null)=None,
+        # restoring local mode for the rest of the suite.
+        sc._jsc.setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
+    assert local_rows == reliable_rows
+
+
+def test_prefix_dedup_broadcast_guard_fallback_matches(spark):
+    """A dense corpus (every doc a near-duplicate) exercises the
+    candidate-count guard: with the cap forced to 0 the broadcast hint
+    is withheld and the verify runs as plain joins — the output must be
+    identical to the hinted path (the guard changes strategy, never
+    semantics)."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant{i % 3}")
+        for i in range(1, 31)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hinted = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_prefix(docs).collect()
+    }
+    fallback = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_prefix(docs, broadcast_cap=0).collect()
+    }
+    assert hinted  # the dense corpus really produced near-dup pairs
+    assert hinted == fallback

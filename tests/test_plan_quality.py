@@ -715,8 +715,17 @@ def test_mad_by_lang_two_pass_percentile_broadcasts_tiny_medians(spark):
 
 def test_market_basket_broadcasts_supports_with_takeordered(spark):
     """Item supports and the order count join back as broadcasts; the
-    top-k is TakeOrdered, never a global sort."""
-    plan = physical_plan(spark, "market_basket")
+    top-k is TakeOrdered, never a global sort; and pair generation is
+    array-local — NO join keyed on l_orderkey may appear (the old
+    self-join form let AQE runtime-broadcast the corpus-sized items
+    table), and the supports branch reuses the basket exchange at
+    runtime instead of re-scanning lineitem."""
+    df = load_all()["market_basket"].fn(spark, SF)
+    plan = audit.physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+    assert not any(
+        "l_orderkey" in ln for ln in plan.splitlines() if "Join" in ln
+    )
+    assert "ReusedExchange" in audit.final_adaptive_plan(df)
