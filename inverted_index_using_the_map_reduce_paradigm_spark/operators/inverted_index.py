@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..data import table
-from ..functions.text import sql_tokens, tokenize_documents, tokens_of
+from ..functions.text import (
+    sql_tokens,
+    tokenize_documents,
+    tokenize_documents_distinct,
+    tokens_of,
+)
 from ..registry import register
 
 # Shared DuckDB CTE: the normalized (doc_id, word) token stream.
@@ -44,11 +49,18 @@ WITH toks AS (
 def build_index(documents: DataFrame) -> DataFrame:
     """word -> sorted posting list + doc_freq + letter partition key.
 
-    ``collect_set`` makes the per-doc distinct (reference R7) implicit in
-    the aggregation — a single shuffle with map-side partial aggregation.
+    The per-doc distinct (reference R7, the mapper's per-file hash set,
+    main.c++:131-140) runs ARRAY-LOCALLY before the explode
+    (``tokenize_documents_distinct``): repeated tokens die inside the
+    scan stage, so the aggregation — still a single shuffle with
+    map-side partial ``collect_set`` — probes per-doc vocabulary rows,
+    not corpus token volume.  This is exactly where the reference does
+    its dedup work too; doing it later (dedup inside the agg hash
+    table) is semantically identical but pushes every occurrence
+    through a per-row hash probe.
     """
     return (
-        tokenize_documents(documents)
+        tokenize_documents_distinct(documents)
         .groupBy("word")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
         .withColumn("doc_freq", F.size("postings"))

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..data import materialize, table
-from ..functions.text import sql_tokens, tokenize_documents, tokens_of
+from ..functions.text import (
+    sql_tokens,
+    tokenize_documents,
+    tokenize_documents_distinct,
+    tokens_of,
+)
 from ..registry import register
 from .dedup import shingles_of, sql_shingles
 from .pipeline import _SPLIT_MULT, _TRAIN_PCT, _VAL_PCT
@@ -353,7 +358,8 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side ``count()`` action.
     """
     docs = table(spark, sf_dir, "documents")
-    dv = tokenize_documents(docs).distinct()
+    # per-doc distinct vocab with NO exchange: dedup is array-local
+    dv = tokenize_documents_distinct(docs)
     dfreq = (
         dv.groupBy("word")
         .agg(F.count("*").alias("df"))
@@ -632,7 +638,8 @@ def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a driver count().
     """
     docs = table(spark, sf_dir, "documents")
-    dv = tokenize_documents(docs).distinct()
+    # per-doc distinct vocab with NO exchange: dedup is array-local
+    dv = tokenize_documents_distinct(docs)
     dfreq = (
         dv.groupBy("word")
         .agg(F.count("*").alias("df"))

@@ -39,6 +39,17 @@ def build_corpus(base: str, mult: int) -> str:
     import duckdb
 
     d = os.path.join(base, f"corpus_x{mult}")
+    manifest = os.path.join(base, f"manifest_x{mult}.txt")
+    if os.path.exists(manifest):
+        # Reuse an existing corpus: rewriting GiBs immediately before
+        # timing leaves the page cache cold and writeback competing
+        # with the first reads — re-runs on a built corpus measure
+        # steady-state IO on both sides instead.
+        paths = open(manifest).read().split()[1:]
+        if all(os.path.exists(p) for p in paths):
+            size = sum(os.path.getsize(p) for p in paths)
+            print(f"corpus (reused): {len(paths)} files, {size / 2**20:.0f} MiB")
+            return manifest
     os.makedirs(d, exist_ok=True)
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM '{SF_PARQUET}' ORDER BY doc_id"
@@ -49,7 +60,6 @@ def build_corpus(base: str, mult: int) -> str:
         with open(p, "w") as f:
             f.write((text + "\n") * mult)
         paths.append(p)
-    manifest = os.path.join(base, f"manifest_x{mult}.txt")
     with open(manifest, "w") as f:
         f.write(f"{len(paths)}\n" + "\n".join(paths) + "\n")
     size = sum(os.path.getsize(p) for p in paths)
