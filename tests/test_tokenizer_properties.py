@@ -101,3 +101,43 @@ def test_tokenizer_edge_cases(spark):
     }
     got = spark_tokens_batch(spark, list(cases))
     assert got == list(cases.values())
+
+
+def test_tokenize_distinct_equals_distinct_of_stream(spark):
+    """tokenize_documents_distinct (array-local dedup before the
+    explode, zero shuffle) must emit exactly the distinct rows of the
+    occurrence stream — the equivalence that lets build_index and the
+    PMI/PageRank graph builds drop a corpus-wide exchange.  Exercised
+    on the real fixture plus adversarial repetition/tab cases."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.functions.text import (
+        tokenize_documents,
+        tokenize_documents_distinct,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [
+            (100001, "dup dup dup dup unique"),
+            (100002, "a b\ta a\tb b"),
+            (100003, "Case case CASE 123 !!!"),
+            (100004, ""),
+        ],
+        "doc_id long, text string",
+    )
+    for frame in (docs.select("doc_id", "text"), extra):
+        want = {
+            (r.doc_id, r.word)
+            for r in tokenize_documents(frame).distinct().collect()
+        }
+        got_rows = tokenize_documents_distinct(frame).collect()
+        got = {(r.doc_id, r.word) for r in got_rows}
+        assert got == want
+        assert len(got_rows) == len(got)  # already-distinct: no dup rows
+    # and the whole point: the plan has NO exchange at all
+    plan = tokenize_documents_distinct(
+        extra
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
