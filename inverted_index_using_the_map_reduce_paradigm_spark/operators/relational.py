@@ -1106,10 +1106,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate instead of two correlated self-joins:
     ``EXISTS(other supplier)`` is ``countDistinct(suppkey) > 1`` and
     ``NOT EXISTS(other LATE supplier)`` is ``countDistinct(late
-    suppkey) = 1`` given the current line is late.  One extra shuffle
-    on orderkey replaces two more self-joins of the fact table — at
-    100 TB that's the difference between 2 and 4 full lineitem
-    shuffles.  (Late = shipped >60 days after order date, as in
+    suppkey) = 1`` given the current line is late.  The aggregate also
+    carries WHO the sole late supplier is (``n_late_supp = 1`` makes
+    ``max(late suppkey)`` exactly that supplier) and how many late
+    lines it shipped, so the result needs NO join back to the fact:
+    one orderkey shuffle total where the correlated-subquery form
+    costs three fact self-shuffles — at 100 TB that's the whole
+    query.  (Late = shipped >60 days after order date, as in
     tpch_q12; 'F' orders only, per the original query.)"""
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -1123,20 +1126,32 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
         )
     )
-    ord_stats = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
-    )
-    sole_late = (
-        li.filter(F.col("late"))
-        .join(ord_stats, F.col("l_orderkey") == F.col("g_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    # distinct-free qualification: >=2 distinct suppliers is
+    # min(suppkey) < max(suppkey), and "exactly one distinct late
+    # supplier" is late-min == late-max (non-null) — min/max fold
+    # map-side with no Expand, where countDistinct triples the
+    # aggregation input rows (one expand branch per distinct column).
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
+    qualified = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+            F.min(late_supp).alias("sole_supp"),
+            F.max(late_supp).alias("late_max"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines"),
+        )
+        .filter(
+            (F.col("supp_min") < F.col("supp_max"))
+            & F.col("sole_supp").isNotNull()
+            & (F.col("sole_supp") == F.col("late_max"))
+        )
     )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        qualified.join(F.broadcast(supp), F.col("sole_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
     )
 
 
