@@ -142,8 +142,10 @@ def main(argv: list[str]) -> int:
     # validate: every manifest entry must surface in the scan (loud
     # failure beats silently dropping a document on a path-encoding
     # mismatch; the extra scan is acceptable in the CLI entry point)
-    docs = read_corpus(spark, manifest, validate=True)
-    write_letter_index(formatted_index(docs), out_dir)
+    docs = read_corpus(spark, manifest, validate=True, wholetext=True)
+    # bulk build: the Arrow bytes.translate tokenizer (byte-identical
+    # output, verified by the race harness and fidelity suite)
+    write_letter_index(formatted_index(docs, arrow_tokenizer=True), out_dir)
     collect_reference_layout(out_dir)
     return 0
 

@@ -23,8 +23,16 @@ whole chain stays inside WholeStageCodegen.
 
 from __future__ import annotations
 
+import sys
+
+from pyspark import cloudpickle
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# The Arrow fast-path worker below runs in Python workers; ship this
+# module's functions by value so executors need no package import
+# (same rationale as operators/multimodal.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 # One line's strtok head: optional leading [ \t] run, the first token,
 # and at most ONE terminating delimiter (strtok consumes exactly one).
@@ -115,6 +123,80 @@ def tokenize_documents_distinct(
         "doc_id",
         *(extra_cols or []),
         F.explode(F.array_distinct(tokens_of(F.col("text")))).alias("word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow fast path: C-speed per-doc distinct tokens for the bulk pipeline
+# --------------------------------------------------------------------------
+
+# bytes.translate machinery precomputed once: uppercase folds to
+# lowercase; every byte whose folded value is outside [a-z \n\t] is
+# DELETED (bytes.translate deletes first, then maps — the delete set is
+# therefore computed against the fold).  Deleting multibyte UTF-8
+# sequences byte-by-byte equals deleting the character, so this matches
+# the JVM normalizer on any input.
+_FOLD = bytes((b + 32) if 0x41 <= b <= 0x5A else b for b in range(256))
+_KEEP = frozenset(range(0x61, 0x7B)) | {0x20, 0x0A, 0x09}
+_DELETE = bytes(b for b in range(256) if _FOLD[b] not in _KEEP)
+
+
+def _strtok_fix_bytes(line: bytes) -> bytes:
+    """Byte-level twin of ``_strtok_line``: keep the head (leading
+    delims + first token + its one terminator), delete tabs from the
+    tail (reference main.c++:102,143 — tail tabs are not delimiters)."""
+    i = 0
+    n = len(line)
+    while i < n and line[i] in (0x20, 0x09):
+        i += 1
+    while i < n and line[i] not in (0x20, 0x09):
+        i += 1
+    if i < n:
+        i += 1
+    return line[:i] + line[i:].replace(b"\t", b"")
+
+
+def _distinct_token_batches(batches):
+    """mapInPandas worker: per document, normalize + tokenize + dedup
+    at C speed (bytes.translate / bytes.split / set) and emit one
+    (doc_id, word) row per distinct token."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids: list = []
+        words: list = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            b = text.encode("utf-8")
+            if b"\t" in b:
+                b = b"\n".join(_strtok_fix_bytes(ln) for ln in b.split(b"\n"))
+            toks = set(b.translate(_FOLD, _DELETE).split())
+            ids.extend([doc_id] * len(toks))
+            words.extend(w.decode("ascii") for w in toks)
+        yield pd.DataFrame({"doc_id": ids, "word": words})
+
+
+def tokenize_documents_distinct_arrow(documents: DataFrame) -> DataFrame:
+    """``tokenize_documents_distinct`` on the Arrow fast path: the
+    normalize/split/dedup loop runs as ``bytes.translate`` +
+    ``bytes.split`` + ``set`` inside a ``mapInPandas`` worker — C-speed
+    memchr scans instead of a JVM regex pass plus per-token string
+    allocation.  Semantics are IDENTICAL to the expression form
+    (strtok tab asymmetry included — ``_strtok_fix_bytes``), pinned by
+    a cross-path equivalence test and the byte-level race harness.
+
+    This is the BULK-build path (the drop-in manifest pipeline / CLI),
+    fed by whole-document rows (``read_corpus(wholetext=True)``) so the
+    per-row Python overhead is paid per document, not per line.
+    Measured at 8.33 GiB: the full index pipeline drops from ~24 s
+    (expression tokenizer) to ~14 s — effective PARITY with the
+    compiled -O2 pthreads reference (see BASELINE.md).  Registered
+    oracle queries keep the declarative expression form so their plans
+    stay whole-stage-codegen and pushdown-transparent; use this one
+    where tokenization throughput IS the workload.  Narrow (no
+    shuffle); Arrow batches are bounded by the scan partition size.
+    """
+    return documents.select("doc_id", "text").mapInPandas(
+        _distinct_token_batches, "doc_id long, word string"
     )
 
 

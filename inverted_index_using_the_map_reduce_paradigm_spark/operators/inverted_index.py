@@ -32,6 +32,7 @@ from ..functions.text import (
     sql_tokens,
     tokenize_documents,
     tokenize_documents_distinct,
+    tokenize_documents_distinct_arrow,
     tokens_of,
 )
 from ..registry import register
@@ -46,7 +47,9 @@ WITH toks AS (
 """
 
 
-def build_index(documents: DataFrame) -> DataFrame:
+def build_index(
+    documents: DataFrame, arrow_tokenizer: bool = False
+) -> DataFrame:
     """word -> sorted posting list + doc_freq + letter partition key.
 
     The per-doc distinct (reference R7, the mapper's per-file hash set,
@@ -58,20 +61,34 @@ def build_index(documents: DataFrame) -> DataFrame:
     its dedup work too; doing it later (dedup inside the agg hash
     table) is semantically identical but pushes every occurrence
     through a per-row hash probe.
+
+    ``arrow_tokenizer=True`` swaps the expression tokenizer for the
+    ``bytes.translate`` mapInPandas fast path
+    (``tokenize_documents_distinct_arrow``) — identical output
+    (byte-level fidelity test + race harness), ~1.7x on the bulk
+    build, reaching compiled-reference parity at 8.33 GiB; the
+    expression form stays the default so registered queries keep
+    whole-stage-codegen plans.
     """
+    toks = (
+        tokenize_documents_distinct_arrow(documents)
+        if arrow_tokenizer
+        else tokenize_documents_distinct(documents)
+    )
     return (
-        tokenize_documents_distinct(documents)
-        .groupBy("word")
+        toks.groupBy("word")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
         .withColumn("doc_freq", F.size("postings"))
         .withColumn("letter", F.substring("word", 1, 1))
     )
 
 
-def formatted_index(documents: DataFrame) -> DataFrame:
+def formatted_index(
+    documents: DataFrame, arrow_tokenizer: bool = False
+) -> DataFrame:
     """Adds the reference's output line format ``word:[d1 d2 ... dn]``
     (main.c++:254-266); input to the partitioned text sink."""
-    return build_index(documents).withColumn(
+    return build_index(documents, arrow_tokenizer=arrow_tokenizer).withColumn(
         "line",
         F.concat(
             F.col("word"),

@@ -103,8 +103,8 @@ def main() -> int:
     for i in range(args.runs):
         out = os.path.join(base, f"eng_out_{i}")
         t0 = time.perf_counter()
-        docs = read_corpus(spark, manifest)
-        write_letter_index(formatted_index(docs), out)
+        docs = read_corpus(spark, manifest, wholetext=True)
+        write_letter_index(formatted_index(docs, arrow_tokenizer=True), out)
         collect_reference_layout(out)
         eng_ts.append(time.perf_counter() - t0)
     print(f"engine (local[32], warm): {[round(t, 2) for t in eng_ts]} "

@@ -341,3 +341,29 @@ def test_cli_explain_surface(spark, capsys):
     assert "exchanges:" in out
     assert "PushedFilters" in out
     assert main(["explain", "no_such_query"]) == 2
+
+
+def test_arrow_tokenizer_pipeline_byte_identical_to_expression(spark, tmp_path):
+    """The bulk-build fast path (wholetext read + bytes.translate Arrow
+    tokenizer) must produce the SAME 26 letter files, byte for byte, as
+    the default expression pipeline — including the strtok tab
+    asymmetry corpus file.  This is the unit-scale twin of the race
+    harness's byte comparison against the compiled reference."""
+    manifest = make_corpus(tmp_path)
+    expr_out = str(tmp_path / "expr_out")
+    arrow_out = str(tmp_path / "arrow_out")
+    write_letter_index(
+        formatted_index(read_corpus(spark, manifest)), expr_out
+    )
+    collect_reference_layout(expr_out)
+    write_letter_index(
+        formatted_index(
+            read_corpus(spark, manifest, wholetext=True), arrow_tokenizer=True
+        ),
+        arrow_out,
+    )
+    collect_reference_layout(arrow_out)
+    for c in string.ascii_lowercase:
+        a = (tmp_path / "expr_out" / f"{c}.txt").read_bytes()
+        b = (tmp_path / "arrow_out" / f"{c}.txt").read_bytes()
+        assert a == b, c

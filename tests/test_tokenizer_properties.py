@@ -141,3 +141,42 @@ def test_tokenize_distinct_equals_distinct_of_stream(spark):
         extra
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_arrow_tokenizer_matches_expression_tokenizer(spark):
+    """tokenize_documents_distinct_arrow (bytes.translate fast path)
+    must emit exactly the expression form's distinct (doc_id, word)
+    set on the real fixture and on adversarial tab/unicode/repetition
+    inputs — the equivalence that licenses the bulk pipeline's C-speed
+    tokenizer."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.functions.text import (
+        tokenize_documents_distinct,
+        tokenize_documents_distinct_arrow,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [
+            (1, "a b\tc"),
+            (2, "a\tb c"),
+            (3, "Don't don't2x"),
+            (4, ""),
+            (5, "Ünïcödé naïve x\t\ty z"),
+            (6, "dup dup DUP 123 !!! a.b,c;d"),
+            (7, "\t\tlead\ttab mix\tjoin"),
+        ],
+        "doc_id long, text string",
+    )
+    for frame in (docs, extra):
+        want = {
+            (r.doc_id, r.word)
+            for r in tokenize_documents_distinct(frame).collect()
+        }
+        got = {
+            (r.doc_id, r.word)
+            for r in tokenize_documents_distinct_arrow(frame).collect()
+        }
+        assert got == want
