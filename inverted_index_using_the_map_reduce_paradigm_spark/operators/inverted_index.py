@@ -158,10 +158,13 @@ LIMIT 25
     tags=("reference", "topk"),
 )
 def q_doc_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    # df over the per-doc-distinct stream is a plain count: the dedup
+    # already happened array-locally in the scan stage, so there is no
+    # countDistinct two-level aggregate, and top-k is TakeOrdered.
+    toks = tokenize_documents_distinct(table(spark, sf_dir, "documents"))
     return (
         toks.groupBy("word")
-        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("word"))
         .limit(25)
     )
@@ -185,8 +188,9 @@ SELECT letter, rank, word, doc_freq FROM ranked WHERE rank <= 3
     tags=("reference", "topk", "window"),
 )
 def q_letter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = tokenize_documents(table(spark, sf_dir, "documents"))
-    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # same plain-count df as doc_freq_topk (dedup is array-local)
+    toks = tokenize_documents_distinct(table(spark, sf_dir, "documents"))
+    df = toks.groupBy("word").agg(F.count("*").alias("doc_freq"))
     df = df.withColumn("letter", F.substring("word", 1, 1))
     w = Window.partitionBy("letter").orderBy(F.desc("doc_freq"), F.asc("word"))
     return (
