@@ -90,14 +90,10 @@ def read_corpus(
     )
     corpus = lines.join(F.broadcast(mapping), "abs_path").select("doc_id", "text")
     if validate:
-        # line mode: empty corpus files legitimately yield no rows —
-        # exclude them; wholetext mode: every file yields exactly one
-        # row (empty files included)
-        expected = (
-            len(paths)
-            if wholetext
-            else sum(1 for p in paths if os.path.getsize(p) > 0)
-        )
+        # empty (0-byte) corpus files legitimately yield no rows in
+        # EITHER mode (wholetext included — verified by the adversarial
+        # fidelity test) — exclude them
+        expected = sum(1 for p in paths if os.path.getsize(p) > 0)
         seen = corpus.select("doc_id").distinct().count()
         if seen != expected:
             raise RuntimeError(

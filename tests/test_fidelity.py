@@ -367,3 +367,62 @@ def test_arrow_tokenizer_pipeline_byte_identical_to_expression(spark, tmp_path):
         a = (tmp_path / "expr_out" / f"{c}.txt").read_bytes()
         b = (tmp_path / "arrow_out" / f"{c}.txt").read_bytes()
         assert a == b, c
+
+
+def test_random_adversarial_corpus_byte_identical_to_compiled_reference(
+    spark, tmp_path
+):
+    """The strongest fidelity check in the suite: compile the actual
+    reference (g++ -O2), run BOTH programs on a seeded random corpus
+    full of tokenizer hazards — tabs in every position, CR, unicode,
+    digits, punctuation joins, repeated lines, empty and whitespace-only
+    files — and byte-compare all 26 letter files.  This is the race
+    harness's check at unit scale, against adversarial inputs the
+    fixture corpus never exercises."""
+    import random
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        import pytest
+
+        pytest.skip("g++ unavailable")
+
+    rng = random.Random(42)
+    pool = (
+        ["quick", "Brown", "FOX", "dog", "zebra", "don't", "x2y", "a.b,c"]
+        + ["\twordtab", "tab\tjoin", "Ünïcödé", "naïve", "123", "!!!", ""]
+        + ["CR\rjoin", "mix3d_Case", "trail\t", "\tlead"]
+    )
+    files = []
+    for i in range(30):
+        if i % 10 == 9:
+            text = "" if i % 20 == 9 else " \t \n  \n"
+        else:
+            lines = []
+            for _ in range(rng.randint(1, 8)):
+                lines.append(" ".join(rng.choice(pool) for _ in range(rng.randint(0, 12))))
+            text = "\n".join(lines) + ("\n" if rng.random() < 0.8 else "")
+        p = tmp_path / f"rnd{i}.txt"
+        p.write_text(text, encoding="utf-8")
+        files.append(str(p))
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text(f"{len(files)}\n" + "\n".join(files) + "\n")
+
+    ref_bin = str(tmp_path / "ref_bin")
+    subprocess.run(
+        ["g++", "-O2", "-pthread", "-o", ref_bin, "/root/reference/main.c++"],
+        check=True,
+    )
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    subprocess.run([ref_bin, "4", "4", str(manifest)], cwd=ref_out, check=True)
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.__main__ import main
+
+    eng_out = tmp_path / "eng_out"
+    assert main(["4", "4", str(manifest), str(eng_out)]) == 0
+    for c in string.ascii_lowercase:
+        a = (ref_out / f"{c}.txt").read_bytes()
+        b = (eng_out / f"{c}.txt").read_bytes()
+        assert a == b, f"{c}: ref={a[:200]!r} eng={b[:200]!r}"
