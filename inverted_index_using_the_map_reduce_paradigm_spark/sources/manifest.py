@@ -84,7 +84,15 @@ def read_corpus(
     parents = sorted({os.path.dirname(os.path.abspath(p)) for p in paths})
     read_paths = parents if len(parents) * 10 <= len(paths) else paths
     uri_path = F.regexp_replace(F.input_file_name(), "^file:/*", "/")
-    lines = spark.read.text(read_paths, wholetext=wholetext).select(
+    # lineSep pins the row delimiter to \n exactly like the reference's
+    # getline (main.c++:98).  Without it Hadoop's LineReader ALSO splits
+    # on lone \r — but a mid-token \r must JOIN its fragments (the
+    # normalizer erases it), not split them: "alpha\rbeta" is one token
+    # "alphabeta" in the reference.  Verified by the adversarial
+    # fidelity test's CR cases.
+    lines = spark.read.option("lineSep", "\n").text(
+        read_paths, wholetext=wholetext
+    ).select(
         F.url_decode(F.replace(uri_path, F.lit("+"), F.lit("%2B"))).alias("abs_path"),
         F.col("value").alias("text"),
     )

@@ -422,7 +422,16 @@ def test_random_adversarial_corpus_byte_identical_to_compiled_reference(
 
     eng_out = tmp_path / "eng_out"
     assert main(["4", "4", str(manifest), str(eng_out)]) == 0
+    # and the default line-mode EXPRESSION pipeline must match too
+    # (regression pin for the lone-\r row split: lineSep must be \n
+    # exactly like getline, so a mid-token CR joins its fragments)
+    expr_out = tmp_path / "expr_out2"
+    write_letter_index(
+        formatted_index(read_corpus(spark, str(manifest))), str(expr_out)
+    )
+    collect_reference_layout(str(expr_out))
     for c in string.ascii_lowercase:
         a = (ref_out / f"{c}.txt").read_bytes()
-        b = (eng_out / f"{c}.txt").read_bytes()
-        assert a == b, f"{c}: ref={a[:200]!r} eng={b[:200]!r}"
+        for out in (eng_out, expr_out):
+            b = (out / f"{c}.txt").read_bytes()
+            assert a == b, f"{c} [{out.name}]: ref={a[:200]!r} eng={b[:200]!r}"
