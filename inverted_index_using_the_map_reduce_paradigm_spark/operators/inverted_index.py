@@ -143,6 +143,25 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inverted_index_arrow",
+    oracle=INVERTED_INDEX_ORACLE,
+    description="flagship index via the Arrow bytes.translate bulk tokenizer (same oracle)",
+    tags=("reference", "flagship", "udf", "scale"),
+)
+def q_inverted_index_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bulk-build fast path on the driver's correctness surface:
+    the ``bytes.translate`` mapInPandas tokenizer
+    (``functions/text.py::tokenize_documents_distinct_arrow``) feeding
+    the same aggregation, hash-checked against the SAME DuckDB oracle
+    as ``inverted_index`` — so the path that reaches compiled-reference
+    parity in the race (BASELINE.md: 1.03x at 8.33 GiB, byte-identical
+    output) is also value-verified per round, not only test-verified."""
+    return _serialize_index(
+        build_index(table(spark, sf_dir, "documents"), arrow_tokenizer=True)
+    )
+
+
+@register(
     "doc_freq_topk",
     oracle=f"""
 {SQL_TOKS_CTE}
