@@ -729,3 +729,15 @@ def test_market_basket_broadcasts_supports_with_takeordered(spark):
         "l_orderkey" in ln for ln in plan.splitlines() if "Join" in ln
     )
     assert "ReusedExchange" in audit.final_adaptive_plan(df)
+
+
+def test_inverted_index_arrow_runs_the_python_fast_path(spark):
+    """The registered arrow flagship must actually exercise the
+    mapInPandas tokenizer (one Python evaluation, no Expand, same
+    single word-shuffle budget as the expression flagship)."""
+    plan = physical_plan(spark, "inverted_index_arrow")
+    assert "MapInPandas" in plan
+    hash_ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 1 and "word" in hash_ex[0]
