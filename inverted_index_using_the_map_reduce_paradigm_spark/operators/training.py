@@ -459,7 +459,7 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
     hc = pc.groupBy("w1").agg(F.sum("n_pair").alias("n_head"))
-    vocab = tokenize_documents(docs).agg(
+    vocab = tokenize_documents_distinct(docs).agg(
         F.countDistinct("word").alias("vocab")
     )
     return (
@@ -985,10 +985,10 @@ def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges from low to high degree), which the a<b<c ordering
     approximates for Zipf graphs since frequent words sort everywhere.
     Three shuffles total: pair agg, wedge join, closing semi-join."""
-    dv = (
-        tokenize_documents(table(spark, sf_dir, "documents"))
-        .dropDuplicates(["doc_id", "word"])
-    )
+    # per-doc distinct with NO dedup exchange (array-local) — the join
+    # below re-keys on doc_id anyway, so the old dropDuplicates
+    # (doc_id, word) exchange bought nothing
+    dv = tokenize_documents_distinct(table(spark, sf_dir, "documents"))
     pair = (
         dv.alias("a")
         .join(
