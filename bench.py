@@ -48,10 +48,19 @@ def main() -> None:
     started_at = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     load_start = round(os.getloadavg()[0], 2)
 
+    # optional positional args: bench only these queries (local
+    # iteration; the driver always runs the full surface)
+    only = set(sys.argv[1:])
+    qs = load_all()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        raise SystemExit(2)
+
     timings: dict[str, float] = {}
     conditions: dict[str, dict] = {}
-    for name, q in load_all().items():
-        if not q.bench:
+    for name, q in qs.items():
+        if not q.bench or (only and name not in only):
             continue
         t0 = time.perf_counter()
         load_before = round(os.getloadavg()[0], 2)
@@ -97,6 +106,11 @@ def main() -> None:
     # (folding their time into queries_omitted/omitted_sec) until it
     # fits, so the slow queries the baseline comparison cares about
     # always survive.
+    if only:
+        # partial run: print and exit without clobbering the full-run
+        # BENCH_DETAIL.json artifact
+        print(json.dumps(out, separators=(",", ":")))
+        return
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",
