@@ -403,7 +403,13 @@ def test_random_adversarial_corpus_byte_identical_to_compiled_reference(
             for _ in range(rng.randint(1, 8)):
                 lines.append(" ".join(rng.choice(pool) for _ in range(rng.randint(0, 12))))
             text = "\n".join(lines) + ("\n" if rng.random() < 0.8 else "")
-        p = tmp_path / f"rnd{i}.txt"
+        # URI-hostile + unicode filenames flow through the whole stack:
+        # the reference fopens raw bytes; the engine recovers doc ids by
+        # URL-decoding input_file_name() against the manifest
+        name = {7: "ünïcödé doc 7.txt", 13: "pct%20+plus 13.txt"}.get(
+            i, f"rnd{i}.txt"
+        )
+        p = tmp_path / name
         p.write_text(text, encoding="utf-8")
         files.append(str(p))
     manifest = tmp_path / "manifest.txt"
