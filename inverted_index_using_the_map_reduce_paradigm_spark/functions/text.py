@@ -166,6 +166,8 @@ def _distinct_token_batches(batches):
         ids: list = []
         words: list = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue  # null text yields no tokens (expression-path parity)
             b = text.encode("utf-8")
             if b"\t" in b:
                 b = b"\n".join(_strtok_fix_bytes(ln) for ln in b.split(b"\n"))

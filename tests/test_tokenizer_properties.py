@@ -167,6 +167,7 @@ def test_arrow_tokenizer_matches_expression_tokenizer(spark):
             (5, "Ünïcödé naïve x\t\ty z"),
             (6, "dup dup DUP 123 !!! a.b,c;d"),
             (7, "\t\tlead\ttab mix\tjoin"),
+            (8, None),  # null text: no tokens, no crash, either path
         ],
         "doc_id long, text string",
     )
