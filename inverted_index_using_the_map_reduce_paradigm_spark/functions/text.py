@@ -162,6 +162,11 @@ def _distinct_token_batches(batches):
     (doc_id, word) row per distinct token."""
     import pandas as pd
 
+    # Flush the output frame every ~1M rows: an Arrow input batch is
+    # bounded by the scan partition (~128 MB of text), but a
+    # pathological all-unique-token corpus could otherwise accumulate
+    # the whole partition's vocabulary in one Python list.
+    flush_rows = 1_000_000
     for pdf in batches:
         ids: list = []
         words: list = []
@@ -174,7 +179,11 @@ def _distinct_token_batches(batches):
             toks = set(b.translate(_FOLD, _DELETE).split())
             ids.extend([doc_id] * len(toks))
             words.extend(w.decode("ascii") for w in toks)
-        yield pd.DataFrame({"doc_id": ids, "word": words})
+            if len(ids) >= flush_rows:
+                yield pd.DataFrame({"doc_id": ids, "word": words})
+                ids, words = [], []
+        if ids:
+            yield pd.DataFrame({"doc_id": ids, "word": words})
 
 
 def tokenize_documents_distinct_arrow(documents: DataFrame) -> DataFrame:
