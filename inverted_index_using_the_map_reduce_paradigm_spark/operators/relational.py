@@ -1786,9 +1786,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper than reuse would be.  Pair volume is k² per order
     where k is basket size, a data-model constant (TPC-H ≤ 7); a
     pathological mega-basket would hit the same hot-key cap discipline
-    as the dedup family.  Supports are a part-count aggregate
-    broadcast back; the pair aggregation and the TakeOrdered top-k
-    are the only other shuffles."""
+    as the dedup family.  The supports join carries NO broadcast hint:
+    ``isup`` has one row per distinct part, which scales linearly with
+    SF (~20 B parts at 100 TB-equivalent), so it must never be pinned
+    to broadcast — pairs are already aggregated and support-filtered,
+    making the shuffle join cheap, and AQE upgrades it to broadcast at
+    runtime whenever the part dimension actually fits.  Only ``n`` (a
+    single-row global count) keeps a hint.  The pair aggregation and
+    the TakeOrdered top-k are the only other shuffles."""
     baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1824,8 +1829,8 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
     sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",

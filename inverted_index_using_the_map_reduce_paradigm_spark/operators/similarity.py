@@ -770,13 +770,17 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties: more votes first, then the smaller label id — fully
     deterministic, so the DuckDB oracle hash-matches).
 
-    Scale shape is ``similarity_search``'s: the query side broadcasts,
-    the labeled corpus streams through ONE scan with no shuffle for the
-    scoring itself, the per-query top-k window collapses to a streaming
+    Scale shape is ``similarity_search``'s — EXCEPT that this query
+    side is a modulo slice of the corpus itself (corpus-proportional
+    by construction), so it carries NO broadcast hint: the planner's
+    runtime size check picks the build side (BNLJ-broadcast whenever
+    the holdout actually fits, as any sane holdout does), and a true
+    100 TB holdout swaps in the RP-bucketed candidate join
+    (``similarity_search_rp``) with this same vote tail.  The labeled
+    corpus streams through ONE scan with no shuffle for the scoring
+    itself, the per-query top-k window collapses to a streaming
     WindowGroupLimit, and the vote rollup shuffles only k rows per
-    query.  At 100 TB queries-side growth swaps the broadcast for the
-    RP-bucketed candidate join (``similarity_search_rp``) with this
-    same vote tail."""
+    query."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % KNN_HOLDOUT_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -788,7 +792,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cand_label"),
         _emb_double("embedding").alias("e"),
     )
-    scored = cand.crossJoin(F.broadcast(q)).select(
+    scored = cand.crossJoin(q).select(
         "q_id",
         "true_label",
         "cand_id",

@@ -59,13 +59,16 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one word-3-gram with any test-split document, with how many
     distinct grams and how many distinct eval docs they touch.
 
-    100 TB shape: the eval side is a benchmark suite — thousands of
-    docs against billions — so its exploded shingle set is broadcast
-    and the train side is ONE scan + explode with no shuffle before the
-    per-doc aggregation (which shuffles only the contaminated subset,
-    keyed by doc_id).  The same deterministic multiplicative-hash split
-    as ``dataset_split`` defines the sides, so membership is stable
-    across engines and runs.
+    100 TB shape: BOTH sides here are slices of the same corpus, so the
+    eval side is corpus-proportional by construction and carries NO
+    broadcast hint — the join shuffles on ``shingle``, which scales.
+    (In a production run where the eval side really is a bounded
+    benchmark suite, AQE's runtime size check — not a compile-time
+    hint — upgrades the join to broadcast for free.)  The train side is
+    ONE scan + explode; the per-doc aggregation shuffles only the
+    contaminated subset, keyed by doc_id.  The same deterministic
+    multiplicative-hash split as ``dataset_split`` defines the sides,
+    so membership is stable across engines and runs.
     """
     docs = table(spark, sf_dir, "documents")
     bucket = (F.col("doc_id") * _SPLIT_MULT) % 4294967296 % 100
@@ -77,7 +80,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("eval_doc"), "shingle"
     )
     return (
-        train.join(F.broadcast(eval_), "shingle")
+        train.join(eval_, "shingle")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_shared_ngrams"),
