@@ -21,10 +21,15 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 _DDL = [
-    # reference normalizer: lowercase then strip non-[a-z]
+    # reference normalizer: ASCII-only fold then strip non-[a-z].
+    # translate, NOT lower(): Unicode lower() folds U+212A/U+0130 into
+    # [a-z], which the bytewise reference deletes instead (see
+    # functions/text.py ascii_lower).
     """CREATE OR REPLACE TEMPORARY FUNCTION norm_word(w STRING)
        RETURNS STRING
-       RETURN regexp_replace(lower(w), '[^a-z]', '')""",
+       RETURN regexp_replace(translate(w,
+         'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+         '[^a-z]', '')""",
     # reference tokenizer: per line, tabs split only around the FIRST
     # token (strtok_r " \n\t" then " ", main.c++:102,143) — rewrite each
     # line (keep the strtok head, delete joining tail tabs), then one
@@ -38,7 +43,10 @@ _DDL = [
                                         '\t', ''))),
                   '\n'),
                 '[ \n\t]+'),
-                               w -> regexp_replace(lower(w), '[^a-z]', '')),
+                               w -> regexp_replace(translate(w,
+                                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 'abcdefghijklmnopqrstuvwxyz'),
+                                 '[^a-z]', '')),
                      w -> length(w) > 0)""",
     # cosine similarity over double arrays (sequential fold -> the same
     # deterministic float order as functions/vectors.cosine_similarity)

@@ -38,10 +38,26 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 # and at most ONE terminating delimiter (strtok consumes exactly one).
 _STRTOK_HEAD = "^[ \t]*[^ \t]*[ \t]?"
 
+# ASCII-only case fold.  NOT F.lower: the reference normalizer is a
+# bytewise `c + 32` on A-Z (main.c++:110-124), while Unicode lower()
+# folds some non-ASCII chars INTO [a-z] — U+212A KELVIN SIGN -> 'k',
+# U+0130 -> 'i' + combining dot — which the reference (and the Arrow
+# byte path) deletes instead.  translate() folds exactly A-Z and
+# leaves every other char for the [^a-z] delete, byte-faithful to the
+# reference on any input.
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column) -> Column:
+    """Fold A-Z to a-z and nothing else (reference main.c++:115-118)."""
+    return F.translate(col, _UPPER, _LOWER)
+
 
 def normalize_word(col: Column) -> Column:
-    """lowercase then strip every non-[a-z] char (reference main.c++:110-124)."""
-    return F.regexp_replace(F.lower(col), "[^a-z]", "")
+    """ASCII-lowercase then strip every non-[a-z] char (reference
+    main.c++:110-124)."""
+    return F.regexp_replace(ascii_lower(col), "[^a-z]", "")
 
 
 def _strtok_line(line: Column) -> Column:
@@ -60,7 +76,7 @@ def tokens_of(text: Column) -> Column:
     """Array of normalized non-empty words from a text column.
 
     Per-line strtok rewrite (above), then the normalizer runs as ONE
-    whole-line pass — ``regexp_replace(lower(text), "[^a-z \\n\\t]", "")``
+    whole-line pass — ``regexp_replace(ascii_lower(text), "[^a-z \\n\\t]", "")``
     — before a single split on the ``" \\n\\t"`` delimiter set, dropping
     empties.  Deleting chars disjoint from the delimiter set commutes
     with splitting on that set, so this is exactly the reference's
@@ -79,7 +95,7 @@ def tokens_of(text: Column) -> Column:
         text.contains("\t"),
         F.concat_ws("\n", F.transform(F.split(text, "\n"), _strtok_line)),
     ).otherwise(text)
-    cleaned = F.regexp_replace(F.lower(fixed), "[^a-z \n\t]", "")
+    cleaned = F.regexp_replace(ascii_lower(fixed), "[^a-z \n\t]", "")
     return F.filter(F.split(cleaned, "[ \n\t]+"), lambda w: F.length(w) > 0)
 
 
@@ -134,8 +150,11 @@ def tokenize_documents_distinct(
 # lowercase; every byte whose folded value is outside [a-z \n\t] is
 # DELETED (bytes.translate deletes first, then maps — the delete set is
 # therefore computed against the fold).  Deleting multibyte UTF-8
-# sequences byte-by-byte equals deleting the character, so this matches
-# the JVM normalizer on any input.
+# sequences byte-by-byte equals deleting the character, and the
+# expression path's fold is ASCII-only (``ascii_lower``, not Unicode
+# lower()), so the two paths agree on ANY input — including chars
+# whose Unicode lowercase lands in [a-z] (U+212A, U+0130), which both
+# paths delete like the reference does.
 _FOLD = bytes((b + 32) if 0x41 <= b <= 0x5A else b for b in range(256))
 _KEEP = frozenset(range(0x61, 0x7B)) | {0x20, 0x0A, 0x09}
 _DELETE = bytes(b for b in range(256) if _FOLD[b] not in _KEEP)
@@ -221,7 +240,9 @@ SQL_TOKENS = (
     "         || replace(regexp_replace(l, '^[ \\t]*[^ \\t]*[ \\t]?', ''), chr(9), '')),"
     "  chr(10)),"
     " '[ \\n\\t]+'),"
-    " t -> regexp_replace(lower(t), '[^a-z]', '', 'g')), w -> length(w) > 0)"
+    " t -> regexp_replace(translate(t,"
+    " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),"
+    " '[^a-z]', '', 'g')), w -> length(w) > 0)"
 )
 
 

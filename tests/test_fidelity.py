@@ -393,6 +393,10 @@ def test_random_adversarial_corpus_byte_identical_to_compiled_reference(
         ["quick", "Brown", "FOX", "dog", "zebra", "don't", "x2y", "a.b,c"]
         + ["\twordtab", "tab\tjoin", "Ünïcödé", "naïve", "123", "!!!", ""]
         + ["CR\rjoin", "mix3d_Case", "trail\t", "\tlead"]
+        # Unicode lowercase folds INTO ascii (U+212A KELVIN -> 'k',
+        # U+0130 -> 'i'): the bytewise reference deletes them; a
+        # Unicode-aware lower() would keep the fold instead
+        + ["KelvinK", "İstanbul", "Kİ"]
     )
     files = []
     for i in range(30):

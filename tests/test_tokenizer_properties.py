@@ -44,11 +44,20 @@ def _strtok_line(line: str) -> list[str]:
     return raw
 
 
+# ASCII-only fold, like the reference's bytewise `c + 32` on A-Z
+# (main.c++:115-118).  NOT str.lower(): Unicode lowercasing folds
+# U+212A KELVIN SIGN -> 'k' and U+0130 -> 'i' + combining dot, chars
+# the reference deletes byte-by-byte instead.
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
 def reference_tokens(text: str) -> list[str]:
     out = []
     for line in text.split("\n"):  # getline boundary (main.c++:98)
         for tok in _strtok_line(line):
-            w = re.sub("[^a-z]", "", tok.lower())
+            w = re.sub("[^a-z]", "", tok.translate(_ASCII_FOLD))
             if w:
                 out.append(w)
     return out
@@ -98,6 +107,11 @@ def test_tokenizer_edge_cases(spark):
         "\t\ta\tb c\td": ["a", "b", "cd"],
         "a b\tc\nd e\tf": ["a", "bc", "d", "ef"],
         "x\t\ty z": ["x", "y", "z"],
+        # chars whose UNICODE lowercase lands in [a-z] must still be
+        # deleted (bytewise reference semantics): U+212A KELVIN SIGN
+        # would fold to 'k' and U+0130 to 'i' under lower()
+        "KelvinK İstanbul": ["kelvin", "stanbul"],
+        "K K İ": ["k"],
     }
     got = spark_tokens_batch(spark, list(cases))
     assert got == list(cases.values())
@@ -168,6 +182,9 @@ def test_arrow_tokenizer_matches_expression_tokenizer(spark):
             (6, "dup dup DUP 123 !!! a.b,c;d"),
             (7, "\t\tlead\ttab mix\tjoin"),
             (8, None),  # null text: no tokens, no crash, either path
+            # Unicode-lowercase-folds-to-ASCII hazards: U+212A -> 'k',
+            # U+0130 -> 'i' under lower(); BOTH paths must delete them
+            (9, "KelvinK İstanbul K"),
         ],
         "doc_id long, text string",
     )
