@@ -56,6 +56,12 @@ def main() -> None:
     if unknown:
         print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
         raise SystemExit(2)
+    # a known name whose bench flag is off would otherwise be silently
+    # skipped and a partial run could print an empty result unexplained
+    unbenchable = sorted(n for n in only if not qs[n].bench)
+    if unbenchable:
+        print(f"not benchable (bench=False): {unbenchable}", file=sys.stderr)
+        raise SystemExit(2)
 
     timings: dict[str, float] = {}
     conditions: dict[str, dict] = {}

@@ -123,8 +123,13 @@ def tokenize_documents_distinct(
     (``array_distinct`` before the explode), not as a downstream
     shuffle or aggregation probe.
 
-    Equivalent to ``tokenize_documents(...).distinct()``, because doc
-    rows are unique: per-doc dedup IS global (doc_id, word) dedup.
+    PRECONDITION: equivalent to ``tokenize_documents(...).distinct()``
+    only when input rows are unique per doc_id (whole-document rows).
+    Fed line-grained rows (``read_corpus`` line mode emits one row per
+    LINE, duplicating doc_id), the stream keeps cross-line duplicate
+    (doc_id, word) pairs — fine for ``build_index``'s ``collect_set``
+    (set semantics re-dedup), silently wrong for a count(*)-style
+    consumer.
     But the plan is very different at scale: ``.distinct()`` exchanges
     the full occurrence stream on (doc_id, word), and explode +
     ``collect_set`` pushes every occurrence through the aggregation

@@ -69,6 +69,15 @@ def build_index(
     build, reaching compiled-reference parity at 8.33 GiB; the
     expression form stays the default so registered queries keep
     whole-stage-codegen plans.
+
+    Input-granularity note: ``documents`` may be LINE-grained (one row
+    per line of a file, as ``read_corpus`` emits in line mode), in
+    which case the distinct token stream still carries cross-line
+    duplicates — correctness here relies on the downstream
+    ``collect_set`` deduplicating them, NOT on the stream being
+    globally (doc_id, word)-unique.  A count-based consumer must use
+    whole-document rows (``tokenize_documents_distinct``'s documented
+    precondition) or re-dedup itself.
     """
     toks = (
         tokenize_documents_distinct_arrow(documents)

@@ -45,8 +45,13 @@ def build_corpus(base: str, mult: int) -> str:
         # timing leaves the page cache cold and writeback competing
         # with the first reads — re-runs on a built corpus measure
         # steady-state IO on both sides instead.
-        paths = open(manifest).read().split()[1:]
-        if all(os.path.exists(p) for p in paths):
+        # line-wise parse: first line is the count, the rest are paths
+        # (a path may contain spaces — never split on whitespace)
+        lines = open(manifest).read().splitlines()
+        paths = [ln for ln in lines[1:] if ln]
+        if lines and lines[0].strip().isdigit() and int(lines[0]) == len(
+            paths
+        ) and all(os.path.exists(p) for p in paths):
             size = sum(os.path.getsize(p) for p in paths)
             print(f"corpus (reused): {len(paths)} files, {size / 2**20:.0f} MiB")
             return manifest
