@@ -906,10 +906,12 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the model state (K x dim doubles) stays a DataFrame
     end to end — no driver collect anywhere in the loop (contrast the
     IVF quantizer, which trains on a bounded driver sample by design).
-    Per pass: centroids BROADCAST to a single corpus scan (assignment is
-    array-local math + a per-vector argmin window whose partition is
-    one vector's K rows), and the update is a (K x dim)-group partial
-    aggregation — shuffle output is model-sized, not corpus-sized.
+    Per pass: centroids BROADCAST to a single corpus scan (assignment
+    is array-local math + a per-vector struct-min argmin AGGREGATE —
+    the K candidate rows collapse in the map-side partial agg, so the
+    vec_id exchange moves one row per vector, not K, with no sort),
+    and the update is a (K x dim)-group partial aggregation — shuffle
+    output is model-sized, not corpus-sized.
     Lineage depth is fixed (KMEANS_ITERS), so no checkpoint is needed;
     a tunable-iteration variant would localCheckpoint like
     near_dup_clusters."""
@@ -937,11 +939,23 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = e.crossJoin(F.broadcast(cents)).select(
             "vec_id", "e", "cluster", _euclid(F.col("e"), F.col("c")).alias("dist")
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+        # per-vector argmin as a struct-min AGGREGATE, not a row_number
+        # window: the K candidate rows collapse in the map-side partial
+        # agg, so the vec_id exchange carries one row per vector instead
+        # of K (and needs no sort).  Struct comparison is field-order
+        # lexicographic — (dist ASC, cluster ASC) is exactly the
+        # deterministic tie-break the oracle uses; `e` rides along in
+        # the tail position where it is never compared (cluster ids are
+        # unique per candidate).
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster", "e")).alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.e").alias("e"),
+                F.col("b.cluster").alias("cluster"),
+                F.col("b.dist").alias("dist"),
+            )
         )
         if it < KMEANS_ITERS:
             cents = (

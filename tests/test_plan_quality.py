@@ -592,6 +592,11 @@ def test_kmeans_broadcasts_centroids_every_pass(spark):
     assert plan.count("BroadcastNestedLoopJoin") == KMEANS_ITERS
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # argmin is a struct-min AGGREGATE (K rows collapse in the partial
+    # agg before the vec_id exchange), not a row_number window — the
+    # only Window left is the K-row centroid seeding
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning(vec_id") == KMEANS_ITERS
 
 
 def test_time_decay_single_user_shuffle_with_broadcast_ref(spark):
