@@ -144,6 +144,7 @@ def load_all() -> dict[str, Query]:
             multimodal,
             dedup,
             training,
+            census,
         )
         from .streaming import engine  # noqa: F401
 
