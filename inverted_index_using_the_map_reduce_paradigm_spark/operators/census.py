@@ -29,7 +29,10 @@ engine-side verification infrastructure for the 100 TB extensions.
 Scale shape: each census is strictly the union of its two parents'
 plans plus a small join/aggregate on their (tiny) outputs — the exact
 side is the expensive half, which is why these are verification
-queries, not the production path.
+queries, not the production path — which is also why every census
+registers ``bench=False``: their exact-recompute halves would otherwise
+dominate bench.py's headline timings with verification-only cost (the
+same convention the streaming verification queries follow).
 """
 
 from __future__ import annotations
@@ -70,6 +73,7 @@ SELECT count(*) AS n_lsh,
 FROM exact
 """,
     description="driver-checked set equality of MinHash-LSH pairs vs exact Jaccard pairs",
+    bench=False,
     tags=("dedup", "approx", "census"),
 )
 def q_minhash_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,6 +114,7 @@ SELECT vec_id AS query_id,
 FROM embeddings WHERE vec_id < {N_QUERIES}
 """,
     description="per-query RP-LSH contract: exactly k results, >=1 true top-k neighbor",
+    bench=False,
     tags=("similarity", "approx", "census"),
 )
 def q_ann_rp_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +151,7 @@ SELECT count(*) AS n_queries,
 FROM embeddings WHERE vec_id < {N_QUERIES}
 """,
     description=f"aggregate IVF contract: k results per query, corpus recall >= {IVF_RECALL_FLOOR}",
+    bench=False,
     tags=("similarity", "approx", "census"),
 )
 def q_ann_ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +183,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
     description="HLL++ and approx-percentile estimates within declared tolerance per event type",
+    bench=False,
     tags=("temporal", "sketch", "census"),
 )
 def q_sketch_error_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,14 +223,20 @@ def q_sketch_error_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_rollup_census",
+    # n_days counts DISTINCT-day ROWS (not count(DISTINCT day), which
+    # would skip NULL) because the Spark side's groupBy(to_date(ts))
+    # keeps a null-day group — the two sides must agree even if a
+    # future fixture ships null timestamps.
     oracle="""
 SELECT event_type,
-       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_days,
        TRUE AS union_within_tol,
        TRUE AS union_le_sum_daily
-FROM events GROUP BY event_type
+FROM (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events)
+GROUP BY event_type
 """,
     description="union-of-daily-HLL rollup within tolerance of exact distincts, union <= naive sum",
+    bench=False,
     tags=("temporal", "sketch", "census"),
 )
 def q_hll_rollup_census(spark: SparkSession, sf_dir: str) -> DataFrame:

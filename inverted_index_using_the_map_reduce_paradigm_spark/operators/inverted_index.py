@@ -1002,8 +1002,12 @@ def q_boolean_not_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     without touching the corpus — the excluded terms' posting arrays
     (pruned fetch) anti-join the distinct-doc set derived from ALL
     postings.  At 100 TB the universe comes from the doc catalog
-    (documents' own key column) instead; the anti-join shape — tiny
-    build side broadcast against it — is identical."""
+    (documents' own key column) instead.  The build side is UNHINTED
+    deliberately (r7, flagged by the closed-world gate): the excluded
+    set is a fixed word LIST but its exploded posting length is
+    corpus-proportional — a stopword in the NOT set reaches half the
+    corpus — so AQE's runtime size check must pick broadcast vs
+    shuffle, not a compile-time pin."""
     idx = spark.read.parquet(stored_index_dir(spark, sf_dir, "flat"))
     universe = idx.select(F.explode("postings").alias("doc_id")).distinct()
     excluded = (
@@ -1013,7 +1017,7 @@ def q_boolean_not_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.explode("postings").alias("doc_id"))
     )
-    return universe.join(F.broadcast(excluded), "doc_id", "left_anti")
+    return universe.join(excluded, "doc_id", "left_anti")
 
 
 @register(

@@ -45,16 +45,19 @@ FROM tf JOIN dfreq USING (word) CROSS JOIN n
     tags=("text",),
 )
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale posture: ``dfreq`` (vocabulary-sized) is broadcast to the
-    doc-term side, so the only big shuffle is the (doc_id, word) partial
-    aggregation; N arrives via a 1-row broadcast cross join."""
+    """Scale posture: the ``dfreq`` join is UNHINTED (r7 — see
+    SCALE.md "Vocabulary growth"): Heaps' law keeps the vocab sublinear
+    but at 100 TB it still reaches 1e7-1e8 rows (multi-GB serialized),
+    past safe executor broadcast; AQE's runtime size check picks
+    broadcast at small scale and a word-keyed shuffle join at large.
+    N arrives via a 1-row broadcast cross join."""
     docs = table(spark, sf_dir, "documents")
     toks = tokenize_documents(docs)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -684,7 +687,9 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("df") <= SIM_DF_CAP)
         )
     )
-    w = tf.join(F.broadcast(kept), "word").select(
+    # `kept` is df-CAPPED but still vocab-COUNT-sized (rare words
+    # dominate the vocabulary), so it joins unhinted like dfreq (r7)
+    w = tf.join(kept, "word").select(
         "doc_id",
         "word",
         (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"),
@@ -941,7 +946,7 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(dfreq, "word")  # vocab-sized: unhinted, AQE decides (r7)
         .crossJoin(F.broadcast(n))
         .withColumn(
             "raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))

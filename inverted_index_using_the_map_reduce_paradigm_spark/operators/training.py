@@ -351,7 +351,9 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pmi = ln(P(a,b) / (P(a) P(b)))`` over per-doc presence.
 
     100 TB shape: the document-frequency table is vocabulary-sized
-    (Zipf: millions of rows, not corpus-sized) so it broadcasts; the
+    (Zipf-sublinear, but still 1e7-1e8 rows at 100 TB — see SCALE.md
+    "Vocabulary growth") so it joins UNHINTED and AQE's runtime size
+    check decides broadcast vs shuffle; the
     per-doc vocab self-join is keyed by doc_id — each doc contributes
     |vocab_doc|² pairs, bounded because the ``PMI_MIN_DF`` filter plus a
     df ceiling (add ``df <= N*frac`` at scale to drop stopwords) caps
@@ -368,7 +370,7 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= PMI_MIN_DF)
     )
-    dvf = dv.join(F.broadcast(dfreq), "word")
+    dvf = dv.join(dfreq, "word")
     a = dvf.select("doc_id", F.col("word").alias("w1"), F.col("df").alias("df1"))
     b = dvf.select("doc_id", F.col("word").alias("w2"), F.col("df").alias("df2"))
     pair = (
@@ -441,10 +443,13 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the model IS vocabulary-sized, not corpus-sized —
     bigram counts partial-aggregate map-side into a Zipf-bounded table
     and the head-count/vocab tables fold from it, so the expensive
-    stream (per-doc bigram occurrences) joins against broadcast-sized
-    sides.  Two corpus-wide shuffles total: the global bigram count and
-    the per-doc score agg; at web scale add a ``n_pair >= k`` floor to
-    shrink the broadcast (scores shift by a constant, ordering holds).
+    stream (per-doc bigram occurrences) joins against model-sized
+    sides — UNHINTED (r7): the bigram vocabulary outgrows even the
+    unigram Heaps curve (billions of distinct pairs at web scale), so
+    AQE's runtime size check must pick broadcast vs shuffle.  Two
+    corpus-wide shuffles minimum: the global bigram count and the
+    per-doc score agg; at web scale add a ``n_pair >= k`` floor to
+    shrink the model (scores shift by a constant, ordering holds).
     """
     docs = table(spark, sf_dir, "documents")
     t = tokens_of(F.col("text"))
@@ -466,8 +471,8 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("word").alias("vocab")
     )
     return (
-        bg.join(F.broadcast(pc), ["w1", "w2"])
-        .join(F.broadcast(hc), ["w1"])
+        bg.join(pc, ["w1", "w2"])
+        .join(hc, ["w1"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
@@ -648,7 +653,7 @@ def q_word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= PMI_MIN_DF)
     )
-    dvf = dv.join(F.broadcast(dfreq.select("word")), "word")
+    dvf = dv.join(dfreq.select("word"), "word")  # vocab-sized: AQE decides (r7)
     a = dvf.select("doc_id", F.col("word").alias("w1"))
     b = dvf.select("doc_id", F.col("word").alias("w2"))
     pair = (

@@ -88,34 +88,43 @@ FACT_FIRST_COLS = {
     "event_id": "events",
 }
 
-# Grouping keys whose cardinality is vocabulary/enumeration-sized, not
-# corpus-sized: aggregating a fact table down to these keys yields a
-# broadcastable result (Heaps-law vocab, language codes, source names,
-# event types, class labels, 26 letters, 24 hours, LSH cells).
+# Explicitly BOUNDED base relations, by first output column.  Scans are
+# classified closed-world: a LogicalRelation whose first column appears
+# in neither map is treated as UNSAFE (fact-like), so a future
+# corpus-scale table that nobody adds to FACT_FIRST_COLS cannot slip
+# through the gate as broadcastable — the gate fails loud instead of
+# rotting (the dim default was inverted in round 7 for exactly this).
+DIM_FIRST_COLS = {
+    "r_regionkey": "region",
+    "n_nationkey": "nation",
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+}
+
+# Grouping keys whose cardinality is ENUMERATION-sized (tens to
+# thousands of values by construction): aggregating a fact table down
+# to these keys yields a broadcastable result.  ``word``/``w1``/``w2``
+# were removed in r7: Heaps' law keeps the vocabulary sublinear but at
+# 100 TB it still reaches 1e7-1e8 rows (multi-GB serialized — see
+# SCALE.md "Vocabulary growth"), so word-keyed aggregates are NOT
+# broadcast-safe and their joins go unhinted (AQE decides at runtime).
 BOUNDED_GROUP_KEYS = {
-    "word",
-    "w1",
-    "w2",
     "lang",
     "source",
     "m_source",
     "event_type",
     "label",
-    "letter",
-    "hour",
-    "cell",
+    "letter",  # 26 by the reference's alphabet
+    "hour",  # 24
+    "cell",  # LSH cells: 2^n_bits by construction
     "cluster",  # K-means: K values by construction
     "dim",  # embedding dimension index: model-width values
 }
 
-# A Filter whose condition upper-bounds a dense primary id by a
-# literal (``vec_id < 10``) selects at most that many rows — the
-# standard fixture idiom for a fixed query set.  Modulo slices
-# (``vec_id % 10 = 0``) deliberately do NOT match: they are
-# corpus-proportional.
-_LITERAL_ID_BOUND = re.compile(
-    r"\b(vec_id|doc_id|query_id)#\d+L? < (cast\()?\d+"
-)
+# Dense primary-id columns: ``id < literal`` selects at most that many
+# rows — the standard fixture idiom for a fixed query set.
+_BOUNDABLE_IDS = re.compile(r"^(vec_id|doc_id|query_id)#\d+L?$")
 
 
 def _children(node) -> list:
@@ -123,13 +132,57 @@ def _children(node) -> list:
     return [seq.apply(i) for i in range(seq.size())]
 
 
+def _conjuncts(expr) -> list:
+    """Top-level AND-split of a condition expression.  Anything under
+    an Or/Not stays inside its own conjunct unsplit, so a bound buried
+    in a disjunction (``vec_id < 10 OR big``) or negation cannot
+    masquerade as a whole-condition bound."""
+    if expr.getClass().getSimpleName() == "And":
+        out: list = []
+        for kid in _children(expr):
+            out.extend(_conjuncts(kid))
+        return out
+    return [expr]
+
+
+def _is_literal(expr) -> bool:
+    cls = expr.getClass().getSimpleName()
+    if cls == "Literal":
+        return True
+    if cls == "Cast":  # cast(10 as bigint) — still a literal bound
+        return _is_literal(_children(expr)[0])
+    return False
+
+
+def _literal_id_bound(cond) -> bool:
+    """True iff some TOP-LEVEL conjunct of the condition is
+    ``<dense-id> < <literal>`` — walked on the expression tree, not a
+    substring match, so ``NOT(vec_id < 10)`` and ``vec_id < 10 OR p``
+    (corpus-proportional) do not qualify.  Modulo slices
+    (``vec_id % 10 = 0``) never match: the left side must be the bare
+    id attribute."""
+    for c in _conjuncts(cond):
+        if c.getClass().getSimpleName() != "LessThan":
+            continue
+        left, right = _children(c)
+        if _BOUNDABLE_IDS.match(left.toString()) and _is_literal(right):
+            return True
+    return False
+
+
 def _scan_table(node) -> str | None:
-    """Which base table a LogicalRelation reads, by its first output
-    column (the synthetic tables have disjoint leading columns)."""
+    """Classify a LogicalRelation by its first output column (the
+    synthetic tables have disjoint leading columns): returns the fact
+    table name for known facts, ``None`` for explicitly bounded dims —
+    and, closed-world, an ``"unknown:<col>"`` fact-like marker for any
+    relation in neither map, so unclassified tables default to unsafe."""
     out = node.output()
     if out.size() == 0:
         return None
-    return FACT_FIRST_COLS.get(out.apply(0).name())
+    first = out.apply(0).name()
+    if first in DIM_FIRST_COLS:
+        return None
+    return FACT_FIRST_COLS.get(first, f"unknown:{first}")
 
 
 def _agg_keys(node) -> set[str]:
@@ -151,7 +204,7 @@ def _subtree_safe(node) -> bool:
             return True
     if cls in ("GlobalLimit", "LocalLimit"):
         return True
-    if cls == "Filter" and _LITERAL_ID_BOUND.search(node.condition().toString()):
+    if cls == "Filter" and _literal_id_bound(node.condition()):
         return True
     if cls == "LogicalRelation":
         return _scan_table(node) is None

@@ -369,11 +369,16 @@ def test_contamination_check_no_corpus_broadcast_hint(spark):
 
 
 def test_pmi_pair_join_broadcasts_vocab_and_total(spark):
-    """The df table is vocabulary-sized (broadcast); the corpus total is
-    a single-row broadcast aggregate; only the doc_id self-join and the
-    pair aggregation may hash-shuffle."""
-    plan = physical_plan(spark, "pmi_cooccurrence")
-    assert plan.count("BroadcastHashJoin") >= 2  # vocab df joins (a and b)
+    """The df table is vocabulary-COUNT-sized, so it joins UNHINTED
+    (r7: Heaps-sublinear but 1e7-1e8 rows at 100 TB — AQE's runtime
+    size check decides, and at fixture scale it converts the word join
+    to broadcast); the corpus total is the only surviving hint, a
+    single-row broadcast aggregate; only the doc_id self-join and the
+    pair/word aggregations may hash-shuffle."""
+    df = load_all()["pmi_cooccurrence"].fn(spark, SF)
+    assert audit.broadcast_hint_count(df) == 1  # the 1-row total ONLY
+    plan = audit.final_adaptive_plan(df)
+    assert "BroadcastHashJoin" in plan  # AQE converted the df join
     assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus total
     hash_keys = {
         ln.split("Exchange hashpartitioning(")[1].split("#")[0]
@@ -393,12 +398,17 @@ def test_embedding_quantize_broadcasts_stats_no_second_explode(spark):
 
 
 def test_ngram_lm_score_broadcasts_the_model(spark):
-    """The bigram-count model and head-count tables are vocab-sized and
-    must broadcast; the corpus-sized bigram stream must never be the
-    build side or sort-merge-joined."""
-    plan = physical_plan(spark, "ngram_lm_score")
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    """The bigram-count model and head-count tables are model-sized
+    but vocabulary-COUNT-scaled, so they join UNHINTED (r7 — the
+    bigram vocabulary outgrows even the unigram Heaps curve at web
+    scale): the only surviving hint is the 1-row |V| aggregate, and at
+    fixture scale AQE's runtime size check converts both model joins
+    to broadcast so the corpus-sized bigram stream is never the build
+    side."""
+    df = load_all()["ngram_lm_score"].fn(spark, SF)
+    assert audit.broadcast_hint_count(df) == 1  # the 1-row vocab ONLY
+    plan = audit.final_adaptive_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # AQE-converted
 
 
 def test_embedding_outliers_broadcasts_centroids(spark):
@@ -779,3 +789,47 @@ def test_no_query_broadcasts_an_unbounded_fact_side(spark):
         if len(violations) > allow.get(name, 0):
             bad[name] = violations
     assert not bad, bad
+
+
+def test_gate_rejects_disjunctive_and_negated_id_bounds(spark):
+    """r7 hardening: the literal-id-bound escape hatch must hold only
+    when ``id < literal`` is a TOP-LEVEL conjunct.  Buried in an OR (a
+    corpus-proportional predicate) or under a NOT it must NOT qualify,
+    and a plain conjunct must."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probe = spark.range(100).withColumnRenamed("id", "vec_id")
+
+    def hinted(filtered):
+        return probe.join(
+            F.broadcast(filtered.select("vec_id")), "vec_id", "left_semi"
+        )
+
+    ok = hinted(emb.filter((F.col("vec_id") < 10) & (F.col("vec_id") % 2 == 0)))
+    assert audit.broadcast_hint_violations(ok) == []
+
+    disj = hinted(emb.filter((F.col("vec_id") < 10) | (F.col("vec_id") > 5)))
+    assert audit.broadcast_hint_violations(disj)
+
+    neg = hinted(emb.filter(~(F.col("vec_id") < 10)))
+    assert audit.broadcast_hint_violations(neg)
+
+
+def test_gate_treats_unclassified_tables_as_fact_like(spark, tmp_path):
+    """r7 hardening: a scan of a table in neither FACT_FIRST_COLS nor
+    DIM_FIRST_COLS defaults to UNSAFE, so a future corpus-scale table
+    nobody classifies cannot silently pass the broadcast gate."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "mystery.parquet")
+    spark.range(50).withColumnRenamed("id", "mystery_id").write.parquet(path)
+    mystery = spark.read.parquet(path)
+    probe = spark.range(100).withColumnRenamed("id", "mystery_id")
+    hinted = probe.join(F.broadcast(mystery), "mystery_id", "left_semi")
+    assert audit.broadcast_hint_violations(hinted)
+    # ...but a known dim stays broadcastable
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    probe2 = spark.range(100).withColumnRenamed("id", "n_nationkey")
+    dim_hinted = probe2.join(F.broadcast(nation), "n_nationkey", "left_semi")
+    assert audit.broadcast_hint_violations(dim_hinted) == []
