@@ -51,6 +51,19 @@ GAP_MIN = 30
 # ``_run_to_memory`` fails loudly if more than one batch carried rows.
 _SINGLE_BATCH_FILES = 1_000_000
 
+# tests/test_streaming.py sets this True (with _SINGLE_BATCH_FILES=1)
+# to drive the SAME registered queries across forced multi-micro-batch
+# splits: the sink then legitimately carries one row per key per
+# updating batch, and the test reduces to final state before comparing
+# against the batch result — real trigger-boundary state-merge
+# coverage the single-batch oracle cannot give.
+_EXPECT_MULTI_BATCH = False
+
+# Batches that actually carried input in the last _run_to_memory drive
+# — lets the multi-batch tests PROVE the split produced >= 3 triggers
+# instead of silently collapsing back into one.
+_LAST_FED_BATCHES = 0
+
 # events.ts has shipped as parquet TIMESTAMP(NANOS) (read as epoch-nanos
 # long under the nanosAsLong legacy conf) in some fixture generations and
 # TIMESTAMP(MICROS) NTZ in others; readStream needs the schema up front,
@@ -83,8 +96,11 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # readStream wants a directory: stream the sf dir with a glob filter
     # selecting just the events table file.
     raw = (
+        # events*.parquet (not the exact name): lets tests feed a
+        # multi-file split corpus one file per trigger; the schema
+        # probe still reads the canonical events.parquet
         spark.readStream.schema(_events_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )
@@ -112,10 +128,12 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
         .queryName(name)
         .start()
     )
+    global _LAST_FED_BATCHES
     try:
         q.processAllAvailable()
         fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        if len(fed) > 1:
+        _LAST_FED_BATCHES = len(fed)
+        if len(fed) > 1 and not _EXPECT_MULTI_BATCH:
             raise RuntimeError(
                 f"streaming fixture split into {len(fed)} micro-batches; "
                 "the single-batch == batch-result oracle no longer holds"
@@ -304,7 +322,8 @@ def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the topology (shuffle on hash, per-key state) is identical."""
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
+        # documents*.parquet: lets tests feed a split corpus per trigger
+        .option("pathGlobFilter", "documents*.parquet")
         .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )
@@ -400,7 +419,8 @@ def q_stream_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
+        # documents*.parquet: lets tests feed a split corpus per trigger
+        .option("pathGlobFilter", "documents*.parquet")
         .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )

@@ -276,3 +276,147 @@ def test_stream_upsert_store_equals_batch_dedup(spark):
     # doc_id arrived in a later file — impossible under doc_id-ordered
     # range split, so full equality holds
     assert multi == batch
+
+
+# --------------------------------------------------------------------------
+# FORCED multi-micro-batch equality (r7): the four remaining stateful
+# queries must converge to their batch results when the fixture is
+# split into >= 3 files fed one per trigger — real trigger boundaries,
+# real state merges, which the single-batch oracle contract can't see.
+# --------------------------------------------------------------------------
+
+import contextlib
+import glob as _glob
+import os as _os
+import shutil as _shutil
+
+from inverted_index_using_the_map_reduce_paradigm_spark.streaming import engine as _engine
+
+
+@contextlib.contextmanager
+def _force_multi_batch():
+    """One file per trigger + permit >1 fed batch in _run_to_memory."""
+    orig = (_engine._SINGLE_BATCH_FILES, _engine._EXPECT_MULTI_BATCH)
+    _engine._SINGLE_BATCH_FILES, _engine._EXPECT_MULTI_BATCH = 1, True
+    try:
+        yield
+    finally:
+        _engine._SINGLE_BATCH_FILES, _engine._EXPECT_MULTI_BATCH = orig
+
+
+def _split_fixture(spark, tmp_path, tbl: str, order_col: str, n: int = 4) -> str:
+    """Split a fixture table into n single-file parquets in order_col
+    order, named <tbl>.parquet / <tbl>1.parquet / ... with ascending
+    mtimes so the file source feeds them oldest-first one per trigger
+    (the first keeps the canonical name for the schema probe)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = tmp_path / f"{tbl}_split"
+    src.mkdir()
+    df = spark.read.parquet(f"{SF}/{tbl}.parquet")
+    per = df.count() // n + 1
+    w = Window.orderBy(order_col)
+    idx = df.withColumn(
+        "_i", ((F.row_number().over(w) - 1) / per).cast("int")
+    )
+    for i in range(n):
+        stage = str(tmp_path / f"_stage_{tbl}_{i}")
+        (
+            idx.filter(F.col("_i") == i)
+            .drop("_i")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = str(src / (f"{tbl}.parquet" if i == 0 else f"{tbl}{i}.parquet"))
+        _shutil.copy(part, dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+        _shutil.rmtree(stage)
+    return str(src)
+
+
+def _final_state(df, key_cols, rank_col):
+    """Update-mode memory sinks append one row per key per updating
+    batch; the FINAL state per key is the row with the max rank_col
+    (strictly monotone across a key's emissions: every re-emission
+    merged new rows into the key's state)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(rank_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def test_multibatch_stream_exact_dedup_equals_batch(spark, tmp_path):
+    """Append-mode dropDuplicates under a forced 4-file split: state
+    carries first-seen hashes across trigger boundaries, so the union
+    of emissions must be exactly the batch-distinct hash set."""
+    qs = load_all()
+    batch_hashes = {
+        r.content_hash for r in qs["exact_dedup"].fn(spark, SF).collect()
+    }
+    src = _split_fixture(spark, tmp_path, "documents", "doc_id")
+    with _force_multi_batch():
+        got = {r.content_hash for r in qs["stream_exact_dedup"].fn(spark, src).collect()}
+        assert _engine._LAST_FED_BATCHES >= 3
+    assert got == batch_hashes
+
+
+def test_multibatch_stream_user_stats_equals_batch(spark, tmp_path):
+    """applyInPandasWithState under a forced 4-file split: per-user
+    (count, sum) state must merge across trigger boundaries; the final
+    emission per user (max n_events — strictly monotone) must equal
+    the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    qs = load_all()
+    ev = table(spark, SF, "events")
+    batch = as_set(
+        ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    with _force_multi_batch():
+        sink = qs["stream_user_stats"].fn(spark, src)
+        assert _engine._LAST_FED_BATCHES >= 3
+        final = as_set(_final_state(sink, ["user_id"], "n_events"))
+    assert final == batch
+
+
+def test_multibatch_stream_inverted_index_equals_batch(spark, tmp_path):
+    """The streaming index under a forced 4-file doc_id-ordered split:
+    posting-list state must grow across trigger boundaries (each batch
+    adds disjoint doc_ids, so doc_freq is strictly monotone per word);
+    the final emission per word must equal the batch flagship index."""
+    qs = load_all()
+    batch = as_set(qs["inverted_index"].fn(spark, SF))
+    src = _split_fixture(spark, tmp_path, "documents", "doc_id")
+    with _force_multi_batch():
+        sink = qs["stream_inverted_index"].fn(spark, src)
+        assert _engine._LAST_FED_BATCHES >= 3
+        final = as_set(_final_state(sink, ["word"], "doc_freq"))
+    assert final == batch
+
+
+def test_multibatch_stream_sessionize_equals_batch(spark, tmp_path):
+    """Session windows under a forced 4-file ts-ordered split: sessions
+    spanning a trigger boundary must merge in the state store; complete
+    mode re-emits the whole state each trigger, so the sink's final
+    contents are the final state and must equal the batch sessionize."""
+    qs = load_all()
+    batch = as_set(qs["events_sessionize"].fn(spark, SF))
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    with _force_multi_batch():
+        got = as_set(qs["stream_sessionize"].fn(spark, src))
+        assert _engine._LAST_FED_BATCHES >= 3
+    assert got == batch
