@@ -23,6 +23,20 @@ hash-checks the guarantee itself:
   tolerance of the exact distinct count, plus the union <= naive-sum
   structural bound.
 
+Round 7 completes the family — every no-oracle query now has a
+driver-hash-checked census counterpart:
+
+* ``simhash_recall_census`` — chunk-banded pairs == brute-force
+  hamming pairs (the pigeonhole losslessness), exact-text dups at
+  hamming 0.
+* ``incremental_near_dedup_census`` — the delta-banded incremental
+  result == exact Jaccard pairs touching the delta (batch/incremental
+  equivalence).
+* ``rp_near_dup_census`` — RP near-dup ⊆ exact pairs with identical
+  cosines, strong-pair recall floor, sub-quadratic candidate volume.
+* ``bpe_census`` — merge #1 == the SQL argmax over char bigrams;
+  merge-table cardinality; full-sequence rerun determinism.
+
 The reference has no approximate operators at all
 (``/root/reference/main.c++`` is exact end to end); this pattern is
 engine-side verification infrastructure for the 100 TB extensions.
@@ -41,16 +55,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import table
+from ..functions.text import sql_tokens, tokens_of
 from ..registry import register
-from .dedup import NGRAM_JACCARD_ORACLE, jaccard_pairs, minhash_pairs
+from .dedup import (
+    HAMMING_MAX,
+    NGRAM_JACCARD_ORACLE,
+    jaccard_pairs,
+    minhash_pairs,
+    q_incremental_near_dedup,
+    q_simhash_dedup,
+    simhash_of,
+)
 from .similarity import (
+    EMBEDDING_NEAR_DUP_ORACLE,
     N_QUERIES,
     TOP_K,
+    _buckets_of,
+    _emb_double,
+    q_embedding_near_dup,
+    q_embedding_near_dup_rp,
     q_similarity_search,
     q_similarity_search_ivf,
     q_similarity_search_rp,
 )
 from .temporal import q_hll_union_rollup
+from .training import BPE_MERGES, q_bpe_vocab
 
 # Declared tolerances (probed at sf0.001 and sf0.01: HLL++ rsd=2% is
 # exact at fixture cardinalities, quantile error <= 0.61%; the bounds
@@ -263,4 +292,315 @@ def q_hll_rollup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("approx_users") <= F.col("sum_daily")).alias(
             "union_le_sum_daily"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-7 censuses: the last four no-oracle queries gain driver-checked
+# guarantee rows (completing the family started in round 6)
+# --------------------------------------------------------------------------
+
+RP_STRONG_COS = 0.7  # "strong" near-dup threshold for the recall floor
+RP_STRONG_RECALL = 0.6  # measured >= 0.83 at sf0.001/sf0.01; floor
+# survives seed jitter (matches tests/test_similarity.py)
+RP_CAND_FRAC = 0.6  # in-bucket pair budget vs the all-pairs grid:
+# 6 tables x 16 buckets gives ~6/16 under uniform hashing; 0.6 still
+# flags any regression to quadratic candidate volume
+
+
+@register(
+    "simhash_recall_census",
+    oracle="""
+WITH td AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_textdup_pairs,
+       TRUE AS textdups_found_h0,
+       TRUE AS banding_lossless
+FROM td
+""",
+    description="driver-checked: simhash chunk banding == brute-force hamming pairs; exact dups at hamming 0",
+    bench=False,
+    tags=("dedup", "approx", "census"),
+)
+def q_simhash_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pigeonhole guarantee on the driver surface: hamming<=3 over
+    4 chunks implies agreement on >=1 full 16-bit chunk, so the banded
+    candidate join of ``simhash_dedup`` must equal a BRUTE-FORCE
+    all-pairs hamming scan (no pair lost, none added, same distances)
+    — plus the structural anchor DuckDB can predict independently:
+    every identical-text pair has an identical simhash and must appear
+    at hamming 0.  The brute force is the census's deliberate expense
+    (n² bit_count over the n-row simhash table — verification only,
+    never the production path)."""
+    docs = table(spark, sf_dir, "documents")
+    band = q_simhash_dedup(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens_of(F.col("text"))), lambda w: F.xxhash64(w)
+        ).alias("hashes"),
+    )
+    s = hashed.select("doc_id", simhash_of(F.col("hashes")).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h_ex"),
+        )
+        .filter(F.col("h_ex") <= HAMMING_MAX)
+    )
+    both = band.join(brute, ["doc_a", "doc_b"], "full_outer")
+    lossless = both.agg(
+        F.coalesce(
+            F.bool_and(
+                F.col("hamming").isNotNull()
+                & F.col("h_ex").isNotNull()
+                & (F.col("hamming") == F.col("h_ex"))
+            ),
+            F.lit(True),
+        ).alias("banding_lossless")
+    )
+    td = (
+        docs.select("doc_id", F.sha2("text", 256).alias("h")).alias("x")
+        .join(
+            docs.select("doc_id", F.sha2("text", 256).alias("h")).alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    found = td.join(
+        band.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
+    )
+    counts = td.agg(F.count("*").alias("n_textdup_pairs")).crossJoin(
+        found.agg(F.count("*").alias("n_found"))
+    )
+    return counts.crossJoin(lossless).select(
+        "n_textdup_pairs",
+        (F.col("n_found") == F.col("n_textdup_pairs")).alias(
+            "textdups_found_h0"
+        ),
+        "banding_lossless",
+    )
+
+
+@register(
+    "incremental_near_dedup_census",
+    oracle=f"""
+WITH exact AS ({NGRAM_JACCARD_ORACLE})
+SELECT count(*) AS n_incr,
+       count(*) AS n_exact,
+       count(*) AS n_matched,
+       CAST(0 AS BIGINT) AS n_missed,
+       CAST(0 AS BIGINT) AS n_spurious,
+       TRUE AS jaccard_equal,
+       round(min(jaccard), 6) AS min_jaccard
+FROM exact WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+""",
+    description="driver-checked: incremental delta near-dedup == exact Jaccard pairs touching the delta",
+    bench=False,
+    tags=("dedup", "approx", "census", "cdc"),
+)
+def q_incremental_near_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch/incremental equivalence on the driver surface: the
+    delta-banded ``incremental_near_dedup`` result (pairs normalized to
+    (min, max)) must be the SET of exact-Jaccard near-dup pairs
+    restricted to pairs touching the delta (doc_id % 5 = 0) — same
+    pairs, same jaccard values.  The oracle derives the restricted
+    exact pair set straight from the raw corpus and predicts perfect
+    agreement, so any state-vs-recompute divergence (a banding miss, a
+    stale-signature bug, a delta self-join hole) breaks the hash."""
+    docs = table(spark, sf_dir, "documents")
+    incr = q_incremental_near_dedup(spark, sf_dir).select(
+        F.least("new_doc_id", "matched_doc_id").alias("doc_a"),
+        F.greatest("new_doc_id", "matched_doc_id").alias("doc_b"),
+        F.col("jaccard").alias("j_inc"),
+    )
+    touches_delta = (F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0)
+    exact = (
+        jaccard_pairs(docs)
+        .filter(touches_delta)
+        .select("doc_a", "doc_b", F.col("jaccard").alias("j_ex"))
+    )
+    both = incr.join(exact, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.count("j_inc").alias("n_incr"),
+        F.count("j_ex").alias("n_exact"),
+        F.count(
+            F.when(F.col("j_inc").isNotNull() & F.col("j_ex").isNotNull(), 1)
+        ).alias("n_matched"),
+        F.count(F.when(F.col("j_inc").isNull(), 1)).alias("n_missed"),
+        F.count(F.when(F.col("j_ex").isNull(), 1)).alias("n_spurious"),
+        F.coalesce(
+            F.bool_and(
+                F.when(
+                    F.col("j_inc").isNotNull() & F.col("j_ex").isNotNull(),
+                    F.col("j_inc") == F.col("j_ex"),
+                )
+            ),
+            F.lit(True),
+        ).alias("jaccard_equal"),
+        F.round(F.min("j_ex"), 6).alias("min_jaccard"),
+    )
+
+
+@register(
+    "rp_near_dup_census",
+    oracle=f"""
+WITH exact AS ({EMBEDDING_NEAR_DUP_ORACLE})
+SELECT count(*) AS n_exact,
+       CAST(count(CASE WHEN cosine >= {RP_STRONG_COS} THEN 1 END) AS BIGINT)
+         AS n_strong,
+       TRUE AS subset_ok,
+       TRUE AS cosine_equal,
+       TRUE AS strong_recall_floor_met,
+       TRUE AS cand_subquadratic
+FROM exact
+""",
+    description=f"driver-checked RP near-dup contract: subset of exact pairs, strong recall >= {RP_STRONG_RECALL}, sub-quadratic candidates",
+    bench=False,
+    tags=("similarity", "dedup", "approx", "census"),
+)
+def q_rp_near_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_near_dup_rp``'s three guarantees on the driver
+    surface: (1) PRECISION IS EXACT — every emitted pair also appears
+    in the exact tiled all-pairs result with the identical cosine
+    (candidates are scored with the true cosine, so rp ⊆ exact); (2)
+    recall on STRONG pairs (cosine >= {RP_STRONG_COS}) stays above the
+    floor (high-cosine vectors collide in some LSH table w.h.p.); (3)
+    the in-bucket candidate volume is sub-quadratic (the scale claim,
+    recomputed from the bucket sizes).  The oracle predicts n_exact /
+    n_strong from the raw embeddings and all four booleans TRUE."""
+    exact = q_embedding_near_dup(spark, sf_dir).select(
+        "vec_a", "vec_b", F.col("cosine").alias("cos_e")
+    )
+    rp = q_embedding_near_dup_rp(spark, sf_dir).select(
+        "vec_a", "vec_b", F.col("cosine").alias("cos_r")
+    )
+    both = exact.join(rp, ["vec_a", "vec_b"], "full_outer")
+    agg = both.agg(
+        F.count("cos_e").alias("n_exact"),
+        F.count(F.when(F.col("cos_e") >= RP_STRONG_COS, 1)).alias("n_strong"),
+        (F.count(F.when(F.col("cos_e").isNull(), 1)) == 0).alias("subset_ok"),
+        F.coalesce(
+            F.bool_and(
+                F.when(
+                    F.col("cos_e").isNotNull() & F.col("cos_r").isNotNull(),
+                    F.col("cos_e") == F.col("cos_r"),
+                )
+            ),
+            F.lit(True),
+        ).alias("cosine_equal"),
+        F.count(
+            F.when(
+                (F.col("cos_e") >= RP_STRONG_COS) & F.col("cos_r").isNotNull(),
+                1,
+            )
+        ).alias("n_strong_found"),
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("e")
+    )
+    cand = (
+        emb.select("vec_id", F.explode(_buckets_of("e")).alias("tb"))
+        .groupBy("tb.t", "tb.b")
+        .agg(F.count("*").alias("g"))
+        .agg(F.sum(F.col("g") * (F.col("g") - 1) / 2).alias("cand_pairs"))
+    )
+    n = emb.agg(F.count("*").alias("n_vecs"))
+    return (
+        agg.crossJoin(cand)
+        .crossJoin(n)
+        .select(
+            "n_exact",
+            "n_strong",
+            "subset_ok",
+            "cosine_equal",
+            (
+                (F.col("n_strong") == 0)
+                | (
+                    F.col("n_strong_found")
+                    >= F.lit(RP_STRONG_RECALL) * F.col("n_strong")
+                )
+            ).alias("strong_recall_floor_met"),
+            (
+                F.col("cand_pairs")
+                < F.lit(RP_CAND_FRAC)
+                * F.col("n_vecs")
+                * (F.col("n_vecs") - 1)
+                / 2
+            ).alias("cand_subquadratic"),
+        )
+    )
+
+
+@register(
+    "bpe_census",
+    oracle=f"""
+WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(toks) AS word
+        FROM (SELECT {sql_tokens('text')} AS toks FROM documents))
+  GROUP BY word
+), pairs AS (
+  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, freq
+  FROM wf, LATERAL unnest(generate_series(1, length(word) - 1)) AS t(i)
+  WHERE length(word) >= 2
+), top AS (
+  SELECT l, r, sum(freq) AS cnt FROM pairs
+  GROUP BY l, r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+)
+SELECT CAST({BPE_MERGES} AS BIGINT) AS n_merges,
+       l AS first_left, r AS first_right,
+       CAST(cnt AS BIGINT) AS first_freq,
+       TRUE AS rerun_identical
+FROM top
+""",
+    description="driver-checked BPE contract: first merge = SQL argmax over char bigrams; full merge sequence deterministic",
+    bench=False,
+    tags=("training", "iterative", "census"),
+)
+def q_bpe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe_vocab``'s data-dependent loop can't carry a full SQL
+    oracle (iteration k's argmax decides iteration k+1's plan), but
+    its ANCHOR is SQL-predictable: merge #1 is exactly the argmax of
+    frequency-weighted adjacent CHARACTER pairs (cnt desc, l asc,
+    r asc tie-break), which DuckDB derives independently from the raw
+    corpus — so the census hash pins the first learned parameter, the
+    merge-table cardinality, and (via a full re-run from scratch
+    joined rank-by-rank) that the WHOLE merge sequence is
+    deterministic, the property the local tests asserted but the
+    driver could not see."""
+    m1 = q_bpe_vocab(spark, sf_dir).alias("m1")
+    m2 = q_bpe_vocab(spark, sf_dir).alias("m2")
+    j = m1.join(m2, "merge_rank", "full_outer")
+    stable = j.agg(
+        F.count("*").alias("n_merges"),
+        F.coalesce(
+            F.bool_and(
+                (F.col("m1.left") == F.col("m2.left"))
+                & (F.col("m1.right") == F.col("m2.right"))
+                & (F.col("m1.pair_freq") == F.col("m2.pair_freq"))
+            ),
+            F.lit(False),
+        ).alias("rerun_identical"),
+    )
+    first = (
+        q_bpe_vocab(spark, sf_dir)
+        .filter(F.col("merge_rank") == 1)
+        .select(
+            F.col("left").alias("first_left"),
+            F.col("right").alias("first_right"),
+            F.col("pair_freq").alias("first_freq"),
+        )
+    )
+    return stable.crossJoin(first).select(
+        "n_merges", "first_left", "first_right", "first_freq", "rerun_identical"
     )

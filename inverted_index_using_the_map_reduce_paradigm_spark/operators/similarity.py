@@ -170,12 +170,13 @@ def _gemm_block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 @register(
     "embedding_near_dup",
-    oracle=f"""
+    # named so rp_near_dup_census can reuse the exact pair set as a CTE
+    oracle=(EMBEDDING_NEAR_DUP_ORACLE := f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_cos_sql('a.embedding', 'b.embedding')}, {ROUND}) + 0 AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({_cos_sql('a.embedding', 'b.embedding')}, {ROUND}) >= {NEAR_DUP_COS}
-""",
+"""),
     description=f"embedding pairs with cosine >= {NEAR_DUP_COS} (near-duplicate vectors)",
     tags=("similarity", "dedup"),
 )
