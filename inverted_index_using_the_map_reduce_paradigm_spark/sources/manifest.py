@@ -34,11 +34,19 @@ def read_manifest_paths(manifest_path: str) -> list[str]:
     return paths
 
 
+# Above this size a corpus file no longer rides the wholetext fast
+# path: a whole-file row must fit one task (and a JVM string caps at
+# ~2 GiB), so ``wholetext="auto"`` reads oversized files line-wise —
+# Hadoop splits them into maxPartitionBytes chunks and a multi-GiB
+# document parallelizes across tasks instead of OOMing one.
+WHOLETEXT_MAX_BYTES = 256 * 2**20
+
+
 def read_corpus(
     spark: SparkSession,
     manifest_path: str,
     validate: bool = False,
-    wholetext: bool = False,
+    wholetext: bool | str = False,
 ) -> DataFrame:
     """documents-shaped DataFrame (doc_id, text) from a reference manifest.
 
@@ -54,6 +62,18 @@ def read_corpus(
     5000 rows instead of ~450 M.  Each file must then fit one task's
     memory; documents do (they are bounded), arbitrary concatenated
     logs may not — hence opt-in.
+
+    ``wholetext="auto"`` (r7, the skew-safe form) routes each file by
+    SIZE: files over ``WHOLETEXT_MAX_BYTES`` go through the splittable
+    line-wise scan (a multi-GiB document parallelizes across its
+    Hadoop splits and never materializes as one row), the rest keep
+    the wholetext fast path; the two scans union before the doc-id
+    join, and downstream semantics are identical because per-doc
+    distinct collapses across rows in the posting aggregation.  When
+    the split is active both branches pass EXPLICIT path lists (the
+    parent-directory listing shortcut would re-read the big files in
+    the wholetext branch) — the per-path driver listing cost is the
+    documented price of a skewed layout.
 
     ``input_file_name()`` returns a percent-encoded file URI, so it is
     URL-decoded before joining against the driver-side absolute paths —
@@ -81,21 +101,47 @@ def read_corpus(
     # list.  Extra non-manifest files in a shared directory cost scan
     # bytes only — their rows drop at the join, and ``validate`` checks
     # every manifest entry surfaced.
-    parents = sorted({os.path.dirname(os.path.abspath(p)) for p in paths})
-    read_paths = parents if len(parents) * 10 <= len(paths) else paths
     uri_path = F.regexp_replace(F.input_file_name(), "^file:/*", "/")
-    # lineSep pins the row delimiter to \n exactly like the reference's
-    # getline (main.c++:98).  Without it Hadoop's LineReader ALSO splits
-    # on lone \r — but a mid-token \r must JOIN its fragments (the
-    # normalizer erases it), not split them: "alpha\rbeta" is one token
-    # "alphabeta" in the reference.  Verified by the adversarial
-    # fidelity test's CR cases.
-    lines = spark.read.option("lineSep", "\n").text(
-        read_paths, wholetext=wholetext
-    ).select(
-        F.url_decode(F.replace(uri_path, F.lit("+"), F.lit("%2B"))).alias("abs_path"),
-        F.col("value").alias("text"),
-    )
+
+    def _scan(read_paths: list[str], per_file: bool) -> DataFrame:
+        # lineSep pins the row delimiter to \n exactly like the
+        # reference's getline (main.c++:98).  Without it Hadoop's
+        # LineReader ALSO splits on lone \r — but a mid-token \r must
+        # JOIN its fragments (the normalizer erases it), not split
+        # them: "alpha\rbeta" is one token "alphabeta" in the
+        # reference.  Verified by the adversarial fidelity test's CR
+        # cases.
+        return spark.read.option("lineSep", "\n").text(
+            read_paths, wholetext=per_file
+        ).select(
+            F.url_decode(
+                F.replace(uri_path, F.lit("+"), F.lit("%2B"))
+            ).alias("abs_path"),
+            F.col("value").alias("text"),
+        )
+
+    big: list[str] = []
+    if wholetext == "auto":
+        big = [
+            os.path.abspath(p)
+            for p in paths
+            if os.path.getsize(p) > WHOLETEXT_MAX_BYTES
+        ]
+        wholetext = True  # the non-big branch keeps the fast path
+    if big:
+        bigset = set(big)
+        small = [
+            os.path.abspath(p)
+            for p in paths
+            if os.path.abspath(p) not in bigset
+        ]
+        lines = _scan(big, per_file=False)
+        if small:
+            lines = lines.unionByName(_scan(small, per_file=True))
+    else:
+        parents = sorted({os.path.dirname(os.path.abspath(p)) for p in paths})
+        read_paths = parents if len(parents) * 10 <= len(paths) else paths
+        lines = _scan(read_paths, per_file=bool(wholetext))
     corpus = lines.join(F.broadcast(mapping), "abs_path").select("doc_id", "text")
     if validate:
         # empty (0-byte) corpus files legitimately yield no rows in

@@ -35,11 +35,17 @@ REF_SRC = "/root/reference/main.c++"
 SF_PARQUET = "/root/testdata/sf0.1/documents.parquet"
 
 
-def build_corpus(base: str, mult: int) -> str:
+def build_corpus(base: str, mult: int, skew_mib: int = 0) -> str:
+    """Uniform corpus: every doc's text repeated ``mult`` times in its
+    own file.  Skew corpus (``skew_mib`` > 0): every doc ONCE (tiny
+    files) except doc 1, whose file is grown to ~``skew_mib`` MiB — the
+    one-giant-file layout that starves the reference's static per-file
+    thread assignment and stresses the engine's wholetext row bound."""
     import duckdb
 
-    d = os.path.join(base, f"corpus_x{mult}")
-    manifest = os.path.join(base, f"manifest_x{mult}.txt")
+    tag = f"skew{skew_mib}" if skew_mib else f"x{mult}"
+    d = os.path.join(base, f"corpus_{tag}")
+    manifest = os.path.join(base, f"manifest_{tag}.txt")
     if os.path.exists(manifest):
         # Reuse an existing corpus: rewriting GiBs immediately before
         # timing leaves the page cache cold and writeback competing
@@ -63,7 +69,16 @@ def build_corpus(base: str, mult: int) -> str:
     for doc_id, text in rows:
         p = os.path.join(d, f"doc{doc_id}.txt")
         with open(p, "w") as f:
-            f.write((text + "\n") * mult)
+            if skew_mib and doc_id == 1:
+                line = text + "\n"
+                reps = max(1, skew_mib * 2**20 // len(line.encode()))
+                chunk = line * 4096
+                full, rem = divmod(reps, 4096)
+                for _ in range(full):
+                    f.write(chunk)
+                f.write(line * rem)
+            else:
+                f.write((text + "\n") * (1 if skew_mib else mult))
         paths.append(p)
     with open(manifest, "w") as f:
         f.write(f"{len(paths)}\n" + "\n".join(paths) + "\n")
@@ -76,11 +91,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=30)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--skew",
+        type=int,
+        default=0,
+        metavar="MIB",
+        help="skew corpus: doc 1 grown to ~MIB MiB, all others tiny;"
+        " the engine reads with wholetext='auto' (line-split big file)",
+    )
     args = ap.parse_args()
 
     base = os.path.join(tempfile.gettempdir(), "spark_graft_race")
     os.makedirs(base, exist_ok=True)
-    manifest = build_corpus(base, args.mult)
+    manifest = build_corpus(base, args.mult, skew_mib=args.skew)
 
     ref_bin = os.path.join(base, "ref_bin")
     subprocess.run(["g++", "-O2", "-pthread", "-o", ref_bin, REF_SRC], check=True)
@@ -105,10 +128,11 @@ def main() -> int:
     spark = get_spark("race_reference")
     eng_ts = []
     out = ""
+    granularity = "auto" if args.skew else True
     for i in range(args.runs):
         out = os.path.join(base, f"eng_out_{i}")
         t0 = time.perf_counter()
-        docs = read_corpus(spark, manifest, wholetext=True)
+        docs = read_corpus(spark, manifest, wholetext=granularity)
         write_letter_index(formatted_index(docs, arrow_tokenizer=True), out)
         collect_reference_layout(out)
         eng_ts.append(time.perf_counter() - t0)

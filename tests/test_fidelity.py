@@ -445,3 +445,41 @@ def test_random_adversarial_corpus_byte_identical_to_compiled_reference(
         for out in (eng_out, expr_out):
             b = (out / f"{c}.txt").read_bytes()
             assert a == b, f"{c} [{out.name}]: ref={a[:200]!r} eng={b[:200]!r}"
+
+
+def test_read_corpus_auto_splits_big_files_same_result(spark, tmp_path, monkeypatch):
+    """wholetext='auto' (r7) must route oversized files through the
+    splittable line scan and everything else through wholetext, with a
+    byte-identical index downstream — here with the threshold shrunk so
+    one 'giant' file actually takes the line path, checked against the
+    pure-wholetext and pure-line reads of the same corpus."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import (
+        formatted_index,
+    )
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources import manifest as m
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "small1.txt").write_text("alpha beta\ngamma\n")
+    (d / "small2.txt").write_text("beta delta\n")
+    (d / "giant.txt").write_text("alpha zulu\n" * 500)  # > 1 KiB
+    paths = [str(d / "giant.txt"), str(d / "small1.txt"), str(d / "small2.txt")]
+    mf = tmp_path / "manifest.txt"
+    mf.write_text(f"{len(paths)}\n" + "\n".join(paths) + "\n")
+
+    monkeypatch.setattr(m, "WHOLETEXT_MAX_BYTES", 1024)
+    auto = m.read_corpus(spark, str(mf), validate=True, wholetext="auto")
+    # the giant file really is line-split: >1 row for doc 1
+    assert auto.filter("doc_id = 1").count() == 500
+    whole = m.read_corpus(spark, str(mf), validate=True, wholetext=True)
+    line = m.read_corpus(spark, str(mf), validate=True)
+
+    def idx(docs):
+        return {
+            tuple(r)
+            for r in formatted_index(docs, arrow_tokenizer=True)
+            .select("word", "line")
+            .collect()
+        }
+
+    assert idx(auto) == idx(whole) == idx(line)
