@@ -329,20 +329,38 @@ SELECT DISTINCT doc_id FROM toks WHERE word = '{NOT_TERMS[0]}'
     tags=("reference", "query", "setops"),
 )
 def q_boolean_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(docs(window) ∪ docs(stream)) ∩ docs(scan) − docs(merge) through
-    the native set operators.  Catalyst plans INTERSECT/EXCEPT as
-    left-semi/left-anti hash joins — same shuffle count as the
-    hand-written join form, with dedup folded into the aggregation."""
-    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    """(docs(A) ∪ docs(B)) ∩ docs(C) − docs(D), compiled to ONE pass:
+    per-doc presence flags for the four terms come out of a single
+    filtered tokenize + doc_id aggregation, and the set algebra is a
+    boolean predicate over the flags — (a|b) & c & !d.  The oracle
+    keeps the literal UNION/INTERSECT/EXCEPT form, proving the
+    algebraic rewrite; the native set operators themselves stay
+    exercised by ``customers_intersect_except``.
 
-    def docs_with(term: str) -> DataFrame:
-        return toks.filter(F.col("word") == term).select("doc_id").distinct()
+    Tokenize-once (r7): the previous form built each of the four
+    posting sets with the set operators directly, which re-tokenized
+    the corpus four times (term filters push below the distinct, so no
+    subtree is shared).  One tokenize + one doc_id shuffle replaces
+    four of each — and at 100 TB a real query side would read the
+    STORED index instead (``boolean_*_stored``); this query is the
+    no-index form at reference parity."""
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    terms = [OR_TERMS[0], OR_TERMS[1], TERM, NOT_TERMS[0]]
+
+    def has(term: str):
+        return F.max((F.col("word") == term).cast("int")) == 1
 
     return (
-        docs_with(OR_TERMS[0])
-        .union(docs_with(OR_TERMS[1]))
-        .intersect(docs_with(TERM))
-        .subtract(docs_with(NOT_TERMS[0]))
+        toks.filter(F.col("word").isin(*terms))
+        .groupBy("doc_id")
+        .agg(
+            has(OR_TERMS[0]).alias("a"),
+            has(OR_TERMS[1]).alias("b"),
+            has(TERM).alias("c"),
+            has(NOT_TERMS[0]).alias("d"),
+        )
+        .filter((F.col("a") | F.col("b")) & F.col("c") & ~F.col("d"))
+        .select("doc_id")
     )
 
 

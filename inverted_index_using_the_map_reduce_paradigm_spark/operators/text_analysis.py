@@ -50,14 +50,27 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     but at 100 TB it still reaches 1e7-1e8 rows (multi-GB serialized),
     past safe executor broadcast; AQE's runtime size check picks
     broadcast at small scale and a word-keyed shuffle join at large.
-    N arrives via a 1-row broadcast cross join."""
+    N arrives via a 1-row broadcast cross join.
+
+    Tokenize-once (r7): ``df`` is attached to the ``tf`` aggregate via
+    ``count(*) over (partition by word)`` (tf rows are unique per
+    (doc_id, word), so the per-word row count IS the document
+    frequency) instead of re-aggregating the raw token stream into a
+    second ``dfreq`` table and joining it back.  One linear chain —
+    the corpus is scanned and TOKENIZED exactly once (previously two
+    Generate(explode) subtrees ran, doubling the dominant cost at
+    100 TB; only the scan's round-robin exchange was AQE-reused), and
+    the word-keyed join disappears with its demoted-hint question:
+    the word shuffle the window needs is the same shuffle the
+    non-broadcast join would have needed, minus the join's second
+    tokenize and build side.  Same pattern as ``doc_entropy``'s
+    per-doc total.  Pinned by ``test_plan_quality``."""
     docs = table(spark, sf_dir, "documents")
     toks = tokenize_documents(docs)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))
     return (
-        tf.join(dfreq, "word")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -671,34 +684,40 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the absolute ``SIM_DF_CAP`` are excluded from the whole
     computation: a near-universal word carries no similarity signal
     but contributes df² join pairs, so the caps are what keep the
-    posting join actually sparse as the corpus grows.  The per-doc
-    norm table is corpus-sized, so it is joined WITHOUT a broadcast
-    hint (AQE picks broadcast at small scale, shuffle at large);
+    posting join actually sparse as the corpus grows.  df and the
+    per-doc norm ride WINDOWS on the weight rows (r7, see inline
+    comment) so there is no corpus-sized join build anywhere;
     top-k is TakeOrdered."""
     docs = table(spark, sf_dir, "documents")
     toks = tokenize_documents(docs)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))
-    kept = (
-        dfreq.crossJoin(F.broadcast(n))
+    # tokenize-once (r7): df via a word-partitioned count window on
+    # the tf aggregate (one corpus tokenize), the per-doc norm via a
+    # doc-partitioned sum window on the weight rows (no corpus-sized
+    # nrm join — each side of the posting self-join CARRIES its own
+    # norm), and the posting self-join's two sides are canonically
+    # identical so AQE reuses one shuffle for both.  Net: one
+    # tokenize, zero corpus-sized join builds, same result.
+    w = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
+        .crossJoin(F.broadcast(n))
         .filter(
             (F.col("df") * SIM_DF_FRAC_DEN <= F.col("n_docs") * SIM_DF_FRAC_NUM)
             & (F.col("df") <= SIM_DF_CAP)
         )
-    )
-    # `kept` is df-CAPPED but still vocab-COUNT-sized (rare words
-    # dominate the vocabulary), so it joins unhinted like dfreq (r7)
-    w = tf.join(kept, "word").select(
-        "doc_id",
-        "word",
-        (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"),
-    )
-    nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nw")
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"),
+        )
+        .withColumn(
+            "nw",
+            F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(Window.partitionBy("doc_id"))),
+        )
     )
     a, b = w.alias("a"), w.alias("b")
-    dot = (
+    return (
         a.join(
             b,
             (F.col("a.word") == F.col("b.word"))
@@ -707,18 +726,11 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("d"))
-    )
-    # NOTE: `nrm` has one row per document — corpus-sized, so it must
-    # NOT carry a broadcast hint (a 25B-row broadcast is an instant OOM
-    # at 100 TB).  Left unhinted, AQE broadcasts it at fixture scale and
-    # falls back to a shuffle join at scale; `dot` is pair-bounded by
-    # the df caps, so the shuffle join is cheap either way.
-    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("na"))
-    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nb"))
-    return (
-        dot.join(na, "doc_a")
-        .join(nb, "doc_b")
+        .agg(
+            F.sum(F.col("a.wt") * F.col("b.wt")).alias("d"),
+            F.max(F.col("a.nw")).alias("na"),  # constant within the group
+            F.max(F.col("b.nw")).alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -850,8 +862,9 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     per word — a vocabulary-sized aggregate, the inverted index's df
     computation with min instead of collect).
 
-    100 TB shape: all corpus-sized work is two partial-aggregated hash
-    shuffles (tokens per bucket, first occurrence per word).  The
+    100 TB shape: the only corpus-sized work is ONE partial-aggregated
+    (word, bucket) hash shuffle; everything after it (first-occurrence
+    window, bucket rollup) runs on vocab x buckets rows.  The
     cumulative prefix sum runs over BUCKET SUMMARIES only —
     corpus/{VOCAB_BUCKET_DOCS} rows, bounded by choosing the bucket
     width to the curve resolution wanted (~10^4 points), never over
@@ -864,18 +877,29 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_b = docs.groupBy(bucket_of("doc_id").alias("bucket")).agg(
         F.count("*").alias("n_docs")
     )
-    tok_b = toks.groupBy(bucket_of("doc_id").alias("bucket")).agg(
-        F.count("*").alias("n_tokens")
+    # tokenize-once (r7): ONE (word, bucket) aggregate carries both
+    # signals through a single linear chain — per-word global first
+    # occurrence arrives via a word-partitioned min window, then one
+    # bucket aggregate folds token totals and new-word counts together
+    # (the row where first_doc == the per-word min is, by definition,
+    # in the bucket of the word's first occurrence).  Previously the
+    # token-count and first-occurrence branches each tokenized the
+    # corpus; g2 is vocab x buckets-sized, so everything after the
+    # first exchange is small.
+    g2 = toks.groupBy("word", bucket_of("doc_id").alias("bucket")).agg(
+        F.count("*").alias("c"), F.min("doc_id").alias("first_doc")
     )
-    new_b = (
-        toks.groupBy("word")
-        .agg(F.min("doc_id").alias("first_doc"))
-        .groupBy(bucket_of("first_doc").alias("bucket"))
-        .agg(F.count("*").alias("new_words"))
+    g3 = g2.withColumn(
+        "fw", F.min("first_doc").over(Window.partitionBy("word"))
+    )
+    both_b = g3.groupBy("bucket").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("fw"), 1).otherwise(0)
+        ).alias("new_words"),
     )
     base = (
-        docs_b.join(tok_b, "bucket", "left")
-        .join(new_b, "bucket", "left")
+        docs_b.join(both_b, "bucket", "left")
         .select(
             "bucket",
             "n_docs",
@@ -943,10 +967,12 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokenize_documents(docs)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # tokenize-once (r7): df attached via a word-partitioned count
+    # window on the tf aggregate — one linear chain, corpus tokenized
+    # exactly once, no vocab join (see tf_idf's docstring)
     n = docs.select(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "word")  # vocab-sized: unhinted, AQE decides (r7)
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))

@@ -262,34 +262,40 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     before training.  Emits the raw ratios so callers can re-threshold
     without recomputing.
 
-    100 TB shape: two explode+aggregate passes over one scan (word
-    counts and bigram counts), each a partial-aggregated shuffle keyed
-    by (doc_id, gram) — high cardinality, no skew.  The per-doc rollup
-    then shuffles one row per (doc, distinct gram).  Everything is
-    built-in codegen; bigrams are the same array-local ``zip_with`` as
-    ``ngrams``.
+    100 TB shape (tokenize-once, r7): word grams and bigram grams ride
+    ONE explode — each gram is type-prefixed (``u:``/``b:``; tokens are
+    ``[a-z]`` only so the prefix cannot collide) — so the corpus is
+    scanned and tokenized a single time into one partial-aggregated
+    (doc_id, gram) shuffle, and the per-doc rollup splits the types
+    back out with conditional aggregates (null-handling reproduces the
+    old LEFT JOIN: a one-token doc has no ``b:`` grams, so its bigram
+    aggregates are null and coalesce to 0).  Previously the word and
+    bigram branches each tokenized the corpus.  High-cardinality keys,
+    no skew, everything built-in codegen.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = tokenize_documents(docs)
-    wc = toks.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
-    wstats = wc.groupBy("doc_id").agg(
-        F.sum("n").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-        F.max("n").alias("top_word_n"),
-    )
     t = tokens_of(F.col("text"))
     bigrams = F.zip_with(
         F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
         F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    bc = (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
+    grams = F.concat(
+        F.transform(t, lambda w: F.concat(F.lit("u:"), w)),
+        F.transform(bigrams, lambda b: F.concat(F.lit("b:"), b)),
+    )
+    gc = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
         .agg(F.count("*").alias("n"))
     )
-    bstats = bc.groupBy("doc_id").agg(
-        F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n")
+    is_u = F.col("g").startswith("u:")
+    stats = gc.groupBy("doc_id").agg(
+        F.sum(F.when(is_u, F.col("n"))).alias("n_tokens"),
+        F.sum(F.when(is_u, 1)).alias("n_distinct"),
+        F.max(F.when(is_u, F.col("n"))).alias("top_word_n"),
+        F.sum(F.when(~is_u, F.col("n"))).alias("n_bigrams"),
+        F.max(F.when(~is_u, F.col("n"))).alias("top_bigram_n"),
     )
     distinct_ratio = F.col("n_distinct") / F.col("n_tokens").cast("double")
     top_word_frac = F.col("top_word_n") / F.col("n_tokens").cast("double")
@@ -297,8 +303,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_bigram_n") / F.col("n_bigrams").cast("double"), F.lit(0.0)
     )
     return (
-        wstats.join(bstats, "doc_id", "left")
-        .filter(F.col("n_tokens") > 0)
+        stats.filter(F.col("n_tokens") > 0)
         .select(
             "doc_id",
             "n_tokens",
@@ -350,10 +355,9 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     than their independent document frequencies predict —
     ``pmi = ln(P(a,b) / (P(a) P(b)))`` over per-doc presence.
 
-    100 TB shape: the document-frequency table is vocabulary-sized
-    (Zipf-sublinear, but still 1e7-1e8 rows at 100 TB — see SCALE.md
-    "Vocabulary growth") so it joins UNHINTED and AQE's runtime size
-    check decides broadcast vs shuffle; the
+    100 TB shape: document frequency rides a word-partitioned count
+    WINDOW on the per-doc vocab stream (r7 — no separate dfreq
+    aggregate, no vocab join, one corpus tokenize); the
     per-doc vocab self-join is keyed by doc_id — each doc contributes
     |vocab_doc|² pairs, bounded because the ``PMI_MIN_DF`` filter plus a
     df ceiling (add ``df <= N*frac`` at scale to drop stopwords) caps
@@ -365,12 +369,14 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # per-doc distinct vocab with NO exchange: dedup is array-local
     dv = tokenize_documents_distinct(docs)
-    dfreq = (
-        dv.groupBy("word")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= PMI_MIN_DF)
-    )
-    dvf = dv.join(dfreq, "word")
+    # tokenize-once (r7): df attached via a word-partitioned count
+    # window instead of a separate dfreq aggregate + join — the window
+    # needs the same word exchange the join needed, but the dfreq
+    # branch's second corpus tokenize disappears; the a/b self-join
+    # below shares one doc_id shuffle via AQE exchange reuse.
+    dvf = dv.withColumn(
+        "df", F.count("*").over(Window.partitionBy("word"))
+    ).filter(F.col("df") >= PMI_MIN_DF)
     a = dvf.select("doc_id", F.col("word").alias("w1"), F.col("df").alias("df1"))
     b = dvf.select("doc_id", F.col("word").alias("w2"), F.col("df").alias("df2"))
     pair = (
@@ -440,15 +446,13 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard CCNet/Gopher-era perplexity filter, minus the external
     model file.
 
-    100 TB shape: the model IS vocabulary-sized, not corpus-sized —
-    bigram counts partial-aggregate map-side into a Zipf-bounded table
-    and the head-count/vocab tables fold from it, so the expensive
-    stream (per-doc bigram occurrences) joins against model-sized
-    sides — UNHINTED (r7): the bigram vocabulary outgrows even the
-    unigram Heaps curve (billions of distinct pairs at web scale), so
-    AQE's runtime size check must pick broadcast vs shuffle.  Two
-    corpus-wide shuffles minimum: the global bigram count and the
-    per-doc score agg; at web scale add a ``n_pair >= k`` floor to
+    100 TB shape: one corpus tokenize into a partial-aggregated
+    (doc_id, w1, w2) count; the model's pair/head counts are windows
+    over those per-doc counts (see inline comment) so no model table
+    is ever built or joined — the heaviest wire traffic is the
+    distinct-per-doc-bigram stream, strictly below the raw occurrence
+    stream.  Hot-head (stop-word w1) window partitions are df-sized
+    but additive-only; at web scale add a ``n_pair >= k`` floor to
     shrink the model (scores shift by a constant, ordering holds).
     """
     docs = table(spark, sf_dir, "documents")
@@ -465,27 +469,32 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
-    hc = pc.groupBy("w1").agg(F.sum("n_pair").alias("n_head"))
+    # tokenize-once for the bigram stream (r7): ONE partial-aggregated
+    # (doc_id, w1, w2) count collapses the occurrence stream, then the
+    # model's global pair and head counts ride WINDOWS over those
+    # per-doc counts (sum(c) over w1,w2 / over w1) instead of separate
+    # model aggregates joined back — the previous form re-tokenized
+    # the corpus for the model branch, the head branch, and the
+    # scoring join (3x).  The per-doc average over occurrences becomes
+    # the c-weighted average over distinct per-doc bigrams — same
+    # value, and no raw-occurrence row survives past the first
+    # exchange.
+    bgd = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
+    bgd = bgd.withColumn(
+        "n_pair", F.sum("c").over(Window.partitionBy("w1", "w2"))
+    ).withColumn("n_head", F.sum("c").over(Window.partitionBy("w1")))
     vocab = tokenize_documents_distinct(docs).agg(
         F.countDistinct("word").alias("vocab")
     )
+    ll = F.log(
+        (F.col("n_pair") + 1) / (F.col("n_head") + F.col("vocab")).cast("double")
+    )
     return (
-        bg.join(pc, ["w1", "w2"])
-        .join(hc, ["w1"])
-        .crossJoin(F.broadcast(vocab))
+        bgd.crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    F.log(
-                        (F.col("n_pair") + 1)
-                        / (F.col("n_head") + F.col("vocab")).cast("double")
-                    )
-                ),
-                4,
-            ).alias("lm_score"),
+            F.sum("c").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * ll) / F.sum("c"), 4).alias("lm_score"),
         )
     )
 
@@ -992,19 +1001,28 @@ def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at web scale the standard mitigation is degree-ordering (orient
     edges from low to high degree), which the a<b<c ordering
     approximates for Zipf graphs since frequent words sort everywhere.
-    Three shuffles total: pair agg, wedge join, closing semi-join."""
-    # per-doc distinct with NO dedup exchange (array-local) — the join
-    # below re-keys on doc_id anyway, so the old dropDuplicates
-    # (doc_id, word) exchange bought nothing
-    dv = tokenize_documents_distinct(table(spark, sf_dir, "documents"))
-    pair = (
-        dv.alias("a")
-        .join(
-            dv.alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.word") < F.col("b.word")),
+    Pair generation is ARRAY-LOCAL (r7, market_basket's pattern): the
+    ordered pairs come from a sorted per-doc vocab array inside
+    codegen, so the corpus is tokenized ONCE and there is no doc_id
+    self-join — the raw token stream never shuffles at all; the first
+    exchange is the partial-aggregated (w1, w2) pair count.  Shuffles:
+    pair agg, wedge join, closing semi-join."""
+    docs = table(spark, sf_dir, "documents")
+    v = F.array_sort(F.array_distinct(tokens_of(F.col("text"))))
+    varr = docs.select(v.alias("v"))
+    vcol = F.col("v")
+    pair_structs = F.flatten(
+        F.transform(
+            vcol,
+            lambda x, i: F.transform(
+                F.slice(vcol, i + F.lit(2), F.size(vcol)),
+                lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
         )
-        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+    )
+    pair = (
+        varr.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= TRI_MIN_PAIR)
         .select("w1", "w2")

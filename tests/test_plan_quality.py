@@ -369,17 +369,17 @@ def test_contamination_check_no_corpus_broadcast_hint(spark):
 
 
 def test_pmi_pair_join_broadcasts_vocab_and_total(spark):
-    """The df table is vocabulary-COUNT-sized, so it joins UNHINTED
-    (r7: Heaps-sublinear but 1e7-1e8 rows at 100 TB — AQE's runtime
-    size check decides, and at fixture scale it converts the word join
-    to broadcast); the corpus total is the only surviving hint, a
-    single-row broadcast aggregate; only the doc_id self-join and the
-    pair/word aggregations may hash-shuffle."""
+    """Document frequency rides a word-partitioned count WINDOW on the
+    per-doc vocab stream (r7 tokenize-once — no dfreq aggregate, no
+    vocab join); the corpus total is the only surviving hint, a
+    single-row broadcast aggregate; only the word window, the doc_id
+    self-join, and the pair aggregation may hash-shuffle, and the
+    corpus is tokenized exactly once in the final adaptive plan."""
     df = load_all()["pmi_cooccurrence"].fn(spark, SF)
     assert audit.broadcast_hint_count(df) == 1  # the 1-row total ONLY
-    plan = audit.final_adaptive_plan(df)
-    assert "BroadcastHashJoin" in plan  # AQE converted the df join
+    plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus total
+    assert plan.count("Generate explode") == 1  # tokenize-once
     hash_keys = {
         ln.split("Exchange hashpartitioning(")[1].split("#")[0]
         for ln in plan.splitlines()
@@ -397,18 +397,19 @@ def test_embedding_quantize_broadcasts_stats_no_second_explode(spark):
     assert plan.count("Generate explode") + plan.count("Generate posexplode") == 1
 
 
-def test_ngram_lm_score_broadcasts_the_model(spark):
-    """The bigram-count model and head-count tables are model-sized
-    but vocabulary-COUNT-scaled, so they join UNHINTED (r7 — the
-    bigram vocabulary outgrows even the unigram Heaps curve at web
-    scale): the only surviving hint is the 1-row |V| aggregate, and at
-    fixture scale AQE's runtime size check converts both model joins
-    to broadcast so the corpus-sized bigram stream is never the build
-    side."""
+def test_ngram_lm_score_windows_replace_model_joins(spark):
+    """The model's pair/head counts ride WINDOWS over the
+    partial-aggregated (doc_id, w1, w2) counts (r7 tokenize-once — no
+    model table is built or joined): the only surviving hint is the
+    1-row |V| aggregate, no sort-merge join exists anywhere, and the
+    corpus is bigram-tokenized exactly once (the |V| count is the one
+    other Generate)."""
     df = load_all()["ngram_lm_score"].fn(spark, SF)
     assert audit.broadcast_hint_count(df) == 1  # the 1-row vocab ONLY
-    plan = audit.final_adaptive_plan(df)
-    assert plan.count("BroadcastHashJoin") >= 2  # AQE-converted
+    plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate explode") == 2  # bigram stream + |V|
+    assert plan.count("Window") >= 2  # pair and head count windows
 
 
 def test_embedding_outliers_broadcasts_centroids(spark):
@@ -618,11 +619,13 @@ def test_time_decay_single_user_shuffle_with_broadcast_ref(spark):
 
 
 def test_vocab_growth_joins_bucket_summaries_broadcast(spark):
-    """The bucket-level left joins combine summary tables (corpus/W
-    rows) — they must broadcast, and the corpus-sized work stays in
-    the partial-aggregated shuffles below them."""
+    """ONE bucket-level left join combines the doc summary with the
+    token/new-word summary (r7 tokenize-once: both signals come out of
+    a single (word, bucket) aggregate + first-occurrence window) — it
+    must broadcast, and the corpus-sized work stays in the single
+    partial-aggregated shuffle below it."""
     plan = physical_plan(spark, "vocab_growth")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
 
 
@@ -833,3 +836,31 @@ def test_gate_treats_unclassified_tables_as_fact_like(spark, tmp_path):
     probe2 = spark.range(100).withColumnRenamed("id", "n_nationkey")
     dim_hinted = probe2.join(F.broadcast(nation), "n_nationkey", "left_semi")
     assert audit.broadcast_hint_violations(dim_hinted) == []
+
+
+def test_text_family_tokenizes_corpus_once(spark):
+    """r7 tokenize-once gate: at 100 TB the corpus scan+tokenize is
+    the dominant cost, so a query whose FINAL adaptive plan holds more
+    than one token/shingle Generate subtree pays it twice.  Every
+    query below was rewritten (window-attached df, combined-gram
+    explode, array-local pairs, flag aggregation) to tokenize exactly
+    once; AQE exchange reuse does NOT count — the pin is on the final
+    plan after execution, where reused stages print once.  Queries
+    with a SEMANTIC second pass (minhash/jaccard verify recompute,
+    two-version diffs, train/test splits) are deliberately absent."""
+    expected = {
+        "tf_idf": 1,
+        "doc_keywords": 1,
+        "tfidf_doc_similarity": 1,
+        "vocab_growth": 1,
+        "repetition_signals": 1,
+        "pmi_cooccurrence": 1,
+        "boolean_setops": 1,
+        "word_triangles": 1,
+        "ngram_lm_score": 2,  # bigram stream + the |V| count
+    }
+    for name, want in expected.items():
+        df = load_all()[name].fn(spark, SF)
+        plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+        got = plan.count("Generate explode")
+        assert got == want, f"{name}: {got} tokenize subtrees, want {want}"
