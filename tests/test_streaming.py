@@ -420,3 +420,48 @@ def test_multibatch_stream_sessionize_equals_batch(spark, tmp_path):
         got = as_set(qs["stream_sessionize"].fn(spark, src))
         assert _engine._LAST_FED_BATCHES >= 3
     assert got == batch
+
+
+def test_multibatch_stream_purchase_attribution_equals_batch(spark, tmp_path):
+    """Stream-stream interval join under a forced 4-file ts-ordered
+    split: each side's state must buffer across trigger boundaries
+    until the watermark passes the interval bound.  With a ts-ordered
+    feed no valid pair can expire early (a matching purchase arrives
+    while its signup's eviction watermark still trails by the 2h
+    delay), so the union of append-mode emissions must equal the batch
+    inner join exactly — the last of the stateful streaming queries to
+    get real trigger-boundary coverage."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    qs = load_all()
+    ev = table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    batch = as_set(
+        p.join(
+            s,
+            (F.col("user_id") == F.col("s_user_id"))
+            & (F.col("s_ts") <= F.col("p_ts"))
+            & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).select(
+            "purchase_id",
+            "user_id",
+            "signup_id",
+            F.unix_timestamp("p_ts").alias("purchase_ts"),
+            F.unix_timestamp("s_ts").alias("signup_ts"),
+        )
+    )
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    with _force_multi_batch():
+        got = as_set(qs["stream_purchase_attribution"].fn(spark, src))
+        assert _engine._LAST_FED_BATCHES >= 3
+    assert len(batch) > 0
+    assert got == batch
