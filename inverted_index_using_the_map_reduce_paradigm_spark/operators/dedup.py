@@ -309,7 +309,20 @@ def minhash_pairs(docs: DataFrame, band_cap: int = HOT_BAND_CAP) -> DataFrame:
     corpus, all-identical band) would otherwise dominate the stage.
     Capping affects RECALL only — precision stays 1.0 because every
     surviving candidate is exact-Jaccard verified against the full
-    shingle sets."""
+    shingle sets.
+
+    The verify side re-shingles CANDIDATE DOCS ONLY (r7): the
+    candidate pair set is MATERIALIZED (the same signature-store
+    checkpoint ``jaccard_prefix_dedup`` uses — without it the id
+    semi-join would re-execute the whole signature DAG, measured 2x),
+    then a left-semi join on its doc ids filters the corpus BEFORE the
+    shingle expression is evaluated, so the exact-verification pass
+    costs shingle work proportional to |candidates|, not |corpus| —
+    previously the whole corpus was re-shingled and the join dropped
+    the non-candidates after the fact.  Recomputing (rather than
+    carrying shingle sets through the signature aggregation) stays the
+    right trade: sets through the shuffle would put the full token
+    stream on the wire; the semi-join costs one bounded id exchange."""
     sh = _shingle_sets(docs)
     bands = _minhash_band_table(sh, band_cap)
 
@@ -326,8 +339,19 @@ def minhash_pairs(docs: DataFrame, band_cap: int = HOT_BAND_CAP) -> DataFrame:
         .distinct()
     )
 
-    # exact verification join (precision = 1.0)
-    sets = sh.select("doc_id", "shingles", "n_sh")
+    # exact verification join (precision = 1.0) — shingle only the
+    # docs that appear in a candidate pair (bounded by the band join);
+    # materialize so the two consumers (ids, verify join) run the
+    # signature DAG once
+    cand = materialize(cand)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = _shingle_sets(docs.join(cand_ids, "doc_id", "left_semi")).select(
+        "doc_id", "shingles", "n_sh"
+    )
     verified = (
         cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b").withColumnRenamed("n_sh", "nb"), "doc_b")
