@@ -209,9 +209,15 @@ def jaccard_pairs(docs: DataFrame, hot_cap: int = HOT_SHINGLE_CAP) -> DataFrame:
     pair's score — and only for pairs whose overlap was mostly
     stop-shingles, which is exactly the overlap that carries no
     signal.  The default cap never triggers at fixture scale."""
+    # NO n_sh > 0 pre-filter here: an empty shingle array explodes to
+    # zero rows anyway, and the filter is worse than dead weight — its
+    # size(shingles) predicate gets pushed below the scan-spread
+    # exchange WITH a duplicated copy of the shingle-UDF evaluation
+    # (measured: the UDF ran twice in one linear chain), because a
+    # Python UDF's resultId defeats common-subexpression reuse.
     sh = docs.select(
         "doc_id", shingles_of(F.col("text")).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
+    ).withColumn("n_sh", F.size("shingles"))
     ex = sh.select(
         "doc_id", "n_sh", F.explode("shingles").alias("s")
     ).select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
@@ -417,7 +423,15 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(tokens_of(F.col("text"))), lambda w: F.xxhash64(w)
         ).alias("hashes"),
     )
-    s = hashed.select("doc_id", simhash_of(F.col("hashes")).alias("simhash"))
+    # materialize the signature table (doc_id, simhash — 16 bytes/row,
+    # the store a dedup pipeline persists at ingest anyway): a Python
+    # UDF's resultId defeats canonical plan equality, so WITHOUT this
+    # the chunk self-join's two sides each re-run the tokenize +
+    # simhash UDF over the whole corpus (measured in the final plan;
+    # same reuse failure _drop_hot_keys documents the workaround for).
+    s = materialize(
+        hashed.select("doc_id", simhash_of(F.col("hashes")).alias("simhash"))
+    )
     chunks = s.select(
         "doc_id",
         "simhash",

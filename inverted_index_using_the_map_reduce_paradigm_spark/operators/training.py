@@ -540,21 +540,25 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated boilerplate partial-duplicates below the whole-doc
     near-dup thresholds.
 
-    100 TB shape: two linear shuffles — shingle document-frequency
-    (partial-aggregated, Zipf-bounded key space) and the join-back of
-    that count to the per-doc shingle stream on the shingle key (AQE
-    handles stop-shingle skew; the join fans out no rows).  The per-doc
-    rollup rides the doc_id key.  Nothing quadratic, nothing collected.
+    100 TB shape (tokenize-once, r7): the shingle document frequency
+    rides a shingle-partitioned COUNT WINDOW on the exploded stream —
+    same discipline as ``_drop_hot_keys`` — instead of a separate
+    aggregate joined back, so the shingle kernel runs ONCE (the
+    aggregate branch and the join-back branch each carried their own
+    UDF+explode before, 4 corpus-sized subtrees in the final plan).
+    Two linear shuffles remain: the shingle window exchange (AQE
+    handles stop-shingle skew; window state is one count) and the
+    per-doc rollup on doc_id.  Nothing quadratic, nothing collected.
     """
     docs = table(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id", F.explode(shingles_of(F.col("text"))).alias("shingle")
+    ).withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
-    df_counts = s.groupBy("shingle").agg(F.count("*").alias("n_docs"))
     dup = (F.col("n_docs") >= DUP_SPAN_MIN_DOCS).cast("long")
     return (
-        s.join(df_counts, "shingle")
-        .groupBy("doc_id")
+        s.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(dup).alias("n_dup"),

@@ -34,6 +34,20 @@ def get_spark(app_name: str = "repo_spark", *, shuffle_partitions: int | None = 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # ---- python <-> jvm data path ----------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate synthesizes a ``size(arr) > 0`` filter
+        # under every non-outer explode and pushes it below exchanges.
+        # When the array comes from a Python UDF that inferred filter
+        # carries a DUPLICATE evaluation of the UDF below the exchange
+        # (a UDF's resultId defeats common-subexpression elimination), so
+        # the shingle kernel ran TWICE over the corpus in the dedup
+        # family's final plans.  The rule is optimization-only (empty
+        # arrays explode to zero rows regardless); excluding it costs
+        # nothing measurable on the expression-side explodes and removes
+        # a full corpus-sized Arrow pass from the UDF-side ones.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # ---- determinism for oracle comparison -------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # ---- local-mode memory (driver == the one JVM) -----------------

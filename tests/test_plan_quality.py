@@ -674,11 +674,36 @@ def test_signature_store_queries_run_the_udf_zero_times_per_execution(spark):
     contain NO Python UDF evaluation (the shingle work happened once at
     store build) and must read the materialized store instead —
     regression pin for the diamond-DAG re-evaluation (measured 8 and 12
-    UDF evaluations before materialization)."""
-    for name in ("jaccard_prefix_dedup", "incremental_near_dedup"):
+    UDF evaluations before materialization).  simhash_dedup joined the
+    family in r7: its signature table is materialized because a Python
+    UDF's resultId defeats canonical plan equality, so the chunk
+    self-join's sides each re-ran the tokenize+SimHash UDF."""
+    for name in ("jaccard_prefix_dedup", "incremental_near_dedup", "simhash_dedup"):
         plan = physical_plan(spark, name)
         assert "ArrowEvalPython" not in plan, name
         assert "Scan ExistingRDD" in plan, name
+
+
+def test_dedup_family_single_udf_pass(spark):
+    """r7 tokenize-once for the UDF-side dedup queries: each final
+    adaptive plan may evaluate the shingle kernel at most the stated
+    number of times.  ngram_jaccard's second count is the reused-side
+    explode reading the SAME shuffle (the UDF itself appears once);
+    minhash's two are the signature pass plus the candidate-bounded
+    verify re-shingle (semantic second pass, bounded by |candidates|).
+    Also pins the InferFiltersFromGenerate exclusion: the optimizer
+    must NOT re-introduce a duplicated UDF below the spread exchange
+    via an inferred size(arr) > 0 filter."""
+    expected = {
+        "ngram_jaccard_dedup": 1,
+        "duplicate_ngram_spans": 1,
+        "minhash_lsh_dedup": 2,
+    }
+    for name, want in expected.items():
+        df = load_all()[name].fn(spark, SF)
+        plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+        got = plan.count("ArrowEvalPython")
+        assert got <= want, f"{name}: {got} UDF evaluations, want <= {want}"
 
 
 def test_text_stats_carries_lang_through_explode_no_docid_join(spark):
