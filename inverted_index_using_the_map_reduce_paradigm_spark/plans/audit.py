@@ -29,6 +29,20 @@ def final_adaptive_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+_PYTHON_EVAL_OPS = re.compile(
+    r"\b(ArrowEvalPython|BatchEvalPython|MapInPandas|"
+    r"FlatMapGroupsInPandas|FlatMapCoGroupsInPandas)\b"
+)
+
+
+def python_eval_count(plan_text: str) -> int:
+    """Number of Python evaluation operators in a plan dump (the
+    ``== Initial Plan ==`` tail of an adaptive dump is ignored).  Each
+    occurrence is one full Arrow serialization pass over that subtree's
+    rows — the unit the tokenize-once budget counts."""
+    return len(_PYTHON_EVAL_OPS.findall(plan_text.split("== Initial Plan ==")[0]))
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Every PushedFilters clause appearing in the plan's scans."""
     return [
