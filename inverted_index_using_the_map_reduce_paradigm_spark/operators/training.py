@@ -546,9 +546,15 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate joined back, so the shingle kernel runs ONCE (the
     aggregate branch and the join-back branch each carried their own
     UDF+explode before, 4 corpus-sized subtrees in the final plan).
-    Two linear shuffles remain: the shingle window exchange (AQE
-    handles stop-shingle skew; window state is one count) and the
-    per-doc rollup on doc_id.  Nothing quadratic, nothing collected.
+    Two linear shuffles remain: the shingle window exchange and the
+    per-doc rollup on doc_id.  Skew honesty: AQE splits skewed JOIN
+    partitions, not window partitions, so a stop-shingle's group lands
+    in one task — same exposure the old join-back form had on its
+    probe side, minus that form's extra aggregate branch.  The rows
+    are narrow (doc_id + shingle) and the window state is one count;
+    hot shingles canNOT be capped away here because high-df shingles
+    are exactly the signal being measured.  Nothing quadratic, nothing
+    collected.
     """
     docs = table(spark, sf_dir, "documents")
     s = docs.select(
