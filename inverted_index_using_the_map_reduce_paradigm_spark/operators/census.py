@@ -26,7 +26,7 @@ hash-checks the guarantee itself:
 Round 7 completes the family — every no-oracle query now has a
 driver-hash-checked census counterpart:
 
-* ``simhash_recall_census`` — chunk-banded pairs == brute-force
+* ``simhash_recall_census`` — combination-banded pairs == brute-force
   hamming pairs (the pigeonhole losslessness), exact-text dups at
   hamming 0.
 * ``incremental_near_dedup_census`` — the delta-banded incremental
@@ -321,7 +321,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_textdup_pairs,
        TRUE AS banding_lossless
 FROM td
 """,
-    description="driver-checked: simhash chunk banding == brute-force hamming pairs; exact dups at hamming 0",
+    description="driver-checked: simhash combination banding == brute-force hamming pairs; exact dups at hamming 0",
     bench=False,
     tags=("dedup", "approx", "census"),
 )

@@ -7,10 +7,10 @@ The LLM-corpus dedup ladder over ``documents``:
   minhash_lsh_dedup    MinHash signatures + LSH band buckets   (rows-only; exact
                        Jaccard re-verified inside the query, so
                        every emitted pair is a TRUE near-dup)
-  simhash_dedup        64-bit SimHash + banded hamming pairs   (rows-only)
+  simhash_dedup        64-bit SimHash + combination banding    (rows-only)
 
 Scale posture: every pair-generating join goes through a sparse
-bucket key (shingle / LSH band / SimHash chunk), never a cross join.
+bucket key (shingle / LSH band / SimHash block combo), never a cross join.
 At 100 TB the bucket join is the standard banding trick: candidates
 are only docs sharing a bucket, and hot buckets (stop-shingles) are
 the skew risk.  Every bucket join here enforces a HOT-KEY CAP: join
@@ -374,8 +374,29 @@ def minhash_pairs(docs: DataFrame, band_cap: int = HOT_BAND_CAP) -> DataFrame:
 # --------------------------------------------------------------------------
 
 SIMHASH_BITS = 64
-SIMHASH_CHUNKS = 4  # 16-bit chunks for candidate banding
 HAMMING_MAX = 3
+# Combination banding (Manku et al., WWW'07 "Detecting Near-Duplicates
+# for Web Crawling"): split the 64-bit fingerprint into 5 blocks
+# (13,13,13,13,12 bits) and key candidates on every C(5,2)=10
+# concatenation of 2 blocks.  hamming<=3 flips bits in at most 3
+# blocks, so at least 2 blocks are identical and some 2-combination
+# matches — exact recall, same pigeonhole as the earlier 4x16-bit
+# single-chunk scheme, but the join key is ~26 bits instead of 16:
+# expected RANDOM-collision candidates drop from 4*n^2/2^17 to
+# 10*n^2/2^27.  At 1.28M docs the 16-bit collision term (~50M
+# spurious candidates) is already comparable to the corpus's true
+# pair volume and purely quadratic — it overtakes everything by
+# ~10M docs; 26-bit keys defer that wall to ~50M docs.  The combo
+# count is the tuning knob: C(6,3)=20 three-block combos (~33-bit
+# keys) push the wall out further still, but every TRUE duplicate
+# pair then matches up to 20 combos (vs 10 here, 4 before), and at
+# <=1.28M docs that duplicate-match multiplicity measurably
+# outweighs the collision savings (x256 sweep: 30.5 s for 6/3 vs
+# 23.7 s here vs 22-24 s for 4x16) — 2 blocks per key is the
+# measured sweet spot; see SCALE.md's x256 notes.
+_SIMHASH_BLOCKS = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
+_SIMHASH_COMBOS = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+# 10 combos; combo id (4 bits) + 2 blocks (<=26 bits) pack into one long
 
 
 # DataType object (not DDL string): a string return type would need an
@@ -409,13 +430,14 @@ def simhash_of(hashes: pd.Series) -> pd.Series:
     "simhash_dedup",
     oracle=None,  # bit-level xxhash64 arithmetic is not portable SQL;
     # tests validate symmetry/threshold properties instead.
-    description="SimHash64 near-dup pairs: 16-bit chunk banding + hamming<=3",
+    description="SimHash64 near-dup pairs: 5-block combination banding + hamming<=3",
     tags=("dedup", "approx"),
 )
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pigeonhole banding: hamming<=3 over 4 chunks means the pair agrees
-    on at least one full 16-bit chunk, so the chunk join finds every
-    qualifying pair (no recall loss), then bit_count(xor) verifies."""
+    """Combination banding (see _SIMHASH_BLOCKS): hamming<=3 flips at
+    most 3 of 5 blocks, so some 2-block combination matches exactly —
+    the combo-key join finds every qualifying pair (no recall loss),
+    then bit_count(xor) verifies."""
     docs = table(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id",
@@ -432,30 +454,37 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = materialize(
         hashed.select("doc_id", simhash_of(F.col("hashes")).alias("simhash"))
     )
+    def _combo_key(ci: int, combo: tuple) -> F.Column:
+        # (combo_id << 33) | block_i << .. | block_j << .. | block_k —
+        # one long per combo; the combo id disambiguates key spaces so
+        # a single-column equi-join covers all 20 combos at once.
+        v = F.lit(ci).cast("long")
+        for b in combo:
+            off, width = _SIMHASH_BLOCKS[b]
+            block = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            v = F.shiftleft(v, width).bitwiseOR(block)
+        return v
+
     chunks = s.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for c in range(SIMHASH_CHUNKS)
+                    _combo_key(ci, combo)
+                    for ci, combo in enumerate(_SIMHASH_COMBOS)
                 ]
             )
-        ).alias("b"),
-    ).select("doc_id", "simhash", "b.chunk", "b.cv")
+        ).alias("cv"),
+    )
     x = chunks.alias("x")
     y = chunks.alias("y")
     cand = (
         x.join(
             y,
-            (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.cv") == F.col("y.cv"))
+            (F.col("x.cv") == F.col("y.cv"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
