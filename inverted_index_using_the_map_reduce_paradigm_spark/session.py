@@ -32,6 +32,20 @@ def get_spark(app_name: str = "repo_spark", *, shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # ---- shuffle sizing --------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Start shuffles at 4x the static count and let AQE's
+        # coalescing shrink small ones back to ~cores: at benchmark
+        # scale the final partition counts (and timings) are unchanged,
+        # but when the data outgrows the JVM the core-sized static
+        # count is the cliff — per-partition join state grows linearly
+        # with the corpus until tasks hit allocation retries (measured:
+        # ngram_jaccard_dedup at 256x bench scale, 70.5 s at 32
+        # partitions vs 44.4 s at 128 — linear marginal restored; see
+        # SCALE.md x256 notes).  On a real cluster this is exactly the
+        # recommended AQE posture: high initial bound, runtime decides.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(4 * shuffle_partitions),
+        )
         # ---- python <-> jvm data path ----------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # InferFiltersFromGenerate synthesizes a ``size(arr) > 0`` filter
