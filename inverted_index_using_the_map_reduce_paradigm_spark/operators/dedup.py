@@ -240,6 +240,107 @@ def jaccard_pairs(docs: DataFrame, hot_cap: int = HOT_SHINGLE_CAP) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# substring_dedup
+# --------------------------------------------------------------------------
+
+SUBSTR_K = 8  # span length in tokens
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _span_udf(tokens: pd.Series) -> pd.Series:
+    """POSITIONAL ``SUBSTR_K``-token spans per document — one per start
+    position, NOT distinct (position identity drives coverage math).
+    Same Arrow-vectorized shape as ``_shingle_udf`` and for the same
+    measured reason (the higher-order-function form re-evaluates per
+    gram under projection collapse)."""
+    k = SUBSTR_K
+    out = []
+    for t in tokens:
+        if len(t) >= k:
+            out.append([" ".join(t[i : i + k]) for i in range(len(t) - k + 1)])
+        else:
+            out.append([])
+    return pd.Series(out)
+
+
+@register(
+    "substring_dedup",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+sized AS (SELECT doc_id, t, len(t) AS n_tok FROM tok),
+spans AS (
+  SELECT doc_id, n_tok, i AS pos, array_to_string(t[i:i+{SUBSTR_K - 1}], ' ') AS s
+  FROM (SELECT doc_id, n_tok, t,
+               unnest(generate_series(1, greatest(n_tok - {SUBSTR_K - 1}, 0))) AS i
+        FROM sized)
+),
+dup AS (SELECT s FROM spans GROUP BY s HAVING min(doc_id) <> max(doc_id)),
+dspan AS (SELECT sp.doc_id, sp.n_tok, sp.pos FROM spans sp JOIN dup USING (s)),
+cov AS (SELECT doc_id, n_tok, pos,
+               unnest(generate_series(pos, pos + {SUBSTR_K - 1})) AS cp
+        FROM dspan)
+SELECT doc_id, any_value(n_tok) AS n_tokens,
+       count(DISTINCT pos) AS n_dup_spans,
+       count(DISTINCT cp) AS n_dup_tokens,
+       round(count(DISTINCT cp) * 1.0 / any_value(n_tok), 6) AS dup_fraction
+FROM cov GROUP BY doc_id
+""",
+    description="cross-doc duplicated k-token spans: per-doc duplicated-token coverage",
+    tags=("dedup", "text"),
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_profile(table(spark, sf_dir, "documents"))
+
+
+def substring_dup_profile(docs: DataFrame) -> DataFrame:
+    """Exact cross-document substring-duplication profile — the span
+    analogue of training-data dedup's "remove repeated 50-token runs"
+    pass (Lee et al. 2021 semantics, done with Spark set operators
+    instead of a suffix array): a ``SUBSTR_K``-token span is duplicated
+    iff it occurs in >= 2 DISTINCT documents, and each document reports
+    how many of its spans and token positions that covers.
+
+    Scale shape (the whole point): candidate discovery is a groupBy on
+    the 64-bit span hash with a map-side-combinable ``min != max``
+    doc-id test — never an all-pairs join — and the mark-back join
+    reuses the same hash partitioning (AQE skew-split handles boiler-
+    plate spans shared by millions of docs: the key side is one row per
+    span, so splits replicate it for free).  The span strings exist
+    only inside the doc-local Arrow batch; the first exchange carries
+    8-byte hashes.  Coverage explodes only DUPLICATED spans (rare by
+    volume) into at most ``SUBSTR_K`` positions each.  ``n_tok`` is
+    derived doc-locally from the span count, so the corpus is tokenized
+    exactly once.  Output: docs with at least one duplicated span.
+    """
+    sp = docs.select(
+        "doc_id", _span_udf(tokens_of(F.col("text"))).alias("spans")
+    ).withColumn("n_tok", (F.size("spans") + SUBSTR_K - 1).cast("bigint"))
+    ex = sp.select(
+        "doc_id", "n_tok", F.posexplode("spans").alias("pos", "s")
+    ).select("doc_id", "n_tok", "pos", F.xxhash64("s").alias("h"))
+    dup_keys = (
+        ex.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    d = ex.join(dup_keys, "h")
+    cov = d.select(
+        "doc_id", "n_tok", "pos",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + SUBSTR_K - 1)).alias("cp"),
+    )
+    out = cov.groupBy("doc_id").agg(
+        F.first("n_tok").alias("n_tokens"),
+        F.countDistinct("pos").alias("n_dup_spans"),
+        F.countDistinct("cp").alias("n_dup_tokens"),
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_dup_spans", "n_dup_tokens",
+        F.round(F.col("n_dup_tokens") / F.col("n_tokens"), 6).alias("dup_fraction"),
+    )
+
+
+# --------------------------------------------------------------------------
 # minhash_lsh_dedup
 # --------------------------------------------------------------------------
 

@@ -637,6 +637,48 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q14",
+    oracle=f"""
+SELECT CAST(100.00 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN {SQL_PRICE} * {SQL_DISC} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(sum({SQL_PRICE} * {SQL_DISC}) AS DOUBLE) AS DOUBLE) AS promo_revenue,
+       count(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+    description="TPC-H Q14 promotion revenue share (month filter + dim join + conditional agg)",
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-month lineitem slice joined to ``part`` — a bounded dim
+    (audit.py DIM_FIRST_COLS), so the broadcast hint is gate-safe and
+    the fact side never shuffles.  Both sums are exact DECIMAL(18,2)
+    partial aggregates (map-side combine), cast to double only for the
+    final one-row division so Spark and the oracle divide identically.
+    At 100 TB the month predicate prunes partitions when lineitem is
+    date-partitioned; the join carries no shuffle either way."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * _disc_factor()
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero)).alias("promo"),
+        F.sum(rev).alias("total"),
+        F.count("*").alias("n_lineitems"),
+    )
+    return agg.select(
+        (F.lit(100.00) * F.col("promo").cast("double") / F.col("total").cast("double"))
+        .cast("double")
+        .alias("promo_revenue"),
+        "n_lineitems",
+    )
+
+
+@register(
     "tpch_q15",
     oracle=f"""
 WITH revenue AS (

@@ -381,3 +381,38 @@ def test_prefix_dedup_broadcast_guard_fallback_matches(spark):
     }
     assert hinted  # the dense corpus really produced near-dup pairs
     assert hinted == fallback
+
+
+def test_substring_dedup_coverage_math(spark):
+    """Constructed corpus with known span-duplication structure:
+    full-copy, prefix-overlap, within-doc-only repetition (must NOT
+    count — duplication is cross-doc), and sub-k short docs."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        SUBSTR_K,
+        substring_dup_profile,
+    )
+
+    assert SUBSTR_K == 8  # the token strings below assume k=8
+    ten = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, ten),  # 10 tokens, spans at pos 0..2
+        (2, ten),  # exact copy: everything duplicated
+        # first 8 tokens shared with doc 1/2, distinct 8-token tail:
+        (3, "alpha bravo charlie delta echo foxtrot golf hotel "
+            "xray yankee zulu whiskey quebec romeo sierra tango"),
+        (4, "one two three four five six seven eight nine ten"),  # unique
+        (5, "tiny doc"),  # < k tokens: no spans at all
+        # 8-token run repeated WITHIN one doc only — not cross-doc:
+        (6, "papa mike november oscar kilo lima uniform victor "
+            "papa mike november oscar kilo lima uniform victor"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in substring_dup_profile(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    for d in (1, 2):
+        r = got[d]
+        assert (r.n_tokens, r.n_dup_spans, r.n_dup_tokens) == (10, 3, 10)
+        assert r.dup_fraction == 1.0
+    r3 = got[3]
+    assert (r3.n_tokens, r3.n_dup_spans, r3.n_dup_tokens) == (16, 1, 8)
+    assert r3.dup_fraction == 0.5
