@@ -298,33 +298,44 @@ def substring_dup_profile(docs: DataFrame) -> DataFrame:
     pass (Lee et al. 2021 semantics, done with Spark set operators
     instead of a suffix array): a ``SUBSTR_K``-token span is duplicated
     iff it occurs in >= 2 DISTINCT documents, and each document reports
-    how many of its spans and token positions that covers.
+    how many of its spans and token positions that covers.  Positional
+    coverage is what distinguishes this from ``duplicate_ngram_spans``
+    (`training.py`): that query scores the DISTINCT-shingle share per
+    doc (a screening signal); this one identifies which token runs are
+    duplicated — the information a span-cutting pass needs.
 
-    Scale shape (the whole point): candidate discovery is a groupBy on
-    the 64-bit span hash with a map-side-combinable ``min != max``
-    doc-id test — never an all-pairs join — and the mark-back join
-    reuses the same hash partitioning (AQE skew-split handles boiler-
-    plate spans shared by millions of docs: the key side is one row per
-    span, so splits replicate it for free).  The span strings exist
-    only inside the doc-local Arrow batch; the first exchange carries
-    8-byte hashes.  Coverage explodes only DUPLICATED spans (rare by
-    volume) into at most ``SUBSTR_K`` positions each.  ``n_tok`` is
-    derived doc-locally from the span count, so the corpus is tokenized
-    exactly once.  Output: docs with at least one duplicated span.
+    Scale shape (the whole point): the duplicated test is a
+    ``min(doc_id) != max(doc_id)`` WINDOW over the span-hash partition
+    of the exploded stream — never an all-pairs join, and no aggregate
+    joined back, so the span kernel runs ONCE (the join-back form
+    duplicated the corpus-sized UDF subtree per branch whenever AQE
+    broadcast the key side; same lesson as ``duplicate_ngram_spans``).
+    The span strings exist only inside the doc-local Arrow batch; the
+    one corpus-sized exchange carries 8-byte hashes.  Coverage explodes
+    only DUPLICATED spans (rare by volume) into at most ``SUBSTR_K``
+    positions each.  ``n_tok`` is derived doc-locally from the span
+    count, so the corpus is tokenized exactly once.  Skew honesty: a
+    boilerplate span shared by millions of docs lands its window group
+    in one task (AQE splits join partitions, not window partitions) —
+    the same exposure ``duplicate_ngram_spans`` documents.  Output:
+    docs with at least one duplicated span.
     """
     sp = docs.select(
         "doc_id", _span_udf(tokens_of(F.col("text"))).alias("spans")
-    ).withColumn("n_tok", (F.size("spans") + SUBSTR_K - 1).cast("bigint"))
-    ex = sp.select(
-        "doc_id", "n_tok", F.posexplode("spans").alias("pos", "s")
-    ).select("doc_id", "n_tok", "pos", F.xxhash64("s").alias("h"))
-    dup_keys = (
-        ex.groupBy("h")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("h")
     )
-    d = ex.join(dup_keys, "h")
+    ex = sp.select(
+        "doc_id", F.size("spans").alias("n_spans"),
+        F.posexplode("spans").alias("pos", "s"),
+    ).select(
+        "doc_id",
+        (F.col("n_spans") + SUBSTR_K - 1).cast("bigint").alias("n_tok"),
+        "pos",
+        F.xxhash64("s").alias("h"),
+    )
+    w = Window.partitionBy("h")
+    d = ex.withColumn("mn", F.min("doc_id").over(w)).withColumn(
+        "mx", F.max("doc_id").over(w)
+    ).filter(F.col("mn") != F.col("mx"))
     cov = d.select(
         "doc_id", "n_tok", "pos",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + SUBSTR_K - 1)).alias("cp"),
