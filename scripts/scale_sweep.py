@@ -59,6 +59,7 @@ OFFSET = 10_000_000
 DEFAULT_QUERIES = [
     # documents family
     "exact_dedup",
+    "substring_dedup",
     "ngram_jaccard_dedup",
     "jaccard_prefix_dedup",
     "minhash_lsh_dedup",

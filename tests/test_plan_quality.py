@@ -935,3 +935,16 @@ def test_text_family_tokenizes_corpus_once(spark):
         plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
         got = plan.count("Generate explode")
         assert got == want, f"{name}: {got} tokenize subtrees, want {want}"
+
+
+def test_substring_dedup_single_span_pass_no_join(spark):
+    """substring_dedup's duplicated-span test is a window over the
+    span-hash partition, NOT an aggregate joined back: the join-back
+    form duplicated the corpus-sized span-UDF subtree per branch
+    whenever AQE broadcast the key side.  Pin the final plan to one
+    span-UDF evaluation, one Window, zero joins."""
+    df = load_all()["substring_dedup"].fn(spark, SF)
+    plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
