@@ -416,3 +416,65 @@ def test_substring_dedup_coverage_math(spark):
     r3 = got[3]
     assert (r3.n_tokens, r3.n_dup_spans, r3.n_dup_tokens) == (16, 1, 8)
     assert r3.dup_fraction == 0.5
+
+
+def _substr_model(docs):
+    """Brute-force reference model of substring_dup_profile (pure
+    Python): positional k-spans, cross-doc duplicated iff the span
+    string occurs in >= 2 distinct docs, coverage = interval union."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        SUBSTR_K as k,
+    )
+
+    spans = {
+        d: [(i, " ".join(t[i : i + k])) for i in range(len(t) - k + 1)]
+        for d, t in docs
+    }
+    owners = {}
+    for d, lst in spans.items():
+        for _, s in lst:
+            owners.setdefault(s, set()).add(d)
+    out = {}
+    for d, t in docs:
+        dup = [(i, s) for i, s in spans[d] if len(owners[s]) >= 2]
+        if not dup:
+            continue
+        cov = set()
+        for i, _ in dup:
+            cov.update(range(i, i + k))
+        out[d] = (len(t), len({i for i, _ in dup}), len(cov))
+    return out
+
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_DOC = _st.lists(_st.sampled_from(["aa", "bb"]), max_size=30)
+
+
+@_settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[_HC.too_slow, _HC.function_scoped_fixture],
+)
+@_given(_st.lists(_DOC, min_size=2, max_size=5))
+def test_substring_dedup_matches_bruteforce_model(spark, token_lists):
+    """Random tiny-vocabulary corpora (2-word alphabet maximizes span
+    collisions) against the brute-force model: same flagged docs, same
+    span/coverage counts, fraction within float noise."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        substring_dup_profile,
+    )
+
+    docs = [(i + 1, t) for i, t in enumerate(token_lists)]
+    sdf = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in substring_dup_profile(sdf).collect()}
+    want = _substr_model(docs)
+    assert set(got) == set(want)
+    for d, (n_tok, n_dup, n_cov) in want.items():
+        r = got[d]
+        assert (r.n_tokens, r.n_dup_spans, r.n_dup_tokens) == (n_tok, n_dup, n_cov)
+        assert abs(r.dup_fraction - n_cov / n_tok) < 1e-6
