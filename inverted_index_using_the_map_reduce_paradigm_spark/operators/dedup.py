@@ -191,8 +191,10 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
-def jaccard_pairs(docs: DataFrame, hot_cap: int = HOT_SHINGLE_CAP) -> DataFrame:
-    """Exact-Jaccard near-dup pairs (doc_a, doc_b, jaccard).
+def shingle_pair_counts(docs: DataFrame, hot_cap: int = HOT_SHINGLE_CAP) -> DataFrame:
+    """Per-pair shingle overlap counts (doc_a, doc_b, na, nb, n_common)
+    — the shared candidate-generation core of the set-similarity dedup
+    family (Jaccard and containment score the same counts differently).
 
     Candidate pairs come only from docs SHARING a shingle — the join
     key is the shingle, so cost is sum over shingles of group^2, not
@@ -224,7 +226,7 @@ def jaccard_pairs(docs: DataFrame, hot_cap: int = HOT_SHINGLE_CAP) -> DataFrame:
     ex = _drop_hot_keys(ex, ["h"], hot_cap)
     a = ex.alias("a")
     b = ex.alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
@@ -233,9 +235,78 @@ def jaccard_pairs(docs: DataFrame, hot_cap: int = HOT_SHINGLE_CAP) -> DataFrame:
             F.count("*").alias("n_common"),
         )
     )
+
+
+def jaccard_pairs(docs: DataFrame, hot_cap: int = HOT_SHINGLE_CAP) -> DataFrame:
+    """Exact-Jaccard near-dup pairs (doc_a, doc_b, jaccard); see
+    :func:`shingle_pair_counts` for the candidate join's scale story."""
+    pairs = shingle_pair_counts(docs, hot_cap)
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return pairs.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# containment_dedup
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "containment_dedup",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {sql_shingles(sql_tokens('text'))} AS shingles FROM documents
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+         count(*) AS n_common
+  FROM (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) a
+  JOIN (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common / least(na, nb), 6) AS containment,
+       round(n_common / (na + nb - n_common), 6) AS jaccard
+FROM pairs
+WHERE n_common / least(na, nb) >= {CONTAINMENT_THRESHOLD}
+""",
+    description="shingle-containment pairs: doc-inside-doc inclusions Jaccard misses",
+    tags=("dedup",),
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(table(spark, sf_dir, "documents"))
+
+
+def containment_pairs(docs: DataFrame, hot_cap: int = HOT_SHINGLE_CAP) -> DataFrame:
+    """Asymmetric set-containment pairs: C(A,B) = |A∩B| / min(|A|,|B|).
+
+    Detects a short document embedded inside a long one (quoted
+    passages, boilerplate-wrapped reposts) — exactly the inclusion
+    case where Jaccard stays LOW because the union is dominated by the
+    long side, so a Jaccard-thresholded dedup pass never sees it.  The
+    emitted ``jaccard`` column makes that gap visible per pair.
+
+    Same candidate engine as :func:`jaccard_pairs`
+    (:func:`shingle_pair_counts`): one shingle-keyed sparse self-join,
+    hot-key capped, never all-pairs — scoring is a per-pair arithmetic
+    change, so the 100 TB posture is identical.  The cap interacts
+    conservatively here too: dropped hot shingles still count in
+    ``min(na, nb)`` but not in ``n_common``, so scores can only drop.
+    """
+    pairs = shingle_pair_counts(docs, hot_cap)
+    cont = F.col("n_common") / F.least("na", "nb")
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.filter(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.round(cont, 6).alias("containment"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 

@@ -306,6 +306,84 @@ def q_embedding_near_dup_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# semantic_dedup — cluster-bucketed greedy retention (SemDeDup shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+SELECT a.vec_id, a.label,
+       CAST(NOT EXISTS (
+         SELECT 1 FROM embeddings b
+         WHERE b.label = a.label AND b.vec_id < a.vec_id
+           AND round({_cos_sql('a.embedding', 'b.embedding')}, {ROUND}) >= {NEAR_DUP_COS}
+       ) AS INTEGER) AS kept
+FROM embeddings a
+""",
+    description="SemDeDup-shaped retention: drop vectors semantically close to an earlier keeper in their cluster",
+    tags=("similarity", "dedup"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _emb_double("embedding").alias("e")
+    )
+    return semantic_dedup(emb)
+
+
+def semantic_dedup(emb: DataFrame, tau: float = NEAR_DUP_COS) -> DataFrame:
+    """Cluster-bucketed semantic dedup with a deterministic greedy
+    retention rule: a vector is DROPPED iff some lower-``vec_id``
+    vector in the same cluster has cosine >= ``tau`` to it (the
+    SemDeDup recipe — Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication" — with
+    min-id in place of its random keeper, so the result is
+    order-independent and oracle-checkable).
+
+    The fixture's ``label`` column stands in for the cluster
+    assignment; the production composition is ``kmeans_clusters`` →
+    this operator, where k scales with corpus size so cluster size
+    stays bounded — that bound is what makes within-cluster pairwise
+    scoring affordable at 100 TB (the global pairwise problem is
+    quadratic; the bucketed one is sum over clusters of size²).
+
+    One shuffle on the cluster key, then each cluster scores locally:
+    a blocked GEMM (``_SEM_BLOCK`` columns at a time against all prior
+    rows) keeps per-task memory O(cluster × block) instead of
+    O(cluster²).  The greedy rule needs *prior-id* comparisons only,
+    which the min-id ordering makes a lower-triangular mask — no
+    iteration, single pass.
+    """
+
+    def _kept(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        E = np.array(pdf["e"].tolist(), dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", E, E))
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 to everything
+        n = len(pdf)
+        kept = np.ones(n, dtype=np.int32)
+        for j0 in range(1, n, _SEM_BLOCK):
+            j1 = min(j0 + _SEM_BLOCK, n)
+            # cosine of every prior row against column block [j0, j1)
+            sims = (E[:j1] @ E[j0:j1].T) / np.outer(norms[:j1], norms[j0:j1])
+            sims = np.round(sims, ROUND)
+            for idx in range(j1 - j0):
+                j = j0 + idx
+                if (sims[:j, idx] >= tau).any():
+                    kept[j] = 0
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "label": pdf["label"], "kept": kept}
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        _kept, schema="vec_id long, label int, kept int"
+    )
+
+
+_SEM_BLOCK = 1024  # GEMM column-block width: bounds task memory
+
+
+# --------------------------------------------------------------------------
 # random-hyperplane LSH variant (the scale path)
 # --------------------------------------------------------------------------
 

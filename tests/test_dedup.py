@@ -478,3 +478,84 @@ def test_substring_dedup_matches_bruteforce_model(spark, token_lists):
         r = got[d]
         assert (r.n_tokens, r.n_dup_spans, r.n_dup_tokens) == (n_tok, n_dup, n_cov)
         assert abs(r.dup_fraction - n_cov / n_tok) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# containment_dedup
+# --------------------------------------------------------------------------
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A 20-token doc embedded verbatim in a 60-token doc: every short
+    shingle is in the long set, so containment = 1.0, while Jaccard is
+    ~|short|/|long| < 0.5 — the inclusion case the Jaccard pass is
+    blind to by construction."""
+    import itertools
+    import string
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    words = [
+        "".join(p) for p in itertools.islice(
+            itertools.product(string.ascii_lowercase, repeat=2), 80
+        )
+    ]
+    long_doc = " ".join(words[:60])
+    short_doc = " ".join(words[20:40])  # verbatim substring of long_doc
+    other = " ".join(words[60:80])
+    sdf = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)],
+        "doc_id long, text string",
+    )
+    cont = {(r.doc_a, r.doc_b): r for r in containment_pairs(sdf).collect()}
+    assert set(cont) == {(1, 2)}
+    assert cont[(1, 2)].containment == 1.0
+    assert cont[(1, 2)].jaccard < 0.5
+    assert pairs(jaccard_pairs(sdf)) == set()  # Jaccard misses it
+
+
+def test_containment_score_matches_set_model(spark):
+    """Random two-word-alphabet corpora vs a brute-force shingle-set
+    model: same pairs, same containment and Jaccard scores."""
+    import random
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        SHINGLE_N,
+        containment_pairs,
+    )
+
+    rng = random.Random(7)
+    docs = [
+        (d, [rng.choice(["aa", "bb"]) for _ in range(rng.randint(0, 25))])
+        for d in range(1, 9)
+    ]
+    sdf = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.containment, r.jaccard)
+        for r in containment_pairs(sdf).collect()
+    }
+    sets = {
+        d: {
+            " ".join(t[i : i + SHINGLE_N])
+            for i in range(len(t) - SHINGLE_N + 1)
+        }
+        for d, t in docs
+    }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                common = len(sets[a] & sets[b])
+                c = common / min(len(sets[a]), len(sets[b]))
+                if c >= CONTAINMENT_THRESHOLD:
+                    want[(a, b)] = (
+                        round(c, 6),
+                        round(common / len(sets[a] | sets[b]), 6),
+                    )
+    assert got == want

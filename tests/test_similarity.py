@@ -111,3 +111,66 @@ def test_embedding_agg_has_full_grid(spark):
     n_labels = emb.select("label").distinct().count()
     assert out.count() == n_labels * 64
     assert out.filter("centroid is null").count() == 0
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup
+# --------------------------------------------------------------------------
+
+
+def test_semantic_dedup_greedy_rule_and_cluster_isolation(spark):
+    """Hand-built clusters: a duplicate behind a lower id is dropped,
+    orthogonal vectors survive, and an identical vector in ANOTHER
+    cluster is untouched (bucketing is strict)."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),   # dup of 1, same label -> dropped
+        (3, 0, [0.0, 1.0]),   # orthogonal -> kept
+        (4, 1, [1.0, 0.0]),   # dup of 1 but other label -> kept
+        (5, 1, [0.9, 0.1]),   # cos to 4 >> tau -> dropped
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, label int, e array<double>"
+    )
+    got = {r.vec_id: r.kept for r in semantic_dedup(sdf).collect()}
+    assert got == {1: 1, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_semantic_dedup_matches_bruteforce_model(spark):
+    """Random vectors in a few clusters vs the quadratic numpy model of
+    the greedy min-id rule (round-then-threshold, like the operator)."""
+    import numpy as np
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import (
+        NEAR_DUP_COS,
+        ROUND,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(v), int(v % 3), rng.normal(size=4).tolist()) for v in range(40)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, label int, e array<double>"
+    )
+    got = {r.vec_id: r.kept for r in semantic_dedup(sdf).collect()}
+    want = {}
+    by_label: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for v, lab, e in rows:
+        arr = np.asarray(e)
+        dropped = any(
+            round(
+                float(p @ arr / (np.linalg.norm(p) * np.linalg.norm(arr))),
+                ROUND,
+            )
+            >= NEAR_DUP_COS
+            for _, p in by_label.get(lab, [])
+        )
+        want[v] = 0 if dropped else 1
+        by_label.setdefault(lab, []).append((v, arr))
+    assert got == want
