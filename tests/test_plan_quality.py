@@ -732,6 +732,8 @@ def test_udf_pass_budget_whole_family(spark):
     }
     known_udf_queries = [
         "asof_enrich_cogroup",
+        "containment_dedup",
+        "semantic_dedup",
         "duplicate_ngram_spans",
         "embedding_near_dup",
         "embedding_near_dup_rp",
@@ -948,3 +950,27 @@ def test_substring_dedup_single_span_pass_no_join(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert plan.count("Window") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_containment_dedup_single_shingle_pass_shared_with_jaccard(spark):
+    """containment_dedup rides the same shingle_pair_counts core as
+    ngram_jaccard_dedup: the final adaptive plan must evaluate the
+    shingle UDF once (AQE reuses the exploded-shingle exchange for
+    both self-join sides) and score containment as pure arithmetic on
+    the pair aggregate — no second corpus pass, no extra join."""
+    df = load_all()["containment_dedup"].fn(spark, SF)
+    plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+    assert audit.python_eval_count(plan) == 1, plan
+    assert "least(" in plan  # containment denominator, post-aggregate
+
+
+def test_semantic_dedup_one_cluster_shuffle_no_join(spark):
+    """semantic_dedup is one shuffle on the cluster key feeding a
+    single grouped-pandas kernel: no join anywhere (the greedy rule is
+    computed inside the cluster), no window, and exactly one Python
+    pass — the blocked GEMM runs inside the group."""
+    df = load_all()["semantic_dedup"].fn(spark, SF)
+    plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
