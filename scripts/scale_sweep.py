@@ -20,7 +20,11 @@ It builds enlarged copies of the three fact tables under
 * ``embeddings``: copy i rolls each vector left by i positions —
   a permutation, so WITHIN-copy pairwise cosines (and hence per-copy
   ANN/near-dup structure) are preserved exactly while CROSS-copy
-  cosines decorrelate; vec_id offset by 10M per copy.
+  cosines decorrelate; vec_id offset by 10M per copy.  ``label`` is
+  offset by 100 per copy: more data means more clusters of the same
+  size (the SemDeDup posture — k grows with n), so cluster-bucketed
+  operators are measured in their production growth direction; no
+  other swept embedding query reads ``label``.
 * ``events``: copy i offsets user_id/event_id by 10M — m times the
   users, same per-user density, the natural growth direction.
 
@@ -62,6 +66,7 @@ DEFAULT_QUERIES = [
     "substring_dedup",
     "ngram_jaccard_dedup",
     "jaccard_prefix_dedup",
+    "containment_dedup",
     "minhash_lsh_dedup",
     "simhash_dedup",
     "inverted_index_arrow",
@@ -76,6 +81,7 @@ DEFAULT_QUERIES = [
     "similarity_search_ivf",
     "kmeans_clusters",
     "embedding_near_dup_rp",
+    "semantic_dedup",
     # events family
     "events_sessionize",
     "hll_union_rollup",
@@ -123,7 +129,7 @@ def build_scale_dir(m: int) -> str:
                 if r == 0
                 else f"list_concat(embedding[{r + 1}:], embedding[:{r}]) AS embedding,"
             )
-            + f" label FROM '{SRC}/embeddings.parquet'"
+            + f" label + {i * 100} AS label FROM '{SRC}/embeddings.parquet'"
         )
         ev_parts.append(
             f"SELECT event_id + {i * OFFSET} AS event_id, ts,"
