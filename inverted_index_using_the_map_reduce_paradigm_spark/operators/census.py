@@ -53,6 +53,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..data import table
 from ..functions.text import sql_tokens, tokens_of
@@ -603,4 +604,138 @@ def q_bpe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stable.crossJoin(first).select(
         "n_merges", "first_left", "first_right", "first_freq", "rerun_identical"
+    )
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters_cms — Count-Min-Sketch heavy hitters, guarantees hash-checked
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+# Width deliberately BELOW the fixture's bigram cardinality (~961), so
+# every row of the sketch carries real collisions and the
+# no-underestimate check is exercised on colliding counters, not on a
+# sketch so wide it degenerates to exact counting.
+CMS_WIDTH = 256
+HH_TOP_K = 25
+
+
+def _cms_buckets(col):
+    """Array of the CMS_DEPTH murmur3 bucket ids for one key: row i of
+    the sketch hashes (key, i), pmod keeps buckets non-negative."""
+    return F.array(
+        *[
+            F.pmod(F.hash(col, F.lit(i)), F.lit(CMS_WIDTH))
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    # The oracle predicts the exact top-k (counts + deterministic
+    # (count DESC, bigram ASC) ranking) and the two structural CMS
+    # guarantees as constants: a Count-Min estimate can NEVER
+    # underestimate (each counter includes the key's own occurrences),
+    # and each sketch row's counters must sum to the total occurrence
+    # count (every occurrence lands in exactly one bucket per row).
+    # Both hold for every dataset, so a buggy sketch build flips a
+    # boolean and fails the driver's value hash.
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM d
+), c AS (
+  SELECT t[i] || ' ' || t[i+1] AS bigram, count(*) AS c FROM pos GROUP BY bigram
+), r AS (
+  SELECT bigram, c, row_number() OVER (ORDER BY c DESC, bigram ASC) AS rk FROM c
+)
+SELECT rk AS rank, bigram, CAST(c AS BIGINT) AS true_count,
+       TRUE AS no_underestimate, TRUE AS mass_conserved
+FROM r WHERE rk <= {HH_TOP_K}
+""",
+    description=f"top-{HH_TOP_K} bigram heavy hitters + CMS {CMS_DEPTH}x{CMS_WIDTH} sketch guarantees",
+    bench=False,
+    tags=("text", "sketch", "census"),
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over within-doc word bigrams
+    (Cormode & Muthukrishnan 2005), with the sketch's deterministic
+    guarantees driver-hash-checked next to the exact answer.
+
+    Production path (the sketch): one pass over the occurrence
+    stream, each occurrence exploded to its CMS_DEPTH (row, bucket)
+    cells, then groupBy(seed, bucket).count() — map-side partial
+    aggregation collapses each task's contribution to <=
+    DEPTH*WIDTH rows BEFORE the exchange, so the shuffle volume is
+    sketch-sized (constant), never corpus-sized: this is why a CMS
+    beats an exact groupBy at 100 TB when the key space explodes
+    (urls, ngrams, user ids) — the exact side shuffles the key space,
+    the sketch shuffles {CMS_DEPTH}x{CMS_WIDTH} longs per task.
+
+    Census side (the verification cost, why bench=False): an exact
+    bigram count recomputed next to it; per-key estimates = min over
+    the key's {CMS_DEPTH} counters via a join against the tiny sketch
+    (AQE broadcasts it — no hint, the gate stays clean).  Emitted:
+    the exact top-{HH_TOP_K} (rank, bigram, true_count) — the answer a
+    user wants from a heavy-hitters op — plus ``no_underestimate``
+    (est >= true over the ENTIRE key set: the one-sided CMS error
+    bound, checked exhaustively, not sampled) and ``mass_conserved``
+    (per-row counter sums == total occurrences, min == max == N).
+    The final rank window orders <= vocabulary^2 tiny rows in one
+    task (bounded by the key-space, not the corpus); WindowGroupLimit
+    prunes it to a streaming top-{HH_TOP_K}."""
+    docs = table(spark, sf_dir, "documents")
+    t = tokens_of(F.col("text"))
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(t, 1, n1),
+        F.slice(t, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = docs.select(F.explode(bigrams).alias("bigram"))
+    sketch = (
+        grams.select(
+            F.posexplode(_cms_buckets(F.col("bigram"))).alias("seed", "bucket")
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = grams.groupBy("bigram").agg(F.count("*").alias("true_count"))
+    est = (
+        exact.select(
+            "bigram",
+            "true_count",
+            F.posexplode(_cms_buckets(F.col("bigram"))).alias("seed", "bucket"),
+        )
+        .join(sketch, ["seed", "bucket"])
+        .groupBy("bigram", "true_count")
+        .agg(F.min("cnt").alias("est"))
+    )
+    no_under = est.agg(
+        (
+            F.sum(F.when(F.col("est") < F.col("true_count"), 1).otherwise(0)) == 0
+        ).alias("no_underestimate")
+    )
+    total = exact.agg(F.sum("true_count").alias("n_occ"))
+    mass_ok = (
+        sketch.groupBy("seed")
+        .agg(F.sum("cnt").alias("mass"))
+        .agg(F.min("mass").alias("mass_min"), F.max("mass").alias("mass_max"))
+        .crossJoin(total)
+        .select(
+            (
+                (F.col("mass_min") == F.col("n_occ"))
+                & (F.col("mass_max") == F.col("n_occ"))
+            ).alias("mass_conserved")
+        )
+    )
+    w = Window.orderBy(F.desc("true_count"), F.asc("bigram"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HH_TOP_K)
+        .crossJoin(no_under)
+        .crossJoin(mass_ok)
+        .select("rank", "bigram", "true_count", "no_underestimate", "mass_conserved")
     )

@@ -989,3 +989,159 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("raw"), 6) + F.lit(0.0)).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# token_budget_select — fill a token budget with the highest-quality docs
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 12_000
+# doc_id-range shard width inside one quality level: bounds what any
+# single prefix-sum window task must order (sequence_packing's
+# decomposition, nested under the quality key).
+TB_SHARD_DOCS = 128
+# quality is round(x, 6); scaling by 1e6 and re-rounding recovers the
+# exact integer quality level, so "same qlevel" == "same quality".
+_QLEVEL = 1_000_000
+
+_TB_QUALITY_SQL = f"""
+  SELECT doc_id,
+         len({sql_tokens('text')}) AS n_tokens,
+         round(least(len({sql_tokens('text')}) / 64.0, 1.0)
+               * (1 - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                      / greatest(length(text), 1)), 6) AS quality
+  FROM documents
+"""
+
+
+@register(
+    "token_budget_select",
+    # The oracle states the spec directly: one global running sum over
+    # (quality DESC, doc_id ASC); a doc is selected iff the tokens
+    # before it fit the budget.  The engine's three-level shard
+    # decomposition is associative, so every output row is identical.
+    oracle=f"""
+WITH q AS ({_TB_QUALITY_SQL}
+), c AS (
+  SELECT doc_id, n_tokens, quality,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM q
+)
+SELECT doc_id, n_tokens, quality, CAST(cum_before AS BIGINT) AS cum_before
+FROM c WHERE cum_before < {TOKEN_BUDGET}
+""",
+    description=f"greedy quality-ordered doc selection into a {TOKEN_BUDGET}-token budget",
+    tags=("text", "training", "pipeline"),
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection: walk docs in (quality DESC,
+    doc_id ASC) order and keep each doc whose preceding cumulative
+    token count still fits ``TOKEN_BUDGET`` — the standard "best data
+    first, stop at the token budget" step when curating a pretraining
+    mix (quality is ``quality_score``'s heuristic, recomputed
+    identically).
+
+    100 TB shape: the spec is a GLOBAL ordered prefix sum — the one
+    thing a distributed engine must never run as one window task.  It
+    is decomposed over three associative levels, none of which orders
+    more than a bounded slice:
+
+    1. within (qlevel, doc-shard): a window over <= ``TB_SHARD_DOCS``
+       rows (qlevel = the exact rounded quality value, so within a
+       level the spec order is pure doc_id and doc-id-range sharding
+       preserves it);
+    2. shard offsets within a qlevel: a window over one row per
+       doc-shard (corpus/``TB_SHARD_DOCS`` tiny rows in the worst
+       degenerate single-quality corpus — millions, not billions, the
+       same posture as sequence_packing's per-lang shard rollup);
+    3. qlevel offsets: one window over <= 1e6+1 one-per-level rows.
+
+    The shard/level totals are derived FROM the level-1 windowed
+    stream (max of cum+n per group), not a second corpus scan, so the
+    groupBys ride the (qlevel, shard) exchange the window already paid
+    for and the corpus is scanned + tokenized exactly once.  Levels
+    whose offset already exceeds the budget are dropped BEFORE the
+    join back, so past-budget data never flows through the final
+    filter at all.  No broadcast hints: the offset tables are
+    level-count-sized and AQE picks the strategy.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = tokens_of(F.col("text"))
+    punct_ratio = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0)
+    ) / F.greatest(F.length("text"), F.lit(1))
+    q = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.round(
+            F.least(F.size(t) / F.lit(64.0), F.lit(1.0)) * (1 - punct_ratio), 6
+        ).alias("quality"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.round(F.col("quality") * _QLEVEL).cast("long").alias("qlevel"),
+        F.floor(F.col("doc_id") / TB_SHARD_DOCS).alias("shard"),
+    ).filter(
+        # no-op filters (keys are never null), stated so every consumer
+        # of this subtree carries identical inferred constraints and
+        # ReuseExchange can match the (qlevel, shard) exchange
+        # (sequence_packing's pattern)
+        F.col("qlevel").isNotNull() & F.col("shard").isNotNull()
+    )
+    # level 1: bounded per-(qlevel, shard) running sum in doc_id order
+    w_in = (
+        Window.partitionBy("qlevel", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = q.withColumn(
+        "cum_in_shard", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    # level 2: per-shard totals as a DIRECT sum off the pre-window
+    # stream — map-side partial aggregation collapses each task to one
+    # row per (qlevel, shard) BEFORE the exchange, so this branch
+    # never shuffles the corpus (deriving totals from the windowed
+    # stream instead would ride a second corpus-wide exchange: Catalyst
+    # prunes the two consumers' columns differently and ReuseExchange
+    # cannot match the window's exchange — measured, not guessed)
+    w_sh = (
+        Window.partitionBy("qlevel")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shards = (
+        q.groupBy("qlevel", "shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn(
+            "shard_offset", F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0))
+        )
+    )
+    # level 3: per-qlevel totals; one global window over <= 1e6+1 tiny
+    # rows, ordered by quality DESC (i.e. qlevel DESC)
+    w_lv = (
+        Window.orderBy(F.desc("qlevel")).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    levels = (
+        shards.groupBy("qlevel")
+        .agg(F.sum("shard_tokens").alias("level_tokens"))
+        .withColumn(
+            "level_offset", F.coalesce(F.sum("level_tokens").over(w_lv), F.lit(0))
+        )
+        .filter(F.col("level_offset") < TOKEN_BUDGET)  # prune hopeless levels
+        .select("qlevel", "level_offset")
+    )
+    offsets = shards.join(levels, "qlevel").select(
+        "qlevel", "shard", (F.col("level_offset") + F.col("shard_offset")).alias("offset")
+    )
+    return (
+        c.join(offsets, ["qlevel", "shard"])
+        .withColumn(
+            "cum_before",
+            (F.col("offset") + F.col("cum_in_shard")).cast("long"),
+        )
+        .filter(F.col("cum_before") < TOKEN_BUDGET)
+        .select("doc_id", "n_tokens", "quality", "cum_before")
+    )

@@ -974,3 +974,54 @@ def test_semantic_dedup_one_cluster_shuffle_no_join(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_token_budget_select_one_corpus_shuffle_three_level_prefix_sum(spark):
+    """token_budget_select's global ordered prefix sum decomposes over
+    three levels; the corpus must cross exactly ONE corpus-sized
+    exchange (the (qlevel, shard) window partitioning).  The shard
+    totals branch reaches its exchange through a map-side partial
+    aggregate (one row per (qlevel, shard) per task), and the level
+    rollup reuses that shard-level exchange — so the final plan holds
+    one FileScan, reused exchanges for the other branches, and no
+    SortMergeJoin (the offset tables are tiny; AQE broadcasts)."""
+    df = load_all()["token_budget_select"].fn(spark, SF)
+    plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("ReusedExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly ONE exchange carries corpus rows: of the (qlevel, shard)
+    # hash exchanges, one is fed by the tokenizing Project (the
+    # window's) and every other sits directly above a partial
+    # HashAggregate, i.e. carries at most one row per (qlevel, shard)
+    # per task
+    lines = plan.splitlines()
+    corpus_fed = 0
+    for i, ln in enumerate(lines):
+        if (
+            "Exchange hashpartitioning(qlevel#" in ln
+            and "shard#" in ln
+            and "ReusedExchange" not in ln
+        ):
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if "HashAggregate" not in child:
+                corpus_fed += 1
+    assert corpus_fed == 1, plan
+    # and the shard-totals branch really does combine map-side
+    assert "partial_sum(n_tokens" in plan or "partial_sum(cast(n_tokens" in plan, plan
+
+
+def test_heavy_hitters_cms_sketch_shuffle_is_sketch_sized(spark):
+    """heavy_hitters_cms's sketch build must collapse to <= depth*width
+    rows per task BEFORE its exchange (partial aggregate below the
+    (seed, bucket) exchange), and the per-key estimate join against
+    the tiny sketch must be a broadcast, never a SortMergeJoin."""
+    df = load_all()["heavy_hitters_cms"].fn(spark, SF)
+    plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine on (seed, bucket)
+    # one corpus scan; the exact side and the sketch side share it via
+    # reused exchanges (the rank window's input is key-space-bounded,
+    # never corpus-sized)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("ReusedExchange") >= 2, plan
