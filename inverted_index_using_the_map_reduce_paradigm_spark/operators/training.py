@@ -1059,3 +1059,98 @@ def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     return per.orderBy(F.desc("n_triangles"), F.asc("word")).limit(25)
+
+
+# --------------------------------------------------------------------------
+# epoch_shuffle — deterministic global training-order shuffle
+# --------------------------------------------------------------------------
+
+# Knuth multiplicative hash over doc_id: portable BIGINT arithmetic
+# (doc_id * MULT stays far below 2^63, so Spark and DuckDB compute the
+# identical value — no engine-specific hash anywhere).
+_SHUF_MULT = 2_654_435_761
+_SHUF_ADD = 104_729
+_SHUF_MOD = 1_000_000_007
+# hash-range bucket count: positions are ranked per bucket and offset
+# by bucket counts, so no task ever orders more than ~corpus/NB rows —
+# and because the hash is uniform, buckets are balanced BY CONSTRUCTION
+# (unlike quality/language keys, hash-range sharding cannot skew).
+_SHUF_BUCKETS = 4096
+_SHUF_SHARDS = 16
+
+
+@register(
+    "epoch_shuffle",
+    # The oracle states the spec: one global rank over the
+    # deterministic hash order.  The engine's bucket decomposition is
+    # exact (bucket = floor(h / width) is monotone in h), so every
+    # output row is identical.
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % {_SHUF_MOD}) * ({_SHUF_MULT} % {_SHUF_MOD})
+          + {_SHUF_ADD}) % {_SHUF_MOD} AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, h,
+         row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+  FROM h
+)
+SELECT doc_id, CAST(h AS BIGINT) AS h, CAST(pos AS BIGINT) AS pos,
+       CAST(pos % {_SHUF_SHARDS} AS BIGINT) AS shard
+FROM r
+""",
+    description=f"deterministic global training-order shuffle into {_SHUF_SHARDS} shards",
+    tags=("training", "pipeline"),
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a deterministic pseudo-random position in
+    the training order (and a round-robin shard), the way a pretraining
+    pipeline fixes an epoch's example order reproducibly: order by a
+    multiplicative hash of doc_id, rank, shard by ``pos % k``.
+
+    100 TB shape: a global rank is the canonical
+    don't-run-one-window-task problem, and the hash key makes it
+    easier than token_budget_select's quality key: bucket by hash
+    RANGE (``floor(h / width)`` — monotone, so bucket order IS hash
+    order) and the uniform hash balances buckets by construction.
+    Within-bucket ``row_number`` tasks see ~corpus/{_SHUF_BUCKETS}
+    rows; bucket counts reach their exchange through a map-side
+    partial count (one row per bucket per task — the corpus itself
+    never shuffles twice); the {_SHUF_BUCKETS}-row offsets window and
+    the AQE-broadcast join-back follow token_budget_select's pinned
+    pattern.  The parquet scan reads exactly ONE column (doc_id) —
+    column pruning leaves text/embedding bytes on disk, so the whole
+    job moves 8 bytes per document plus the hash.
+    """
+    docs = table(spark, sf_dir, "documents")
+    width = _SHUF_MOD // _SHUF_BUCKETS + 1
+    # mod-reduce before multiplying: (doc_id %% m) * (mult %% m) never
+    # exceeds ~1e18, so the product is int64-safe for ANY doc_id
+    # (doc_id * mult directly would overflow past doc_id ~3.4e9)
+    h = (
+        (F.col("doc_id") % _SHUF_MOD) * (_SHUF_MULT % _SHUF_MOD) + _SHUF_ADD
+    ) % _SHUF_MOD
+    q = docs.select("doc_id", h.alias("h")).select(
+        "doc_id", "h", F.floor(F.col("h") / width).alias("bucket")
+    ).filter(F.col("h").isNotNull() & F.col("bucket").isNotNull())
+    w_in = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    ranked = q.withColumn("rn", F.row_number().over(w_in))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        q.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(w_b), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    return (
+        ranked.join(offsets, "bucket")
+        .select(
+            "doc_id",
+            "h",
+            (F.col("offset") + F.col("rn") - 1).cast("long").alias("pos"),
+            ((F.col("offset") + F.col("rn") - 1) % _SHUF_SHARDS)
+            .cast("long")
+            .alias("shard"),
+        )
+    )

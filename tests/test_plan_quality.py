@@ -1025,3 +1025,18 @@ def test_heavy_hitters_cms_sketch_shuffle_is_sketch_sized(spark):
     # never corpus-sized)
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_epoch_shuffle_single_docid_scan_one_corpus_shuffle(spark):
+    """epoch_shuffle's global rank must read ONLY doc_id from parquet
+    (column pruning leaves document bodies on disk), cross one
+    corpus-sized exchange (the hash-range bucket window's), feed the
+    bucket counts through a map-side partial count, and join the tiny
+    offsets back without a SortMergeJoin."""
+    df = load_all()["epoch_shuffle"].fn(spark, SF)
+    plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "FileScan parquet [doc_id#" in plan, plan  # nothing else scanned
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("ReusedExchange") >= 1, plan
