@@ -1082,14 +1082,18 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "quality",
-        F.round(F.col("quality") * _QLEVEL).cast("long").alias("qlevel"),
-        F.floor(F.col("doc_id") / TB_SHARD_DOCS).alias("shard"),
-    ).filter(
-        # no-op filters (keys are never null), stated so every consumer
-        # of this subtree carries identical inferred constraints and
-        # ReuseExchange can match the (qlevel, shard) exchange
-        # (sequence_packing's pattern)
-        F.col("qlevel").isNotNull() & F.col("shard").isNotNull()
+        # coalesce makes the keys NON-NULLABLE (the inputs never are;
+        # the fixture invariant is stated on the oracle side too), so
+        # the join infers no isnotnull(qlevel) constraint — without
+        # this, the inferred filter drags the whole tokenize expression
+        # down into the parquet scan's DataFilters and every row pays
+        # an extra tokenize pass before the projection even runs
+        F.coalesce(
+            F.round(F.col("quality") * _QLEVEL).cast("long"), F.lit(-1)
+        ).alias("qlevel"),
+        F.coalesce(
+            F.floor(F.col("doc_id") / TB_SHARD_DOCS), F.lit(-1)
+        ).alias("shard"),
     )
     # level 1: bounded per-(qlevel, shard) running sum in doc_id order
     w_in = (

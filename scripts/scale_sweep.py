@@ -67,6 +67,8 @@ DEFAULT_QUERIES = [
     "ngram_jaccard_dedup",
     "jaccard_prefix_dedup",
     "containment_dedup",
+    "token_budget_select",
+    "epoch_shuffle",
     "minhash_lsh_dedup",
     "simhash_dedup",
     "inverted_index_arrow",
