@@ -182,13 +182,22 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         "source",
-        (
+        # coalesce makes quality NON-NULLABLE: the null-rejecting
+        # median comparison below otherwise infers isnotnull(quality)
+        # and Catalyst pushes that inferred check into the parquet
+        # scan's DataFilters — where it evaluates the entire tokenize
+        # expression once per row just to test non-null (always true),
+        # doubling the scan-stage cost (same defect class as
+        # token_budget_select's derived join key; text is never null
+        # in the corpus contract)
+        F.coalesce(
             F.least(F.size(t) / F.lit(64.0), F.lit(1.0))
             * (
                 1
                 - F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
                 / F.greatest(F.length("text"), F.lit(1))
-            )
+            ),
+            F.lit(0.0),
         ).alias("quality"),
     )
     med = scored.groupBy(F.col("source").alias("m_source")).agg(
@@ -368,13 +377,22 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "text",
-        (
+        # coalesce makes quality NON-NULLABLE: the null-rejecting
+        # median comparison below otherwise infers isnotnull(quality)
+        # and Catalyst pushes that inferred check into the parquet
+        # scan's DataFilters — where it evaluates the entire tokenize
+        # expression once per row just to test non-null (always true),
+        # doubling the scan-stage cost (same defect class as
+        # token_budget_select's derived join key; text is never null
+        # in the corpus contract)
+        F.coalesce(
             F.least(F.size(t) / F.lit(64.0), F.lit(1.0))
             * (
                 1
                 - F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
                 / F.greatest(F.length("text"), F.lit(1))
-            )
+            ),
+            F.lit(0.0),
         ).alias("quality"),
     )
     med = scored.groupBy(F.col("source").alias("m_source")).agg(

@@ -263,3 +263,49 @@ def broadcast_hint_count(df: DataFrame) -> int:
 
     walk(df._jdf.queryExecution().analyzed())
     return n
+
+
+# Expression heads that mark a corpus-expensive computation (the
+# tokenizer chain, shingle/bigram construction, char-level scans).
+_HEAVY_EXPR_MARKS = (
+    "regexp_replace(translate",
+    "size(filter(split",
+    "regexp_extract_all",
+    "transform(slice",
+)
+
+
+def inferred_nullcheck_scan_waste(plan_text: str) -> list[str]:
+    """Scan-level ``isnotnull(<heavy expr>)`` conjuncts: the silent
+    cost-doubler found on token_budget_select and quality_filter —
+    a join or null-rejecting comparison on a key DERIVED from an
+    expensive expression makes Catalyst infer ``isnotnull(key)`` and
+    push it into the parquet scan's DataFilters, where it evaluates
+    the whole expression once per row just to test non-null (the
+    projection then recomputes it).  Semantic predicates over the same
+    expressions (``size(...) > 0``, quality thresholds) are NOT
+    flagged: those prune rows and belong in the scan.  Fix at the
+    source: ``F.coalesce(expr, lit(sentinel))`` makes the derived
+    column non-nullable, so the constraint is never inferred.
+
+    Returns one descriptive string per offending FileScan line.
+    """
+    out = []
+    for ln in plan_text.splitlines():
+        if "FileScan" not in ln or "DataFilters: [" not in ln:
+            continue
+        filters = ln.split("DataFilters: [", 1)[1]
+        for m in re.finditer(r"isnotnull\(", filters):
+            start = m.end()
+            depth, i = 1, start
+            while i < len(filters) and depth:
+                if filters[i] == "(":
+                    depth += 1
+                elif filters[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = filters[start : i - 1]
+            if any(h in inner for h in _HEAVY_EXPR_MARKS):
+                out.append("isnotnull over heavy expr in scan: " + inner[:80])
+                break
+    return out

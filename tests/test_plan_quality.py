@@ -1040,3 +1040,24 @@ def test_epoch_shuffle_single_docid_scan_one_corpus_shuffle(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "partial_count" in plan, plan
     assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_no_scan_evaluates_heavy_exprs_for_inferred_nullchecks(spark):
+    """Registry-wide gate for the derived-key null-check defect
+    (found on token_budget_select and quality_filter in r7): a join or
+    null-rejecting filter keyed on an expression-derived column makes
+    Catalyst infer isnotnull(expr) and push it into the parquet scan,
+    where the scan then evaluates the WHOLE expression (a full
+    tokenize, at worst) once per row just to test non-null.  Semantic
+    pushdowns over the same expressions are allowed — only the
+    isnotnull-wrapped form is waste.  Fix offenders with
+    coalesce(expr, sentinel) to make the derived column non-nullable."""
+    offenders = {}
+    for name, q in sorted(load_all().items()):
+        if "stream" in name:
+            continue
+        plan = audit.physical_plan(q.fn(spark, SF))
+        hits = audit.inferred_nullcheck_scan_waste(plan)
+        if hits:
+            offenders[name] = hits[0]
+    assert not offenders, offenders
