@@ -228,3 +228,46 @@ def test_negative_sampling_table_is_a_valid_distribution(spark):
     # frequencies are non-increasing with rank
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_epoch_shuffle_positions_are_a_balanced_permutation(spark):
+    """pos must be exactly 0..n-1 (the bucket decomposition loses or
+    duplicates nothing), shards must be balanced to within one doc,
+    and the order must genuinely scramble doc_id (a sorted or identity
+    order means the hash did nothing)."""
+    rows = load_all()["epoch_shuffle"].fn(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r.pos for r in rows) == list(range(n))
+    by_shard = {}
+    for r in rows:
+        assert r.shard == r.pos % 16
+        by_shard[r.shard] = by_shard.get(r.shard, 0) + 1
+    assert max(by_shard.values()) - min(by_shard.values()) <= 1
+    # anti-identity: the first 50 positions are not the first 50 doc_ids
+    first = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)[:50]]
+    assert first != sorted(first)
+
+
+def test_token_budget_select_is_the_greedy_quality_prefix(spark):
+    """The selected set must be exactly the docs whose preceding
+    cumulative tokens (in quality DESC, doc_id ASC order over the
+    WHOLE corpus) fit the budget — recomputed here by brute force from
+    quality_score, independent of the operator's shard decomposition."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.text_analysis import (
+        TOKEN_BUDGET,
+    )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_before)
+        for r in load_all()["token_budget_select"].fn(spark, SF).collect()
+    }
+    scored = load_all()["quality_score"].fn(spark, SF).collect()
+    order = sorted(scored, key=lambda r: (-r.quality, r.doc_id))
+    cum = 0
+    want = {}
+    for r in order:
+        if cum < TOKEN_BUDGET:
+            want[r.doc_id] = (r.n_tokens, cum)
+        cum += r.n_tokens
+    assert got == want
