@@ -687,7 +687,9 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     task (bounded by the key-space, not the corpus); WindowGroupLimit
     prunes it to a streaming top-{HH_TOP_K}."""
     docs = table(spark, sf_dir, "documents")
-    t = tokens_of(F.col("text"))
+    # name the token array (see skipgram_pairs): tokenize once per row
+    docs = docs.select(tokens_of(F.col("text")).alias("toks"))
+    t = F.col("toks")
     n1 = F.greatest(F.size(t) - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice(t, 1, n1),

@@ -108,7 +108,11 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigrams as ``zip_with(t[:-1], t[1:])`` — array-local, no extra
     shuffle before the count aggregation."""
     docs = table(spark, sf_dir, "documents")
-    t = tokens_of(F.col("text"))
+    # name the token array (see skipgram_pairs): the bigram expression
+    # references it 5x; a named non-cheap alias is not inlined back, so
+    # the tokenizer runs once per row instead of per reference
+    docs = docs.select(tokens_of(F.col("text")).alias("toks"))
+    t = F.col("toks")
     bigrams = F.zip_with(
         F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
         F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),

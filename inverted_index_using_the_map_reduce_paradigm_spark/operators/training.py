@@ -274,7 +274,11 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     no skew, everything built-in codegen.
     """
     docs = table(spark, sf_dir, "documents")
-    t = tokens_of(F.col("text"))
+    # name the token array (see skipgram_pairs): the bigram expression
+    # references it 5x; a named non-cheap alias is not inlined back, so
+    # the tokenizer runs once per row instead of per reference
+    docs = docs.select("doc_id", tokens_of(F.col("text")).alias("toks"))
+    t = F.col("toks")
     bigrams = F.zip_with(
         F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
         F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
@@ -456,7 +460,11 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink the model (scores shift by a constant, ordering holds).
     """
     docs = table(spark, sf_dir, "documents")
-    t = tokens_of(F.col("text"))
+    # name the token array (see skipgram_pairs): the bigram expression
+    # references it 5x; a named non-cheap alias is not inlined back, so
+    # the tokenizer runs once per row instead of per reference
+    docs = docs.select("doc_id", tokens_of(F.col("text")).alias("toks"))
+    t = F.col("toks")
     bigrams = F.zip_with(
         F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
         F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
@@ -483,9 +491,11 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgd = bgd.withColumn(
         "n_pair", F.sum("c").over(Window.partitionBy("w1", "w2"))
     ).withColumn("n_head", F.sum("c").over(Window.partitionBy("w1")))
-    vocab = tokenize_documents_distinct(docs).agg(
-        F.countDistinct("word").alias("vocab")
-    )
+    # vocab rides the SAME named token array (array-local distinct
+    # before the explode, as tokenize_documents_distinct would)
+    vocab = docs.select(
+        F.explode(F.array_distinct(F.col("toks"))).alias("word")
+    ).agg(F.countDistinct("word").alias("vocab"))
     ll = F.log(
         (F.col("n_pair") + 1) / (F.col("n_head") + F.col("vocab")).cast("double")
     )
@@ -861,7 +871,14 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens_of
 
     docs = table(spark, sf_dir, "documents")
-    t = tokens_of(F.col("text"))
+    # NAME the token array instead of inlining tokens_of into every
+    # slice: the pair expression references it ~16 times, and
+    # CollapseProject will not inline a non-cheap multiply-referenced
+    # alias back, so the tokenizer runs once per row instead of per
+    # reference (measured 1.9 -> 1.65 s warm at sf0.1; the win is pure
+    # tokenize CPU, so it scales with the corpus)
+    docs = docs.select(tokens_of(F.col("text")).alias("toks"))
+    t = F.col("toks")
     n = F.size(t)
 
     def offset_pairs(d: int) -> list[F.Column]:
