@@ -271,3 +271,39 @@ def test_token_budget_select_is_the_greedy_quality_prefix(spark):
             want[r.doc_id] = (r.n_tokens, cum)
         cum += r.n_tokens
     assert got == want
+
+
+def test_token_budget_select_degenerate_single_quality_level(spark):
+    """Worst case for the three-level decomposition: EVERY doc lands in
+    one quality level, so correctness rests entirely on the doc-shard
+    rollup inside that level (level-2), with ids straddling shard
+    boundaries and whole shards empty.  Spec order degenerates to pure
+    doc_id; expected selection computed in plain Python."""
+    import inverted_index_using_the_map_reduce_paradigm_spark.operators.text_analysis as ta_mod
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.text_analysis import (
+        TB_SHARD_DOCS,
+        TOKEN_BUDGET,
+        q_token_budget_select,
+    )
+
+    ids = [1, 2, 126, 127, 128, 129, 255, 256, 257, 640, 641, 1023, 1024, 2000]
+    text = "tok " * 64  # identical docs -> identical quality
+    per_doc_tokens = 64
+    docs = spark.createDataFrame([(i, text) for i in ids], ["doc_id", "text"])
+    assert max(ids) // TB_SHARD_DOCS >= 3
+
+    cum, want = 0, {}
+    for i in ids:  # same quality everywhere -> doc_id order
+        if cum < TOKEN_BUDGET:
+            want[i] = cum
+        cum += per_doc_tokens
+    # keep the degenerate case non-trivial: with 14x64 tokens all fit,
+    # so shrink the effective check by asserting cum_before instead
+    orig = ta_mod.table
+    ta_mod.table = lambda spark_, sf, name: docs
+    try:
+        got = {r.doc_id: r.cum_before for r in q_token_budget_select(spark, "x").collect()}
+    finally:
+        ta_mod.table = orig
+    assert got == want
+    assert len(set(got.values())) == len(got)  # strictly increasing prefix
