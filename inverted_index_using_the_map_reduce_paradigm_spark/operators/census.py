@@ -36,6 +36,9 @@ driver-hash-checked census counterpart:
   cosines, strong-pair recall floor, sub-quadratic candidate volume.
 * ``bpe_census`` — merge #1 == the SQL argmax over char bigrams;
   merge-table cardinality; full-sequence rerun determinism.
+* ``heavy_hitters_cms`` — exact top-k bigram heavy hitters next to a
+  Count-Min sketch whose deterministic guarantees (no underestimate
+  anywhere, per-row mass conservation) are oracle-predicted booleans.
 
 The reference has no approximate operators at all
 (``/root/reference/main.c++`` is exact end to end); this pattern is
