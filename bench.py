@@ -28,6 +28,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def _host_speed_canary() -> float:
+    """Seconds to sha256 64 MiB of fixed bytes single-threaded."""
+    import hashlib
+
+    buf = b"\xa5" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(64):
+        h.update(buf)
+    h.digest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def run_once(df) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -47,6 +60,13 @@ def main() -> None:
     # run) so any inflated number carries its own explanation.
     started_at = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     load_start = round(os.getloadavg()[0], 2)
+    # Host-speed canary: this host's speed drifts ~2.5x by time of day
+    # even at load1 < 0.3 (two idle-start full runs read 88 s and 180 s
+    # with identical code).  A fixed pure-CPU probe — sha256 over
+    # 64 MiB, no Spark, no JVM — stamps every record with the host
+    # phase it ran in, so cross-run comparisons can normalize instead
+    # of argue.
+    canary_sec = _host_speed_canary()
 
     # optional positional args: bench only these queries (local
     # iteration; the driver always runs the full surface)
@@ -102,6 +122,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "load1": [load_start, round(os.getloadavg()[0], 2)],
+        "host_canary_sec": canary_sec,
         "started_at": started_at,
     }
     # The driver keeps only the last ~2000 chars of stdout, so a JSON
@@ -127,6 +148,7 @@ def main() -> None:
                 "started_at": started_at,
                 "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
                 "load1_start": load_start,
+                "host_canary_sec": canary_sec,
                 "load1_end": round(os.getloadavg()[0], 2),
                 "ncpus": os.cpu_count(),
                 "queries": timings,
