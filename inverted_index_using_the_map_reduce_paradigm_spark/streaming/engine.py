@@ -561,3 +561,57 @@ def q_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(store)
+
+
+# --------------------------------------------------------------------------
+# stream_cms_sketch — Count-Min sketch maintained by streaming state
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_cms_sketch",
+    # The sketch cells are hash-addressed (engine-specific), but their
+    # per-row MASS is oracle-predictable: every event lands in exactly
+    # one bucket per sketch row, so each row's counters must sum to
+    # count(events) no matter how many micro-batches the state merged.
+    # A state-merge bug (double-count or drop on trigger boundaries)
+    # flips the mass and fails the driver's value hash.  Cell-level
+    # equality with the batch-built sketch under a FORCED multi-batch
+    # split is pinned in tests/test_streaming.py.
+    oracle="""
+SELECT s.seed, (SELECT count(*) FROM events) AS mass
+FROM (VALUES (0), (1), (2), (3)) s(seed)
+ORDER BY s.seed
+""",
+    description="Count-Min sketch (4x256) over event_type maintained as streaming state",
+    bench=False,
+    tags=("streaming", "sketch"),
+)
+def q_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance — the production shape for heavy
+    hitters over an unbounded stream: ONE streaming aggregation keyed
+    by (seed, bucket) holds the <= depth*width counters as state, each
+    micro-batch increments map-side-combined deltas, and complete mode
+    re-emits the whole (tiny) sketch per trigger.  The per-seed mass
+    rollup runs BATCH-side on the emitted sink table (a second
+    streaming aggregation would be unsupported — and unnecessary: the
+    sketch is constant-sized).  State size is bounded by construction
+    (depth*width cells), so this runs forever at any event rate —
+    exactly why a CMS replaces exact per-key counts on unbounded key
+    spaces."""
+    from ..operators.census import _cms_buckets
+
+    ev = _event_stream(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.posexplode(_cms_buckets(F.col("event_type"))).alias("seed", "bucket")
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sketch = _run_to_memory(cells, "complete")
+    return (
+        sketch.groupBy("seed")
+        .agg(F.sum("cnt").alias("mass"))
+        .orderBy("seed")
+    )

@@ -465,3 +465,41 @@ def test_multibatch_stream_purchase_attribution_equals_batch(spark, tmp_path):
         assert _engine._LAST_FED_BATCHES >= 3
     assert len(batch) > 0
     assert got == batch
+
+
+def test_multibatch_stream_cms_sketch_equals_batch_sketch(spark, tmp_path):
+    """The streaming Count-Min sketch under a forced 4-file ts-ordered
+    split: every (seed, bucket) counter must accumulate across trigger
+    boundaries to EXACTLY the batch-built sketch — cell-level equality,
+    not just the mass-conservation rollup the oracle checks."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.census import (
+        _cms_buckets,
+    )
+
+    batch_cells = as_set(
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.posexplode(_cms_buckets(F.col("event_type"))).alias("seed", "bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    with _force_multi_batch():
+        ev = _engine._event_stream(spark, src)
+        cells = (
+            ev.select(
+                F.posexplode(_cms_buckets(F.col("event_type"))).alias("seed", "bucket")
+            )
+            .groupBy("seed", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+        got = as_set(_engine._run_to_memory(cells, "complete"))
+        assert _engine._LAST_FED_BATCHES >= 3
+    assert got == batch_cells
+    # and the registered query's rollup under the same split: 4 rows of
+    # exactly count(events) mass each
+    n = spark.read.parquet(f"{SF}/events.parquet").count()
+    with _force_multi_batch():
+        rolled = load_all()["stream_cms_sketch"].fn(spark, src).collect()
+    assert sorted((r.seed, r.mass) for r in rolled) == [(s, n) for s in range(4)]
