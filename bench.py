@@ -28,9 +28,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
-def _host_speed_canary() -> float:
-    """Seconds to sha256 64 MiB of fixed bytes single-threaded."""
+def _host_speed_canary() -> tuple[float, float]:
+    """(single-thread, 32-thread) seconds to sha256 64 MiB per thread.
+
+    Probed during a measured slow phase (tpch_q15 3.1-3.3 s vs the
+    committed 0.91 s): BOTH canaries and /proc/stat steal read normal
+    (0.044 s / 0.15 s / 0%% steal), so the phase drift is JVM-side
+    (JIT/GC/scheduler), not raw CPU speed, parallel throughput, or
+    hypervisor steal — the canaries bound the explanation space rather
+    than normalize the numbers."""
     import hashlib
+    import threading
 
     buf = b"\xa5" * (1 << 20)
     t0 = time.perf_counter()
@@ -38,7 +46,21 @@ def _host_speed_canary() -> float:
     for _ in range(64):
         h.update(buf)
     h.digest()
-    return round(time.perf_counter() - t0, 4)
+    single = round(time.perf_counter() - t0, 4)
+
+    def work():
+        hh = hashlib.sha256()
+        for _ in range(64):
+            hh.update(buf)  # hashlib releases the GIL on large buffers
+        hh.digest()
+
+    threads = [threading.Thread(target=work) for _ in range(32)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return single, round(time.perf_counter() - t0, 4)
 
 
 def run_once(df) -> float:
@@ -66,7 +88,7 @@ def main() -> None:
     # 64 MiB, no Spark, no JVM — stamps every record with the host
     # phase it ran in, so cross-run comparisons can normalize instead
     # of argue.
-    canary_sec = _host_speed_canary()
+    canary_sec, canary_par_sec = _host_speed_canary()
 
     # optional positional args: bench only these queries (local
     # iteration; the driver always runs the full surface)
@@ -123,6 +145,7 @@ def main() -> None:
         "sf": sf,
         "load1": [load_start, round(os.getloadavg()[0], 2)],
         "host_canary_sec": canary_sec,
+        "host_canary_par32_sec": canary_par_sec,
         "started_at": started_at,
     }
     # The driver keeps only the last ~2000 chars of stdout, so a JSON
@@ -149,6 +172,7 @@ def main() -> None:
                 "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
                 "load1_start": load_start,
                 "host_canary_sec": canary_sec,
+        "host_canary_par32_sec": canary_par_sec,
                 "load1_end": round(os.getloadavg()[0], 2),
                 "ncpus": os.cpu_count(),
                 "queries": timings,
