@@ -307,3 +307,47 @@ def test_token_budget_select_degenerate_single_quality_level(spark):
         ta_mod.table = orig
     assert got == want
     assert len(set(got.values())) == len(got)  # strictly increasing prefix
+
+
+def test_epoch_shuffle_huge_doc_ids_match_python_model(spark):
+    """Overflow-safety property: with doc_ids up to near 2^62 the
+    mod-reduced multiplicative hash must stay int64-exact and the
+    bucket decomposition must still produce the exact rank order of
+    the plain-Python model (doc_id * mult computed in Python's
+    arbitrary-precision ints — the ground truth Spark's reduced form
+    claims to equal)."""
+    import random
+
+    import inverted_index_using_the_map_reduce_paradigm_spark.operators.training as tr_mod
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.training import (
+        _SHUF_ADD,
+        _SHUF_MOD,
+        _SHUF_MULT,
+        _SHUF_SHARDS,
+        q_epoch_shuffle,
+    )
+
+    rng = random.Random(7)
+    ids = sorted(
+        {rng.randrange(0, 1 << 62) for _ in range(300)}
+        | {0, 1, (1 << 62) - 1, 3_400_000_000, _SHUF_MOD, _SHUF_MOD - 1}
+    )
+    docs = spark.createDataFrame([(i, "x") for i in ids], ["doc_id", "text"])
+
+    def h(i):  # arbitrary-precision ground truth
+        return (i * _SHUF_MULT + _SHUF_ADD) % _SHUF_MOD
+
+    want = {
+        d: (h(d), pos, pos % _SHUF_SHARDS)
+        for pos, d in enumerate(sorted(ids, key=lambda d: (h(d), d)))
+    }
+    orig = tr_mod.table
+    tr_mod.table = lambda spark_, sf, name: docs
+    try:
+        got = {
+            r.doc_id: (r.h, r.pos, r.shard)
+            for r in q_epoch_shuffle(spark, "x").collect()
+        }
+    finally:
+        tr_mod.table = orig
+    assert got == want
