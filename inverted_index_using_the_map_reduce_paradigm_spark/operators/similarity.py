@@ -582,6 +582,202 @@ def q_similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ variant: coarse quantizer + product-quantized codes, ADC scoring
+# --------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces: the 64-dim fixture splits into 16 x 4-dim blocks
+# (A/B at sf0.01: M=8 -> 0.46 recall, M=16 -> 0.58 — the IVF candidate
+# ceiling at nprobe=4 is 0.6, so finer subspaces buy real recall while
+# 16 x 4-bit codes still compress float32 vectors 16x)
+PQ_K = 16  # codewords per subspace (4-bit codes)
+PQ_KMEANS_ITERS = 5
+PQ_REFINE = 4 * TOP_K  # ADC shortlist size fed to the exact refine step
+
+
+def _train_pq_codebooks(emb: DataFrame) -> np.ndarray:
+    """(PQ_M, PQ_K, sub_dim) codebooks: per-subspace L2 k-means on the
+    same bounded driver sample as the coarse quantizer (Jegou et al.
+    2011, "Product Quantization for Nearest Neighbor Search" — public).
+    Vectors are unit-normalized BEFORE splitting, so concatenated
+    codewords reconstruct an approximately-unit vector and the ADC
+    score below is a genuine cosine estimate.  Deterministic:
+    fixed-seed init, fixed iterations, argmin assignment (first tie
+    wins)."""
+    sample = np.array(
+        [
+            r.e
+            for r in emb.select("e")
+            .orderBy("vec_id")
+            .limit(IVF_TRAIN_SAMPLE)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1), 1e-12)[:, None]
+    dim = sample.shape[1]
+    sub = dim // PQ_M
+    rng = np.random.RandomState(20240202)
+    books = np.zeros((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        block = sample[:, m * sub : (m + 1) * sub]
+        cents = block[rng.choice(len(block), PQ_K, replace=False)]
+        for _ in range(PQ_KMEANS_ITERS):
+            d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for k in range(PQ_K):
+                members = block[assign == k]
+                if len(members):
+                    cents[k] = members.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def _pq_home_encoder(cents: np.ndarray, books: np.ndarray):
+    """pandas_udf: embedding -> struct(cell, codes) — home-cell
+    assignment AND PQ encoding in ONE Arrow pass over the corpus (two
+    stacked pandas_udfs cost two full corpus serializations; the
+    merged kernel is the same math behind one exchange of bytes)."""
+    from pyspark.sql import types as T
+
+    out_t = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def home_encode(embs: pd.Series) -> pd.DataFrame:
+        mat = np.array(list(embs), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+        cell = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        sub = mat.shape[1] // PQ_M
+        codes = np.zeros((len(mat), PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            block = mat[:, m * sub : (m + 1) * sub]
+            d2 = ((block[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cell": cell, "codes": list(codes)})
+
+    return home_encode
+
+
+@register(
+    "similarity_search_ivfpq",
+    oracle=None,  # approximate by design; ann_ivfpq_recall_census
+    # hash-checks the per-query result-count contract + recall floor.
+    description=f"ANN top-k via IVF-PQ: {IVF_CELLS} cells, {PQ_M}x{PQ_K} product codes, ADC scoring",
+    tags=("similarity", "approx"),
+)
+def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB memory path: the corpus is stored as {PQ_M} 4-bit
+    codes per vector (16x smaller than float32; 128x smaller than the
+    float64 scoring form), queries stay exact floats, and scoring is
+    asymmetric distance computation — per query ONE {PQ_M}x{PQ_K}
+    lookup table of subspace dot products, then each candidate costs
+    {PQ_M} table lookups instead of a {RP_DIM}-dim dot product.  The
+    estimated cosine divides by the reconstructed norm (exact from the
+    codes: subspaces are orthogonal by construction, so ||x_hat||^2 is
+    the sum of per-codeword squared norms).
+
+    Plan shape: IVF's candidate equi-join on the probed cell key, then
+    the ADC scoring runs as ONE grouped-pandas kernel per query whose
+    input is the candidate set (bounded by nprobe cells), never the
+    corpus; top-k comes out of the same kernel, so no window touches
+    more than one query's candidates.  Three Python passes, each
+    justified: corpus encode (the pass that WRITES the compressed
+    index at production), literal-bounded query-side cell probe, and
+    the candidate-bounded ADC kernel.  A refine step (FAISS IVFPQR)
+    re-ranks the {PQ_REFINE}-deep ADC shortlist with exact floats —
+    fetched for shortlist rows only — so the output cosine is exact
+    and the codes only have to put true neighbors in the top
+    {PQ_REFINE}, not the top {TOP_K}."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("e")
+    )
+    cents = _train_centroids(emb)
+    books = _train_pq_codebooks(emb)
+    probe_cells = _cell_assigner(cents, IVF_NPROBE)
+    home_encode = _pq_home_encoder(cents, books)
+
+    # the stored form: (cell, codes) — at production this is the whole
+    # index, written partitionBy(cell); floats exist only query-side.
+    # Home cell + codes come from ONE merged Arrow pass; the explode of
+    # a one-element array is the materialization barrier — extracting
+    # two fields straight off the UDF struct re-evaluates the UDF per
+    # field (two stacked ArrowEvalPython corpus passes, observed), while
+    # Generate materializes the struct once
+    coded = emb.select(
+        "vec_id", F.explode(F.array(home_encode(F.col("e")))).alias("hc")
+    ).select(
+        "vec_id", F.col("hc.cell").alias("cell"), F.col("hc.codes").alias("codes")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode(probe_cells(F.col("e"))).alias("cell"),
+    )
+    cand = (
+        coded.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        # a pair can surface via several probed cells
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "codes")
+    )
+
+    sq_norms = (books**2).sum(axis=2)  # (M, K) codeword squared norms
+
+    def _adc_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qe = np.array(pdf["qe"].iloc[0], dtype=np.float64)
+        qe /= max(np.linalg.norm(qe), 1e-12)
+        sub = len(qe) // PQ_M
+        lut = np.stack(
+            [books[m] @ qe[m * sub : (m + 1) * sub] for m in range(PQ_M)]
+        )  # (M, K) dot products
+        codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+        rows = np.arange(PQ_M)
+        dots = lut[rows, codes].sum(axis=1)
+        norms = np.sqrt(np.maximum(sq_norms[rows, codes].sum(axis=1), 1e-24))
+        score = np.round(dots / norms, ROUND)
+        out = pd.DataFrame(
+            {
+                "query_id": pdf["query_id"],
+                "neighbor_id": pdf["neighbor_id"],
+                "approx_cos": score,
+            }
+        ).sort_values(
+            ["approx_cos", "neighbor_id"], ascending=[False, True]
+        ).head(PQ_REFINE)
+        return out[["query_id", "neighbor_id"]]
+
+    shortlist = cand.groupBy("query_id").applyInPandas(
+        _adc_topk, schema="query_id long, neighbor_id long"
+    )
+    # refine (the FAISS IVFPQR step): exact floats are fetched for the
+    # ADC shortlist ONLY — PQ_REFINE rows per query, never the corpus —
+    # so the final ranking and the emitted cosine are exact over the
+    # shortlist and directly comparable to similarity_search's values
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    refined = (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _r(cosine_similarity(F.col("qe"), F.col("e"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding_agg
 # --------------------------------------------------------------------------
 

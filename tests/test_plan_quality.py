@@ -714,6 +714,11 @@ def test_udf_pass_budget_whole_family(spark):
       test_contamination_check_no_corpus_broadcast_hint).
     - similarity_search_ivf: corpus cell-assign + literal-bounded
       query-side cell-assign (vec_id < k at the scan).
+    - similarity_search_ivfpq: merged corpus cell-assign+PQ-encode pass
+      (one ArrowEvalPython via the explode-materialization barrier),
+      literal-bounded query-side probe, candidate-bounded ADC kernel.
+    - ann_ivfpq_recall_census: the above three plus the semi-join's
+      re-derived probe side (census; bench=False).
     - multimodal_*_decode: payload synthesis (ArrowEvalPython) then
       decode (MapInPandas) — one linear chain, distinct stages.
     - *_census: verification queries that BY DESIGN run the approximate
@@ -723,6 +728,8 @@ def test_udf_pass_budget_whole_family(spark):
         "minhash_lsh_dedup": 2,
         "contamination_check": 2,
         "similarity_search_ivf": 2,
+        "similarity_search_ivfpq": 3,
+        "ann_ivfpq_recall_census": 4,
         "multimodal_image_decode": 2,
         "multimodal_audio_decode": 2,
         "rp_near_dup_census": 2,

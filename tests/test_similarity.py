@@ -174,3 +174,26 @@ def test_semantic_dedup_matches_bruteforce_model(spark):
         want[v] = 0 if dropped else 1
         by_label.setdefault(lab, []).append((v, arr))
     assert got == want
+
+
+def test_ivfpq_topk_recall_and_contract(spark):
+    """IVF-PQ must return EXACTLY k rows per query (the refine step
+    cannot shrink the shortlist below k at fixture scale) and recover
+    >= 30% of the exact top-k corpus-wide (measured 0.56-0.58; the IVF
+    candidate ceiling at this nprobe is 0.6).  Every surfaced pair must
+    carry the EXACT cosine — the refine step's contract — so any
+    returned pair that IS a true neighbor must have the same rounded
+    cosine the exact query reports."""
+    from collections import Counter
+
+    qs = load_all()
+    exact_rows = qs["similarity_search"].fn(spark, SF).collect()
+    exact = {(r.query_id, r.neighbor_id): r.cosine for r in exact_rows}
+    pq_rows = qs["similarity_search_ivfpq"].fn(spark, SF).collect()
+    per_q = Counter(r.query_id for r in pq_rows)
+    assert set(per_q.values()) == {5}, per_q
+    approx = {(r.query_id, r.neighbor_id): r.cosine for r in pq_rows}
+    hit = set(exact) & set(approx)
+    assert len(hit) / len(exact) >= 0.3, len(hit) / len(exact)
+    for pair in hit:
+        assert approx[pair] == exact[pair], pair  # exact-refine contract
