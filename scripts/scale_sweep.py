@@ -81,6 +81,7 @@ DEFAULT_QUERIES = [
     "similarity_search",
     "similarity_search_rp",
     "similarity_search_ivf",
+    "similarity_search_ivfpq",
     "kmeans_clusters",
     "embedding_near_dup_rp",
     "semantic_dedup",
