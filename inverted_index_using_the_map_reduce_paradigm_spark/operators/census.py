@@ -81,6 +81,7 @@ from .similarity import (
     q_similarity_search,
     q_similarity_search_ivf,
     q_similarity_search_ivfpq,
+    q_similarity_search_ivfpq_stored,
     q_similarity_search_rp,
 )
 from .temporal import q_hll_union_rollup
@@ -236,6 +237,39 @@ def q_ann_ivfpq_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_results"),
     ).crossJoin(
         hits.agg((F.count("*") >= floor).alias("recall_floor_met"))
+    )
+
+
+@register(
+    "ivfpq_stored_parity_census",
+    oracle=f"""
+SELECT count(*) AS n_queries,
+       CAST(count(*) * {TOP_K} AS BIGINT) AS n_results,
+       TRUE AS stored_equals_memory
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+    description="stored cell-partitioned IVF-PQ index returns EXACTLY the in-memory result",
+    bench=False,
+    tags=("similarity", "approx", "census", "storage"),
+)
+def q_ivfpq_stored_parity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage round-trip guarantee: querying the written
+    partitionBy(cell) code index must reproduce the in-memory IVF-PQ
+    result row for row — any divergence (model mismatch between write
+    and query, partition pruning dropping a probed cell, codes mangled
+    by the parquet round-trip) flips ``stored_equals_memory`` and
+    fails the driver's value hash."""
+    mem = q_similarity_search_ivfpq(spark, sf_dir)
+    sto = q_similarity_search_ivfpq_stored(spark, sf_dir)
+    keys = ["query_id", "rank", "neighbor_id", "cosine"]
+    only_mem = mem.join(sto, keys, "left_anti")
+    only_sto = sto.join(mem, keys, "left_anti")
+    diff = only_mem.unionAll(only_sto)
+    return (
+        sto.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_results"),
+        ).crossJoin(diff.agg((F.count("*") == 0).alias("stored_equals_memory")))
     )
 
 

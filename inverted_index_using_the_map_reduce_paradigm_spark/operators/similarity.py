@@ -20,8 +20,10 @@ is pair-joined through the bucket key too when H > 0.
 
 from __future__ import annotations
 
+import os
 import random
 import sys
+import tempfile
 from collections.abc import Iterator
 
 import numpy as np
@@ -762,6 +764,142 @@ def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     refined = (
         shortlist.join(F.broadcast(qe), "query_id")
+        .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _r(cosine_similarity(F.col("qe"), F.col("e"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# stored IVF-PQ index: write-once partitionBy(cell), partition-pruned probe
+# --------------------------------------------------------------------------
+
+# (dir, cents, books) per sf_dir — the quantizer models MUST be the ones
+# the stored codes were produced with, so they cache with the directory
+_STORED_PQ: dict[str, tuple[str, np.ndarray, np.ndarray]] = {}
+
+
+def stored_pq_index_dir(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, np.ndarray, np.ndarray]:
+    """Materialize (once per process) the IVF-PQ index over ``sf_dir``'s
+    embeddings: (vec_id, codes) parquet PARTITIONED BY cell — the
+    write-once-query-many shape the in-memory query's docstring
+    promises.  At 100 TB this is the whole stored form of the corpus
+    for ANN: 16 x 4-bit codes per vector in nlist directories; the
+    float vectors stay in the base table and are touched only by the
+    bounded refine step."""
+    got = _STORED_PQ.get(sf_dir)
+    if got is None:
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", _emb_double("embedding").alias("e")
+        )
+        cents = _train_centroids(emb)
+        books = _train_pq_codebooks(emb)
+        home_encode = _pq_home_encoder(cents, books)
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_pqindex_{os.getpid()}",
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        coded = emb.select(
+            "vec_id", F.explode(F.array(home_encode(F.col("e")))).alias("hc")
+        ).select(
+            "vec_id", F.col("hc.cell").alias("cell"), F.col("hc.codes").alias("codes")
+        )
+        coded.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(base)
+        _STORED_PQ[sf_dir] = got = (base, cents, books)
+    return got
+
+
+@register(
+    "similarity_search_ivfpq_stored",
+    oracle=None,  # approximate; ivfpq_stored_parity_census hash-checks
+    # set equality with the in-memory ivfpq path + the k-contract.
+    description="IVF-PQ ANN against the STORED cell-partitioned code index (pruned scan)",
+    tags=("similarity", "approx", "storage"),
+)
+def q_similarity_search_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as ``similarity_search_ivfpq`` but querying the
+    STORED index: the probed cells of all queries become a LITERAL
+    ``cell IN (...)`` predicate, so the scan prunes to at most
+    N_QUERIES * nprobe of the nlist partition directories
+    (PartitionFilters in the plan — pinned) and no encode pass runs at
+    query time.  Query-side work is driver-side numpy over the
+    N_QUERIES query vectors (bounded, same posture as IVF's training
+    sample) + ONE candidate-bounded ADC kernel + the exact refine.
+    Query-time Python passes over stored data: 1."""
+    base, cents, books = stored_pq_index_dir(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("e")
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    )  # bounded: N_QUERIES rows
+    Q = np.array([r.e for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-12)[:, None]
+    probe = np.argsort(-(Qn @ cents.T), axis=1)[:, :IVF_NPROBE]
+    q_cells = [
+        (int(r.vec_id), [int(c) for c in probe[i]], [float(v) for v in r.e])
+        for i, r in enumerate(qrows)
+    ]
+    qdf = spark.createDataFrame(
+        [(qid, c, qe) for qid, cells, qe in q_cells for c in cells],
+        "query_id long, cell int, qe array<double>",
+    )
+    all_cells = sorted({c for _, cells, _ in q_cells for c in cells})
+    coded = spark.read.parquet(base).filter(F.col("cell").isin(all_cells))
+    cand = (
+        coded.join(F.broadcast(qdf), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "codes")
+    )
+
+    sq_norms = (books**2).sum(axis=2)
+
+    def _adc_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qe = np.array(pdf["qe"].iloc[0], dtype=np.float64)
+        qe /= max(np.linalg.norm(qe), 1e-12)
+        sub = len(qe) // PQ_M
+        lut = np.stack(
+            [books[m] @ qe[m * sub : (m + 1) * sub] for m in range(PQ_M)]
+        )
+        codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+        rows = np.arange(PQ_M)
+        dots = lut[rows, codes].sum(axis=1)
+        norms = np.sqrt(np.maximum(sq_norms[rows, codes].sum(axis=1), 1e-24))
+        score = np.round(dots / norms, ROUND)
+        out = pd.DataFrame(
+            {
+                "query_id": pdf["query_id"],
+                "neighbor_id": pdf["neighbor_id"],
+                "approx_cos": score,
+            }
+        ).sort_values(
+            ["approx_cos", "neighbor_id"], ascending=[False, True]
+        ).head(PQ_REFINE)
+        return out[["query_id", "neighbor_id"]]
+
+    shortlist = cand.groupBy("query_id").applyInPandas(
+        _adc_topk, schema="query_id long, neighbor_id long"
+    )
+    qe_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    refined = (
+        shortlist.join(F.broadcast(qe_df), "query_id")
         .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .select(
             "query_id",

@@ -730,6 +730,8 @@ def test_udf_pass_budget_whole_family(spark):
         "similarity_search_ivf": 2,
         "similarity_search_ivfpq": 3,
         "ann_ivfpq_recall_census": 4,
+        "similarity_search_ivfpq_stored": 1,
+        "ivfpq_stored_parity_census": 4,
         "multimodal_image_decode": 2,
         "multimodal_audio_decode": 2,
         "rp_near_dup_census": 2,
@@ -1068,3 +1070,20 @@ def test_no_scan_evaluates_heavy_exprs_for_inferred_nullchecks(spark):
         if hits:
             offenders[name] = hits[0]
     assert not offenders, offenders
+
+
+def test_ivfpq_stored_prunes_to_probed_cells_one_python_pass(spark):
+    """Querying the stored cell-partitioned PQ index must prune the
+    scan to the probed cells (a LITERAL cell INSET in PartitionFilters
+    — not a runtime-only DPP) and run exactly ONE Python pass at query
+    time (the candidate-bounded ADC kernel): the encode pass happened
+    at write time, and the query-side probe is driver-side numpy over
+    the bounded query set."""
+    df = load_all()["similarity_search_ivfpq_stored"].fn(spark, SF)
+    plan = audit.physical_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "INSET" in ln]
+    assert pf, plan
+    assert "cell#" in pf[0].split("PartitionFilters")[1][:60], pf[0]
+    final = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+    assert audit.python_eval_count(final) == 1, final
+    assert "ArrowEvalPython" not in final, final  # no encode at query time

@@ -197,3 +197,13 @@ def test_ivfpq_topk_recall_and_contract(spark):
     assert len(hit) / len(exact) >= 0.3, len(hit) / len(exact)
     for pair in hit:
         assert approx[pair] == exact[pair], pair  # exact-refine contract
+
+
+def test_ivfpq_stored_equals_in_memory_exactly(spark):
+    """The stored cell-partitioned code index must reproduce the
+    in-memory IVF-PQ result row for row (models cached with the
+    directory, codes parquet-round-tripped, pruning complete)."""
+    qs = load_all()
+    a = sorted(map(tuple, qs["similarity_search_ivfpq"].fn(spark, SF).collect()))
+    b = sorted(map(tuple, qs["similarity_search_ivfpq_stored"].fn(spark, SF).collect()))
+    assert a == b and len(a) > 0
