@@ -224,10 +224,11 @@ def q_ann_ivfpq_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same shape as ``ann_ivf_recall_census`` for the product-quantized
     path: result counts stay per-query-exact (exactly k rows each), and
     the corpus-level recall floor is {IVF_RECALL_FLOOR} against the
-    exact top-k — measured 0.56-0.58 at both fixture scales with
-    M=16/K=16 codes and the 4k-deep exact refine (the IVF candidate
-    ceiling at nprobe=2x2 is 0.6), so the floor carries ~2x headroom
-    without being vacuous."""
+    exact top-k — measured 0.62-0.64 at both fixture scales with
+    M=16/K=16 codes, the 4k-deep exact refine, and the hash-mixed
+    representative training sample (the IVF candidate ceiling at this
+    nprobe is ~0.66), so the floor carries ~2x headroom without being
+    vacuous."""
     exact = q_similarity_search(spark, sf_dir).select("query_id", "neighbor_id")
     pq = q_similarity_search_ivfpq(spark, sf_dir).select("query_id", "neighbor_id")
     hits = pq.join(exact, ["query_id", "neighbor_id"], "left_semi")
