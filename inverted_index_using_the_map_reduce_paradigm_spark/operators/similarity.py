@@ -607,7 +607,23 @@ PQ_M = 16  # subspaces: the 64-dim fixture splits into 16 x 4-dim blocks
 # 16 x 4-bit codes still compress float32 vectors 16x)
 PQ_K = 16  # codewords per subspace (4-bit codes)
 PQ_KMEANS_ITERS = 5
-PQ_REFINE = 4 * TOP_K  # ADC shortlist size fed to the exact refine step
+PQ_REFINE = 4 * TOP_K  # MINIMUM ADC shortlist fed to the exact refine step
+# Pool-proportional refine: quantization noise is per-candidate, so at a
+# fixed shortlist depth the expected number of distractors OUTSCORING a
+# true neighbor grows linearly with the candidate pool and recall decays
+# (measured on the x16 sweep corpus, 8k-candidate pools: refine 20 ->
+# 0.38 recall, refine 320 -> 0.62 = the IVF candidate ceiling;
+# pool/256 = 31 still read 0.44).  A 1/32 fraction of the expected
+# per-query pool keeps the distractor count bounded at measured-ceiling
+# recall while the refine step stays pool/32 exact scores per query —
+# sublinear in the corpus whenever nlist follows the standard sqrt(n)
+# growth.
+PQ_REFINE_POOL_FRAC = 32
+
+
+def _pq_refine_depth(corpus_n: int) -> int:
+    pool = corpus_n * IVF_NPROBE // IVF_CELLS
+    return max(PQ_REFINE, pool // PQ_REFINE_POOL_FRAC)
 
 
 def _train_pq_codebooks(emb: DataFrame) -> np.ndarray:
@@ -705,6 +721,8 @@ def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _train_pq_codebooks(emb)
     probe_cells = _cell_assigner(cents, IVF_NPROBE)
     home_encode = _pq_home_encoder(cents, books)
+    # one cheap count action sizes the pool-proportional refine depth
+    refine_depth = _pq_refine_depth(emb.count())
 
     # the stored form: (cell, codes) — at production this is the whole
     # index, written partitionBy(cell); floats exist only query-side.
@@ -753,7 +771,7 @@ def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ).sort_values(
             ["approx_cos", "neighbor_id"], ascending=[False, True]
-        ).head(PQ_REFINE)
+        ).head(refine_depth)
         return out[["query_id", "neighbor_id"]]
 
     shortlist = cand.groupBy("query_id").applyInPandas(
@@ -789,12 +807,12 @@ def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (dir, cents, books) per sf_dir — the quantizer models MUST be the ones
 # the stored codes were produced with, so they cache with the directory
-_STORED_PQ: dict[str, tuple[str, np.ndarray, np.ndarray]] = {}
+_STORED_PQ: dict[str, tuple[str, np.ndarray, np.ndarray, int]] = {}
 
 
 def stored_pq_index_dir(
     spark: SparkSession, sf_dir: str
-) -> tuple[str, np.ndarray, np.ndarray]:
+) -> tuple[str, np.ndarray, np.ndarray, int]:
     """Materialize (once per process) the IVF-PQ index over ``sf_dir``'s
     embeddings: (vec_id, codes) parquet PARTITIONED BY cell — the
     write-once-query-many shape the in-memory query's docstring
@@ -823,7 +841,7 @@ def stored_pq_index_dir(
         coded.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(base)
-        _STORED_PQ[sf_dir] = got = (base, cents, books)
+        _STORED_PQ[sf_dir] = got = (base, cents, books, emb.count())
     return got
 
 
@@ -844,7 +862,8 @@ def q_similarity_search_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFr
     N_QUERIES query vectors (bounded, same posture as IVF's training
     sample) + ONE candidate-bounded ADC kernel + the exact refine.
     Query-time Python passes over stored data: 1."""
-    base, cents, books = stored_pq_index_dir(spark, sf_dir)
+    base, cents, books, corpus_n = stored_pq_index_dir(spark, sf_dir)
+    refine_depth = _pq_refine_depth(corpus_n)
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("e")
     )
@@ -893,7 +912,7 @@ def q_similarity_search_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFr
             }
         ).sort_values(
             ["approx_cos", "neighbor_id"], ascending=[False, True]
-        ).head(PQ_REFINE)
+        ).head(refine_depth)
         return out[["query_id", "neighbor_id"]]
 
     shortlist = cand.groupBy("query_id").applyInPandas(
