@@ -92,7 +92,12 @@ from .training import BPE_MERGES, q_bpe_vocab
 # leave ~10x headroom without becoming vacuous).
 HLL_REL_TOL = 0.06  # 3x the requested rsd
 MEDIAN_REL_TOL = 0.02
-IVF_RECALL_FLOOR = 0.3  # aggregate over all queries; measured 0.6
+# Measured-minus-margin (r8, after the corpus-adaptive sqrt(n)-cell
+# quantizer): IVF reads 0.66-0.76 and IVF-PQ 0.62-0.72 across sf0.001 /
+# sf0.01 / x16 / x64, so 0.5 leaves >= 0.12 absolute margin everywhere
+# while catching any regression that halves achieved recall (the r7
+# floor of 0.3 could not).
+IVF_RECALL_FLOOR = 0.5
 
 
 @register(
@@ -191,11 +196,13 @@ FROM embeddings WHERE vec_id < {N_QUERIES}
 )
 def q_ann_ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate census for the IVF path: per-query floors don't hold
-    (a query whose cell neighborhood excludes all true neighbors has 0
-    recall at nprobe=2 — seen at sf0.001), so the driver-checked bound
-    is corpus-level: total true-top-k hits across all queries >= 30%
-    of the attainable maximum (measured 0.6).  Result counts stay
-    per-query-exact: n_results must be exactly k * n_queries."""
+    (a query whose cell neighborhood excludes all true neighbors can
+    have 0 recall — seen at sf0.001), so the driver-checked bound is
+    corpus-level: total true-top-k hits across all queries >=
+    {IVF_RECALL_FLOOR} of the attainable maximum (measured 0.66-0.76
+    across fixture and sweep scales with the adaptive quantizer).
+    Result counts stay per-query-exact: n_results must be exactly
+    k * n_queries."""
     exact = q_similarity_search(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = q_similarity_search_ivf(spark, sf_dir).select("query_id", "neighbor_id")
     hits = ivf.join(exact, ["query_id", "neighbor_id"], "left_semi")
@@ -224,10 +231,11 @@ def q_ann_ivfpq_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same shape as ``ann_ivf_recall_census`` for the product-quantized
     path: result counts stay per-query-exact (exactly k rows each), and
     the corpus-level recall floor is {IVF_RECALL_FLOOR} against the
-    exact top-k — measured 0.62-0.64 at both fixture scales with
-    M=16/K=16 codes, the 4k-deep exact refine, and the hash-mixed
-    representative training sample (the IVF candidate ceiling at this
-    nprobe is ~0.66), so the floor carries ~2x headroom without being
+    exact top-k — measured 0.62-0.72 from sf0.001 to the x64 sweep
+    corpus with M=16/K=16 codes, the pool-proportional exact refine,
+    the hash-mixed representative training sample, and the r8
+    corpus-adaptive sqrt(n)-cell coarse quantizer, so the floor is
+    measured-minus-margin (>= 0.12 absolute everywhere) without being
     vacuous."""
     exact = q_similarity_search(spark, sf_dir).select("query_id", "neighbor_id")
     pq = q_similarity_search_ivfpq(spark, sf_dir).select("query_id", "neighbor_id")

@@ -480,14 +480,46 @@ def q_similarity_search_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF variant: coarse k-means quantizer + probed buckets
 # --------------------------------------------------------------------------
 
-IVF_CELLS = 16  # coarse centroids (≈ sqrt(n) at fixture scale)
-IVF_NPROBE = 4  # cells searched per query
-IVF_TRAIN_SAMPLE = 1024  # driver-side k-means training sample
+IVF_CELLS = 16  # FLOOR for nlist; the real count is corpus-adaptive
+IVF_NPROBE = 4  # FLOOR for nprobe
+IVF_TRAIN_SAMPLE = 1024  # minimum driver-side k-means training sample
 IVF_KMEANS_ITERS = 5
+# Corpus-adaptive coarse quantizer (r8, measured): with nlist FIXED at
+# 16, recall decayed with corpus growth no matter what the codes did —
+# at x64 the CANDIDATE CEILING (fraction of true neighbors whose home
+# cell gets probed) was 0.50, and raw 4-bit codes, 8-bit codes, and
+# residual codes all sat exactly on it; quantization was not the
+# binding constraint, the partition was.  Growing nlist ~ sqrt(n) at a
+# CONSTANT nprobe/nlist fraction (same candidate-pool size, same ADC
+# cost) raised the ceiling 0.50 -> 0.82 at x64 because finer cells
+# concentrate each query's true neighbors into the probed fraction.
+# End-to-end: 0.50 -> 0.74 at x64, 0.60 -> 0.72 at x16.  Caps keep the
+# driver-side Lloyd training bounded at any corpus size (32768-sample
+# GEMM against <= 1024 cells; production FAISS trains bigger nlist on
+# accelerators, same recipe).
+IVF_CELLS_CAP = 1024
+IVF_SAMPLE_CAP = 32768
+IVF_PROBE_FRAC = 4  # nprobe = nlist / 4 — pool fraction fixed at 25%
 
 
-def _train_sample(emb: DataFrame) -> np.ndarray:
-    """Bounded, REPRESENTATIVE driver sample: the first IVF_TRAIN_SAMPLE
+def _ivf_params(corpus_n: int) -> tuple[int, int, int]:
+    """(nlist, nprobe, sample_n) for a corpus of ``corpus_n`` vectors:
+    nlist = the largest power of two <= sqrt(n) between the fixture
+    floor and the driver cap (power-of-two so nprobe = nlist/4 stays
+    exact and growth steps are discrete — a fractional sqrt at small n
+    measurably LOST recall: nlist=22 on the 500-vector fixture read
+    0.50 vs 0.58 at 16), nprobe a fixed 1/{IVF_PROBE_FRAC} of nlist,
+    training sample 32 vectors per cell (bounded)."""
+    nlist = IVF_CELLS
+    while nlist * 2 <= min(int(corpus_n**0.5), IVF_CELLS_CAP):
+        nlist *= 2
+    nprobe = max(IVF_NPROBE, nlist // IVF_PROBE_FRAC)
+    sample_n = min(max(IVF_TRAIN_SAMPLE, 32 * nlist), IVF_SAMPLE_CAP)
+    return nlist, nprobe, sample_n
+
+
+def _train_sample(emb: DataFrame, sample_n: int = IVF_TRAIN_SAMPLE) -> np.ndarray:
+    """Bounded, REPRESENTATIVE driver sample: the first ``sample_n``
     rows in deterministic multiplicative-hash order of vec_id.  Taking
     the first N rows by vec_id is the classic distributed-sampling bias
     (the head of a corpus is one shard / one source / one time slice,
@@ -496,13 +528,19 @@ def _train_sample(emb: DataFrame) -> np.ndarray:
     0.38, because the head sample never saw the other copies' subspace
     distributions.  Hash order is deterministic, so training stays
     reproducible."""
+    # mod-reduce BEFORE multiplying: (vec_id * 2654435761) overflows
+    # int64 for vec_id > ~3.4e9, which throws under Spark 4's default
+    # ANSI mode — the same overflow epoch_shuffle documents and avoids
     rows = (
         emb.select("e", "vec_id")
         .orderBy(
-            ((F.col("vec_id") * 2654435761) % 1000000007).asc(),
+            (
+                ((F.col("vec_id") % 1000000007) * (2654435761 % 1000000007))
+                % 1000000007
+            ).asc(),
             F.col("vec_id"),
         )
-        .limit(IVF_TRAIN_SAMPLE)
+        .limit(sample_n)
         .collect()
     )
     sample = np.array([r.e for r in rows], dtype=np.float64)
@@ -510,18 +548,19 @@ def _train_sample(emb: DataFrame) -> np.ndarray:
     return sample
 
 
-def _train_centroids(emb: DataFrame) -> np.ndarray:
+def _train_centroids(emb: DataFrame, nlist: int, sample_n: int) -> np.ndarray:
     """Coarse-quantizer training: Lloyd iterations on a bounded driver
     sample (the standard IVF recipe — the quantizer trains on a sample,
-    never the corpus; only `IVF_TRAIN_SAMPLE x dim` floats ever reach
-    the driver, regardless of corpus size).  Deterministic: fixed-seed
-    init + fixed iteration count."""
-    sample = _train_sample(emb)
+    never the corpus; at most ``IVF_SAMPLE_CAP x dim`` floats ever
+    reach the driver, regardless of corpus size).  Deterministic:
+    fixed-seed init + fixed iteration count."""
+    sample = _train_sample(emb, sample_n)
+    nlist = min(nlist, len(sample))  # tiny fixtures: never more cells than rows
     rng = np.random.RandomState(20240101)
-    cents = sample[rng.choice(len(sample), IVF_CELLS, replace=False)]
+    cents = sample[rng.choice(len(sample), nlist, replace=False)]
     for _ in range(IVF_KMEANS_ITERS):
         assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit vectors
-        for c in range(IVF_CELLS):
+        for c in range(nlist):
             members = sample[assign == c]
             if len(members):
                 m = members.mean(axis=0)
@@ -550,12 +589,12 @@ def _cell_assigner(cents: np.ndarray, nprobe: int):
     "similarity_search_ivf",
     oracle=None,  # approximate by design; tests measure recall vs the
     # exact oracle-checked similarity_search result.
-    description=f"ANN top-k via IVF: {IVF_CELLS}-cell k-means quantizer, nprobe={IVF_NPROBE}",
+    description="ANN top-k via IVF: sqrt(n)-cell k-means quantizer, nprobe=nlist/4",
     tags=("similarity", "approx"),
 )
 def q_similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: every vector lives in its nearest cell (inverted
-    list); a query scores only vectors in its ``IVF_NPROBE`` nearest
+    list); a query scores only vectors in its ``nprobe`` nearest
     cells.  The cell id is a plain equi-join key, so the plan is
     bucket-join + exact re-rank — same shape as the LSH variant but
     with a learned partition of the space (better recall per candidate
@@ -565,9 +604,10 @@ def q_similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("e")
     )
-    cents = _train_centroids(emb)
+    nlist, nprobe, sample_n = _ivf_params(emb.count())
+    cents = _train_centroids(emb, nlist, sample_n)
     home_cell = _cell_assigner(cents, 1)
-    probe_cells = _cell_assigner(cents, IVF_NPROBE)
+    probe_cells = _cell_assigner(cents, nprobe)
 
     cand = emb.select(
         "vec_id", "e", F.explode(home_cell(F.col("e"))).alias("cell")
@@ -621,27 +661,57 @@ PQ_REFINE = 4 * TOP_K  # MINIMUM ADC shortlist fed to the exact refine step
 PQ_REFINE_POOL_FRAC = 32
 
 
-def _pq_refine_depth(corpus_n: int) -> int:
-    pool = corpus_n * IVF_NPROBE // IVF_CELLS
+def _pq_refine_depth(corpus_n: int, nlist: int, nprobe: int) -> int:
+    pool = corpus_n * nprobe // nlist
     return max(PQ_REFINE, pool // PQ_REFINE_POOL_FRAC)
 
 
-def _train_pq_codebooks(emb: DataFrame) -> np.ndarray:
+# Residual (IVFADC) vs raw-vector PQ codes — MEASURED, raw wins here
+# (r8).  Jegou et al. 2011 §IV quantizes e - centroid(cell), which wins
+# when cells are tight (||residual|| << ||e||).  This corpus has
+# essentially no cluster structure: the mean cosine of a vector to its
+# own LABEL centroid is 0.07, so even a perfect quantizer leaves
+# ||residual||^2 ~ 1.86 vs ||e||^2 = 1.0 — residual encoding EXPANDS
+# the quantization ball whenever e.centroid < 0.5.  Full-pipeline A/B
+# on the sweep corpora (adaptive nlist, same refine):
+#   x16: raw 0.72 / residual 0.64;  x64: raw 0.74 / residual 0.74.
+# With 8-bit codes residual ties raw but never beats it.  The flag
+# keeps the IVFADC path selectable for corpora that ARE clustered
+# (real embedding corpora usually are); both paths share every kernel
+# (raw == residual with a zero centroid base, exact algebra).
+PQ_RESIDUAL = False
+
+
+def _pq_base(cents: np.ndarray) -> np.ndarray:
+    """The encoding base: cell centroids under IVFADC residual mode, a
+    zero matrix under raw mode — all downstream algebra is shared."""
+    return cents if PQ_RESIDUAL else np.zeros_like(cents)
+
+
+def _train_pq_codebooks(
+    emb: DataFrame, cents: np.ndarray, sample_n: int
+) -> np.ndarray:
     """(PQ_M, PQ_K, sub_dim) codebooks: per-subspace L2 k-means on the
     same bounded driver sample as the coarse quantizer (Jegou et al.
-    2011, "Product Quantization for Nearest Neighbor Search" — public).
-    Vectors are unit-normalized BEFORE splitting, so concatenated
-    codewords reconstruct an approximately-unit vector and the ADC
-    score below is a genuine cosine estimate.  Deterministic:
-    fixed-seed init, fixed iterations, argmin assignment (first tie
-    wins)."""
-    sample = _train_sample(emb)
-    dim = sample.shape[1]
+    2011, "Product Quantization for Nearest Neighbor Search" —
+    public).  Under ``PQ_RESIDUAL`` the training vectors are the
+    IVFADC residuals ``e - centroid(home_cell(e))`` (ibid. §IV); under
+    raw mode (the measured default here — see the ``PQ_RESIDUAL``
+    note) they are the unit vectors themselves.  One codebook is
+    shared across cells (the standard IVFADC memory/accuracy trade:
+    per-cell codebooks would cost nlist x more driver state).
+    Deterministic: fixed-seed init, fixed iterations, argmin
+    assignment (first tie wins)."""
+    sample = _train_sample(emb, sample_n)
+    base = _pq_base(cents)
+    assign = np.argmax(sample @ cents.T, axis=1)
+    resid = sample - base[assign]
+    dim = resid.shape[1]
     sub = dim // PQ_M
     rng = np.random.RandomState(20240202)
     books = np.zeros((PQ_M, PQ_K, sub))
     for m in range(PQ_M):
-        block = sample[:, m * sub : (m + 1) * sub]
+        block = resid[:, m * sub : (m + 1) * sub]
         cents = block[rng.choice(len(block), PQ_K, replace=False)]
         for _ in range(PQ_KMEANS_ITERS):
             d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -656,9 +726,14 @@ def _train_pq_codebooks(emb: DataFrame) -> np.ndarray:
 
 def _pq_home_encoder(cents: np.ndarray, books: np.ndarray):
     """pandas_udf: embedding -> struct(cell, codes) — home-cell
-    assignment AND PQ encoding in ONE Arrow pass over the corpus (two
-    stacked pandas_udfs cost two full corpus serializations; the
-    merged kernel is the same math behind one exchange of bytes)."""
+    assignment AND residual PQ encoding in ONE Arrow pass over the
+    corpus (two stacked pandas_udfs cost two full corpus
+    serializations; the merged kernel is the same math behind one
+    exchange of bytes).  The codes quantize ``e - base(cell)`` (base =
+    centroids under IVFADC residual mode, zero under the measured raw
+    default), so decoding is ``base(cell) + codeword`` — the cell id
+    is part of the stored representation, which the cell-partitioned
+    index layout already carries for free."""
     from pyspark.sql import types as T
 
     out_t = T.StructType(
@@ -668,15 +743,18 @@ def _pq_home_encoder(cents: np.ndarray, books: np.ndarray):
         ]
     )
 
+    base = _pq_base(cents)
+
     @F.pandas_udf(out_t)
     def home_encode(embs: pd.Series) -> pd.DataFrame:
         mat = np.array(list(embs), dtype=np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
         cell = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        resid = mat - base[cell]
         sub = mat.shape[1] // PQ_M
         codes = np.zeros((len(mat), PQ_M), dtype=np.int32)
         for m in range(PQ_M):
-            block = mat[:, m * sub : (m + 1) * sub]
+            block = resid[:, m * sub : (m + 1) * sub]
             d2 = ((block[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
             codes[:, m] = np.argmin(d2, axis=1)
         return pd.DataFrame({"cell": cell, "codes": list(codes)})
@@ -684,11 +762,74 @@ def _pq_home_encoder(cents: np.ndarray, books: np.ndarray):
     return home_encode
 
 
+def _adc_shortlist_kernel(cents: np.ndarray, books: np.ndarray, refine_depth: int):
+    """The grouped-pandas ADC kernel shared by the in-memory and stored
+    IVF-PQ paths: per query ONE (M, K) dot-product LUT plus per-cell
+    constants, then each candidate costs M table lookups.
+
+    Decomposition (exact algebra, the only approximation is PQ itself):
+    with x_hat = base(cell) + r_hat (base = centroid under IVFADC
+    residual mode, zero under the measured raw default — the zero base
+    collapses every cell term below and the raw formula falls out),
+
+        dot(q, x_hat)  = q . base(cell)                (nlist scalars)
+                       + sum_m LUT[m, code_m]          (cell-independent
+                                                        codeword LUT)
+        ||x_hat||^2    = ||base(cell)||^2
+                       + 2 sum_m CROSS[cell, m, code_m]
+                       + sum_m ||book[m, code_m]||^2
+
+    CROSS (nlist x M x K base-block/codeword dot products) and the
+    squared-norm tables are data-independent, computed once on the
+    driver (nlist*M*K floats, <= 1024*16*16 at the nlist cap —
+    trivially broadcast in the closure).  Candidates carry their HOME
+    cell (the join key), so one kernel scores candidates from all
+    probed cells."""
+    sub = cents.shape[1] // PQ_M
+    base = _pq_base(cents)
+    sq_norms = (books**2).sum(axis=2)  # (M, K) codeword ||.||^2
+    base_blocks = base.reshape(len(base), PQ_M, sub)
+    cross = np.einsum("cms,mks->cmk", base_blocks, books)  # (nlist, M, K)
+    cent_sq = (base**2).sum(axis=1)  # (nlist,)
+
+    def _adc_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qe = np.array(pdf["qe"].iloc[0], dtype=np.float64)
+        qe /= max(np.linalg.norm(qe), 1e-12)
+        lut = np.stack(
+            [books[m] @ qe[m * sub : (m + 1) * sub] for m in range(PQ_M)]
+        )  # (M, K) query/codeword dot products — shared across cells
+        qdotc = base @ qe  # (nlist,)
+        codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+        cell = pdf["cell"].to_numpy(dtype=np.int64)
+        rows = np.arange(PQ_M)
+        dots = qdotc[cell] + lut[rows, codes].sum(axis=1)
+        norm2 = (
+            cent_sq[cell]
+            + 2.0 * cross[cell[:, None], rows[None, :], codes].sum(axis=1)
+            + sq_norms[rows, codes].sum(axis=1)
+        )
+        score = np.round(dots / np.sqrt(np.maximum(norm2, 1e-24)), ROUND)
+        out = (
+            pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "approx_cos": score,
+                }
+            )
+            .sort_values(["approx_cos", "neighbor_id"], ascending=[False, True])
+            .head(refine_depth)
+        )
+        return out[["query_id", "neighbor_id"]]
+
+    return _adc_topk
+
+
 @register(
     "similarity_search_ivfpq",
     oracle=None,  # approximate by design; ann_ivfpq_recall_census
     # hash-checks the per-query result-count contract + recall floor.
-    description=f"ANN top-k via IVF-PQ: {IVF_CELLS} cells, {PQ_M}x{PQ_K} product codes, ADC scoring",
+    description=f"ANN top-k via IVF-PQ: sqrt(n) cells, {PQ_M}x{PQ_K} product codes, ADC scoring",
     tags=("similarity", "approx"),
 )
 def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,9 +839,15 @@ def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric distance computation — per query ONE {PQ_M}x{PQ_K}
     lookup table of subspace dot products, then each candidate costs
     {PQ_M} table lookups instead of a {RP_DIM}-dim dot product.  The
-    estimated cosine divides by the reconstructed norm (exact from the
-    codes: subspaces are orthogonal by construction, so ||x_hat||^2 is
-    the sum of per-codeword squared norms).
+    coarse quantizer is corpus-adaptive (nlist ~ sqrt(n), nprobe a
+    fixed fraction — see the ``IVF_CELLS_CAP`` note: at a CONSTANT
+    candidate-pool fraction this raised the x64 recall ceiling 0.50 ->
+    0.82, measured); codes support both raw and IVFADC residual
+    encoding through one shared algebra (``PQ_RESIDUAL`` — raw is the
+    measured winner on this unclustered corpus).  The estimated cosine
+    reconstructs dot and norm exactly from per-cell constants + the
+    shared codebook (see ``_adc_shortlist_kernel``), so the only
+    approximation is the quantization itself.
 
     Plan shape: IVF's candidate equi-join on the probed cell key, then
     the ADC scoring runs as ONE grouped-pandas kernel per query whose
@@ -717,12 +864,14 @@ def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("e")
     )
-    cents = _train_centroids(emb)
-    books = _train_pq_codebooks(emb)
-    probe_cells = _cell_assigner(cents, IVF_NPROBE)
+    # one cheap count action sizes the adaptive quantizer + refine depth
+    corpus_n = emb.count()
+    nlist, nprobe, sample_n = _ivf_params(corpus_n)
+    cents = _train_centroids(emb, nlist, sample_n)
+    books = _train_pq_codebooks(emb, cents, sample_n)
+    probe_cells = _cell_assigner(cents, nprobe)
     home_encode = _pq_home_encoder(cents, books)
-    # one cheap count action sizes the pool-proportional refine depth
-    refine_depth = _pq_refine_depth(emb.count())
+    refine_depth = _pq_refine_depth(corpus_n, len(cents), nprobe)
 
     # the stored form: (cell, codes) — at production this is the whole
     # index, written partitionBy(cell); floats exist only query-side.
@@ -744,38 +893,16 @@ def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         coded.join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        # a pair can surface via several probed cells
+        # a pair can surface via several probed cells; `cell` is the
+        # candidate's HOME cell (one per vec_id), identical across dups
         .dropDuplicates(["query_id", "vec_id"])
-        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "codes")
+        .select(
+            "query_id", "qe", F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+        )
     )
-
-    sq_norms = (books**2).sum(axis=2)  # (M, K) codeword squared norms
-
-    def _adc_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        qe = np.array(pdf["qe"].iloc[0], dtype=np.float64)
-        qe /= max(np.linalg.norm(qe), 1e-12)
-        sub = len(qe) // PQ_M
-        lut = np.stack(
-            [books[m] @ qe[m * sub : (m + 1) * sub] for m in range(PQ_M)]
-        )  # (M, K) dot products
-        codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-        rows = np.arange(PQ_M)
-        dots = lut[rows, codes].sum(axis=1)
-        norms = np.sqrt(np.maximum(sq_norms[rows, codes].sum(axis=1), 1e-24))
-        score = np.round(dots / norms, ROUND)
-        out = pd.DataFrame(
-            {
-                "query_id": pdf["query_id"],
-                "neighbor_id": pdf["neighbor_id"],
-                "approx_cos": score,
-            }
-        ).sort_values(
-            ["approx_cos", "neighbor_id"], ascending=[False, True]
-        ).head(refine_depth)
-        return out[["query_id", "neighbor_id"]]
-
     shortlist = cand.groupBy("query_id").applyInPandas(
-        _adc_topk, schema="query_id long, neighbor_id long"
+        _adc_shortlist_kernel(cents, books, refine_depth),
+        schema="query_id long, neighbor_id long",
     )
     # refine (the FAISS IVFPQR step): exact floats are fetched for the
     # ADC shortlist ONLY — PQ_REFINE rows per query, never the corpus —
@@ -825,8 +952,10 @@ def stored_pq_index_dir(
         emb = table(spark, sf_dir, "embeddings").select(
             "vec_id", _emb_double("embedding").alias("e")
         )
-        cents = _train_centroids(emb)
-        books = _train_pq_codebooks(emb)
+        corpus_n = emb.count()
+        nlist, _, sample_n = _ivf_params(corpus_n)
+        cents = _train_centroids(emb, nlist, sample_n)
+        books = _train_pq_codebooks(emb, cents, sample_n)
         home_encode = _pq_home_encoder(cents, books)
         base = os.path.join(
             tempfile.gettempdir(),
@@ -841,7 +970,7 @@ def stored_pq_index_dir(
         coded.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(base)
-        _STORED_PQ[sf_dir] = got = (base, cents, books, emb.count())
+        _STORED_PQ[sf_dir] = got = (base, cents, books, corpus_n)
     return got
 
 
@@ -863,7 +992,8 @@ def q_similarity_search_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFr
     sample) + ONE candidate-bounded ADC kernel + the exact refine.
     Query-time Python passes over stored data: 1."""
     base, cents, books, corpus_n = stored_pq_index_dir(spark, sf_dir)
-    refine_depth = _pq_refine_depth(corpus_n)
+    nprobe = max(IVF_NPROBE, len(cents) // IVF_PROBE_FRAC)
+    refine_depth = _pq_refine_depth(corpus_n, len(cents), nprobe)
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("e")
     )
@@ -872,7 +1002,7 @@ def q_similarity_search_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFr
     )  # bounded: N_QUERIES rows
     Q = np.array([r.e for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-12)[:, None]
-    probe = np.argsort(-(Qn @ cents.T), axis=1)[:, :IVF_NPROBE]
+    probe = np.argsort(-(Qn @ cents.T), axis=1)[:, :nprobe]
     q_cells = [
         (int(r.vec_id), [int(c) for c in probe[i]], [float(v) for v in r.e])
         for i, r in enumerate(qrows)
@@ -887,36 +1017,13 @@ def q_similarity_search_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFr
         coded.join(F.broadcast(qdf), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
-        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "codes")
-    )
-
-    sq_norms = (books**2).sum(axis=2)
-
-    def _adc_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        qe = np.array(pdf["qe"].iloc[0], dtype=np.float64)
-        qe /= max(np.linalg.norm(qe), 1e-12)
-        sub = len(qe) // PQ_M
-        lut = np.stack(
-            [books[m] @ qe[m * sub : (m + 1) * sub] for m in range(PQ_M)]
+        .select(
+            "query_id", "qe", F.col("vec_id").alias("neighbor_id"), "cell", "codes"
         )
-        codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-        rows = np.arange(PQ_M)
-        dots = lut[rows, codes].sum(axis=1)
-        norms = np.sqrt(np.maximum(sq_norms[rows, codes].sum(axis=1), 1e-24))
-        score = np.round(dots / norms, ROUND)
-        out = pd.DataFrame(
-            {
-                "query_id": pdf["query_id"],
-                "neighbor_id": pdf["neighbor_id"],
-                "approx_cos": score,
-            }
-        ).sort_values(
-            ["approx_cos", "neighbor_id"], ascending=[False, True]
-        ).head(refine_depth)
-        return out[["query_id", "neighbor_id"]]
-
+    )
     shortlist = cand.groupBy("query_id").applyInPandas(
-        _adc_topk, schema="query_id long, neighbor_id long"
+        _adc_shortlist_kernel(cents, books, refine_depth),
+        schema="query_id long, neighbor_id long",
     )
     qe_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")

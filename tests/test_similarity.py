@@ -28,9 +28,11 @@ def test_rp_lsh_topk_recall(spark):
 
 
 def test_ivf_topk_recall_beats_plumbing_bound(spark):
-    """IVF with nprobe=4 of 16 cells must find a solid share of the true
+    """IVF probing 1/4 of the cells must find a solid share of the true
     top-k (learned partitions beat random hyperplanes at equal fan-out),
-    and every reported cosine is exact (re-ranked in-query)."""
+    and every reported cosine is exact (re-ranked in-query).  The 0.5
+    floor mirrors the driver census (measured 0.66-0.76 across
+    scales)."""
     qs = load_all()
     exact = {
         (r.query_id, r.neighbor_id)
@@ -42,7 +44,7 @@ def test_ivf_topk_recall_beats_plumbing_bound(spark):
     }
     assert len(exact) > 0
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, recall
+    assert recall >= 0.5, recall
 
 
 def test_near_dup_rp_subset_with_recall_on_strong_pairs(spark):
@@ -179,16 +181,45 @@ def test_semantic_dedup_matches_bruteforce_model(spark):
 def test_ivfpq_topk_recall_and_contract(spark):
     """IVF-PQ must return EXACTLY k rows per query (the refine step
     cannot shrink the shortlist below k at fixture scale) and recover
-    >= 30% of the exact top-k corpus-wide (measured 0.56-0.58; the IVF
-    candidate ceiling at this nprobe is 0.6).  Every surfaced pair must
-    carry the EXACT cosine — the refine step's contract — so any
-    returned pair that IS a true neighbor must have the same rounded
-    cosine the exact query reports."""
+    >= 50% of the exact top-k corpus-wide (the driver census floor;
+    measured 0.62-0.72 across scales with the adaptive quantizer).
+    Every surfaced pair must carry the EXACT cosine — the refine
+    step's contract — so any returned pair that IS a true neighbor
+    must have the same rounded cosine the exact query reports."""
     from collections import Counter
 
     qs = load_all()
     exact_rows = qs["similarity_search"].fn(spark, SF).collect()
     exact = {(r.query_id, r.neighbor_id): r.cosine for r in exact_rows}
+    pq_rows = qs["similarity_search_ivfpq"].fn(spark, SF).collect()
+    per_q = Counter(r.query_id for r in pq_rows)
+    assert set(per_q.values()) == {5}, per_q
+    approx = {(r.query_id, r.neighbor_id): r.cosine for r in pq_rows}
+    hit = set(exact) & set(approx)
+    assert len(hit) / len(exact) >= 0.5, len(hit) / len(exact)
+    for pair in hit:
+        assert approx[pair] == exact[pair], pair  # exact-refine contract
+
+
+def test_ivfpq_residual_mode_full_pipeline(spark, monkeypatch):
+    """The IVFADC residual path (PQ_RESIDUAL=True) shares every kernel
+    with the raw default through the zero-base algebra; this pins that
+    the residual branch actually runs end-to-end with the k-per-query
+    contract and the exact-refine contract intact.  (Raw is the
+    shipped default by MEASUREMENT: this corpus has no cluster
+    structure — mean own-label-centroid cosine 0.07 — so residuals are
+    LARGER than the unit vectors and residual codes read 0.64 vs raw
+    0.72 at x16; see the PQ_RESIDUAL note.)"""
+    from collections import Counter
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "PQ_RESIDUAL", True)
+    qs = load_all()
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in qs["similarity_search"].fn(spark, SF).collect()
+    }
     pq_rows = qs["similarity_search_ivfpq"].fn(spark, SF).collect()
     per_q = Counter(r.query_id for r in pq_rows)
     assert set(per_q.values()) == {5}, per_q
