@@ -353,7 +353,14 @@ def q_hll_rollup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned daily DataSketches estimate must land within 3x-rsd of the
     exact per-type distinct count, and must not exceed the naive
     sum-of-daily counts it deduplicates (a user active on two days is
-    one user).  n_days is exact, oracle-predicted from raw events."""
+    one user).  n_days is exact, oracle-predicted from raw events.
+
+    Null-ts invariant (verified on a 14%-null synthetic fixture,
+    pinned by tests/test_temporal.py): BOTH sides count a null
+    timestamp as one extra "day" group per type — Spark's
+    groupBy(to_date(ts)) keeps the null-day group and counts daily
+    ROWS, and the oracle counts DISTINCT (type, day) rows (not
+    count(DISTINCT day), which would skip NULL)."""
     rollup = q_hll_union_rollup(spark, sf_dir)
     ev = table(spark, sf_dir, "events")
     exact = ev.groupBy("event_type").agg(

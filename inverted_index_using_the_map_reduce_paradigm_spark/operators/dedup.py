@@ -638,16 +638,22 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.select("doc_id", simhash_of(F.col("hashes")).alias("simhash"))
     )
     def _combo_key(ci: int, combo: tuple) -> F.Column:
-        # (combo_id << 33) | block_i << .. | block_j << .. | block_k —
-        # one long per combo; the combo id disambiguates key spaces so
-        # a single-column equi-join covers all 20 combos at once.
+        # (combo_id << 26) | block_i << 13 | block_j — one long per
+        # combo; every block occupies a FIXED 13-bit lane (the 12-bit
+        # tail block is zero-padded), so the payload is always exactly
+        # 26 bits and the combo-id prefix makes the 10 combos' key
+        # spaces disjoint — a single-column equi-join covers them all
+        # with no cross-combo collisions.  (Variable-width packing
+        # overlapped ranges: ci=3<<25 could collide with ci=6..7's
+        # payloads — correctness was saved by distinct + bit_count
+        # verification, but the spurious candidates cost real work.)
         v = F.lit(ci).cast("long")
         for b in combo:
             off, width = _SIMHASH_BLOCKS[b]
             block = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
                 F.lit((1 << width) - 1)
             )
-            v = F.shiftleft(v, width).bitwiseOR(block)
+            v = F.shiftleft(v, 13).bitwiseOR(block)
         return v
 
     chunks = s.select(

@@ -314,6 +314,11 @@ def q_embedding_near_dup_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup",
+    # label IS NOT NULL on BOTH sides: an unassigned (null-cluster)
+    # vector is outside the dedup universe by contract.  Without the
+    # filter the Spark groupBy would pool all nulls into ONE cluster
+    # and dedup within it while SQL's b.label = a.label never matches
+    # NULL — a silent divergence if a fixture ever ships null labels.
     oracle=f"""
 SELECT a.vec_id, a.label,
        CAST(NOT EXISTS (
@@ -322,13 +327,16 @@ SELECT a.vec_id, a.label,
            AND round({_cos_sql('a.embedding', 'b.embedding')}, {ROUND}) >= {NEAR_DUP_COS}
        ) AS INTEGER) AS kept
 FROM embeddings a
+WHERE a.label IS NOT NULL
 """,
-    description="SemDeDup-shaped retention: drop vectors semantically close to an earlier keeper in their cluster",
+    description="SemDeDup-shaped retention: drop vectors close to ANY earlier same-cluster vector (kept or not)",
     tags=("similarity", "dedup"),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _emb_double("embedding").alias("e")
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())  # see the oracle note
+        .select("vec_id", "label", _emb_double("embedding").alias("e"))
     )
     return semantic_dedup(emb)
 

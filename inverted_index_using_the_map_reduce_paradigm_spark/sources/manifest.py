@@ -68,8 +68,19 @@ def read_corpus(
     line-wise scan (a multi-GiB document parallelizes across its
     Hadoop splits and never materializes as one row), the rest keep
     the wholetext fast path; the two scans union before the doc-id
-    join, and downstream semantics are identical because per-doc
-    distinct collapses across rows in the posting aggregation.  When
+    join.
+
+    OUTPUT CONTRACT under ``"auto"``: an oversized document yields
+    MULTIPLE rows sharing one doc_id.  That is equivalent for any
+    consumer that aggregates per-doc DISTINCT over tokens (posting
+    lists — ``formatted_index`` documents its tolerance of
+    line-grained rows), and WRONG for any doc-level consumer
+    (length/quality stats, whole-text dedup), which would silently
+    treat each fragment as a document.  Callers outside the inverted
+    index pipeline must pass ``True``/``False`` — never ``"auto"`` —
+    unless their aggregation collapses rows per doc_id.  (Re-gluing
+    the fragments into one row would need a shuffle and a single-task
+    multi-GiB string — exactly what "auto" exists to avoid.)  When
     the split is active both branches pass EXPLICIT path lists (the
     parent-directory listing shortcut would re-read the big files in
     the wholetext branch) — the per-path driver listing cost is the

@@ -64,6 +64,16 @@ _EXPECT_MULTI_BATCH = False
 # instead of silently collapsing back into one.
 _LAST_FED_BATCHES = 0
 
+# Production readStream globs are the EXACT fixture filenames: a wide
+# glob (events*.parquet) would silently ingest any stray
+# events_backup.parquet in the directory, and with the single-batch
+# trigger all files land in ONE micro-batch so the fed>1 guard could
+# never catch the duplication.  The multi-batch tests monkeypatch
+# these to the wide form alongside _SINGLE_BATCH_FILES /
+# _EXPECT_MULTI_BATCH to feed split corpora one file per trigger.
+_EVENTS_GLOB = "events.parquet"
+_DOCS_GLOB = "documents.parquet"
+
 # events.ts has shipped as parquet TIMESTAMP(NANOS) (read as epoch-nanos
 # long under the nanosAsLong legacy conf) in some fixture generations and
 # TIMESTAMP(MICROS) NTZ in others; readStream needs the schema up front,
@@ -96,11 +106,10 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # readStream wants a directory: stream the sf dir with a glob filter
     # selecting just the events table file.
     raw = (
-        # events*.parquet (not the exact name): lets tests feed a
-        # multi-file split corpus one file per trigger; the schema
-        # probe still reads the canonical events.parquet
+        # exact filename in production (see the _EVENTS_GLOB note);
+        # the schema probe always reads the canonical events.parquet
         spark.readStream.schema(_events_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events*.parquet")
+        .option("pathGlobFilter", _EVENTS_GLOB)
         .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )
@@ -322,8 +331,8 @@ def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the topology (shuffle on hash, per-key state) is identical."""
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
-        # documents*.parquet: lets tests feed a split corpus per trigger
-        .option("pathGlobFilter", "documents*.parquet")
+        # exact filename in production (see the _DOCS_GLOB note)
+        .option("pathGlobFilter", _DOCS_GLOB)
         .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )
@@ -419,8 +428,8 @@ def q_stream_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
-        # documents*.parquet: lets tests feed a split corpus per trigger
-        .option("pathGlobFilter", "documents*.parquet")
+        # exact filename in production (see the _DOCS_GLOB note)
+        .option("pathGlobFilter", _DOCS_GLOB)
         .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )
@@ -534,7 +543,7 @@ def q_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(DOCS_SCHEMA)
         # documents*.parquet (not the exact name): lets tests feed a
         # multi-file split corpus one file per trigger
-        .option("pathGlobFilter", "documents*.parquet")
+        .option("pathGlobFilter", _DOCS_GLOB)
         .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
     )

@@ -262,8 +262,11 @@ def test_stream_upsert_store_equals_batch_dedup(spark):
         shutil.rmtree(tmp)
     from inverted_index_using_the_map_reduce_paradigm_spark.streaming import engine
 
-    orig = engine._SINGLE_BATCH_FILES
-    engine._SINGLE_BATCH_FILES = 1  # one file per trigger
+    orig = (engine._SINGLE_BATCH_FILES, engine._DOCS_GLOB)
+    # one file per trigger; widen the exact-filename production glob so
+    # the split documents<i>.parquet files are visible
+    engine._SINGLE_BATCH_FILES = 1
+    engine._DOCS_GLOB = "documents*.parquet"
     try:
         multi = as_set(
             qs["stream_upsert_store"].fn(spark, src).select(
@@ -271,7 +274,7 @@ def test_stream_upsert_store_equals_batch_dedup(spark):
             )
         )
     finally:
-        engine._SINGLE_BATCH_FILES = orig
+        engine._SINGLE_BATCH_FILES, engine._DOCS_GLOB = orig
     # same hash set; keepers may differ only if a duplicate's lower
     # doc_id arrived in a later file — impossible under doc_id-ordered
     # range split, so full equality holds
@@ -295,13 +298,31 @@ from inverted_index_using_the_map_reduce_paradigm_spark.streaming import engine 
 
 @contextlib.contextmanager
 def _force_multi_batch():
-    """One file per trigger + permit >1 fed batch in _run_to_memory."""
-    orig = (_engine._SINGLE_BATCH_FILES, _engine._EXPECT_MULTI_BATCH)
+    """One file per trigger + permit >1 fed batch in _run_to_memory,
+    and widen the production exact-filename globs so the split files
+    (events1.parquet, ...) are visible to the stream — production keeps
+    the exact name so a stray events_backup.parquet can't be silently
+    ingested."""
+    orig = (
+        _engine._SINGLE_BATCH_FILES,
+        _engine._EXPECT_MULTI_BATCH,
+        _engine._EVENTS_GLOB,
+        _engine._DOCS_GLOB,
+    )
     _engine._SINGLE_BATCH_FILES, _engine._EXPECT_MULTI_BATCH = 1, True
+    _engine._EVENTS_GLOB, _engine._DOCS_GLOB = (
+        "events*.parquet",
+        "documents*.parquet",
+    )
     try:
         yield
     finally:
-        _engine._SINGLE_BATCH_FILES, _engine._EXPECT_MULTI_BATCH = orig
+        (
+            _engine._SINGLE_BATCH_FILES,
+            _engine._EXPECT_MULTI_BATCH,
+            _engine._EVENTS_GLOB,
+            _engine._DOCS_GLOB,
+        ) = orig
 
 
 def _split_fixture(spark, tmp_path, tbl: str, order_col: str, n: int = 4) -> str:

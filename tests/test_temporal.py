@@ -56,3 +56,40 @@ def test_range_join_bucketed_equals_naive_nonequi_join(spark):
     a, b = _rows(banded), _rows(naive)
     assert len(a) > 0
     assert a == b
+
+
+def test_hll_rollup_census_null_ts_symmetric(spark, tmp_path):
+    """Null-timestamp day-count invariant (r8): a null ts forms one
+    extra per-type 'day' group on BOTH the Spark side (groupBy over
+    to_date keeps the null group; n_days counts daily ROWS) and the
+    oracle side (count(*) over DISTINCT (type, day) rows — NOT
+    count(DISTINCT day), which would skip NULL).  Pinned on a fixture
+    with ~14% of timestamps nulled so the alignment can't silently
+    regress while real fixtures ship no nulls."""
+    import shutil
+
+    import duckdb
+
+    d = tmp_path / "nullts"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "_orig.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (
+          SELECT event_id, CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS ts,
+                 user_id, event_type, value, props
+          FROM '{d / "_orig.parquet"}'
+        ) TO '{d / "events.parquet"}' (FORMAT PARQUET)"""
+    )
+    qs = load_all()
+    got = (
+        qs["hll_rollup_census"].fn(spark, str(d)).toPandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d / 'events.parquet'}'")
+    want = (
+        con.sql(qs["hll_rollup_census"].oracle).df()
+        .sort_values("event_type", ignore_index=True)
+    )
+    assert list(got["n_days"]) == list(want["n_days"])
+    assert got["union_within_tol"].all() and got["union_le_sum_daily"].all()
