@@ -92,3 +92,29 @@ def test_stratified_sample_rates_and_determinism(spark):
     a = sorted(t.doc_id for t in fn(spark, SF).select("doc_id").collect())
     b = sorted(t.doc_id for t in fn(spark, SF).select("doc_id").collect())
     assert a == b and len(a) > 0
+
+
+def test_bench_detail_guard_rules():
+    """BENCH_DETAIL.json is the quiet-host reference record; bench.py
+    may only replace it from a run whose start conditions are at least
+    as good (r8, the mechanical form of 'never overwrite a committed
+    idle-start record with a loaded run')."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", _os.path.join(_os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    committed = {"sf": 0.1, "host_canary_par32_sec": 0.13, "load1_start": 0.2}
+    g = bench.detail_guard
+    assert g(None, 0.1, 0.5, 9.0) is None  # nothing committed yet
+    assert g(committed, 0.1, 0.13, 0.3) is None  # same phase, idle
+    assert "slower host" in g(committed, 0.1, 0.2, 0.3)
+    assert "loaded start" in g(committed, 0.1, 0.13, 5.0)
+    assert "different sf" in g(committed, 0.001, 0.13, 0.3)
+    # committed record predates the canary fields: load/sf rules still fire
+    old = {"sf": 0.1, "load1_start": 0.2}
+    assert g(old, 0.1, 0.5, 0.3) is None
+    assert "loaded start" in g(old, 0.1, 0.5, 5.0)
