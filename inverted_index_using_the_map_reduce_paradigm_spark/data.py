@@ -62,6 +62,34 @@ def _spread(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFra
     return df.repartition(target) if needs else df
 
 
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap content fingerprint of a fixture table for stored-index
+    cache keys: sha256 over the sorted (relpath, size, mtime_ns) of the
+    table's parquet file(s).  Stat-level, not a byte scan — O(#files)
+    driver-side regardless of data size, which is the only fingerprint
+    affordable at 100 TB; mtime_ns resolution makes a silent
+    same-size-same-mtime rewrite practically impossible.  Keying the
+    per-process stored-index caches on (sf_dir, fingerprint) means a
+    corpus mutated IN PLACE at the same path gets a rebuilt index
+    instead of a stale one (r8, VERDICT nit)."""
+    import hashlib
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    h = hashlib.sha256()
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns};".encode()
+                )
+    else:
+        st = os.stat(root)
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

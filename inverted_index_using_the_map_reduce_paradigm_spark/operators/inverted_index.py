@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..data import table
+from ..data import table, table_fingerprint
 from ..functions.text import (
     sql_tokens,
     tokenize_documents,
@@ -483,10 +483,12 @@ def q_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
 # turns a term lookup into partition pruning + a pushed word predicate.
 # --------------------------------------------------------------------------
 
-# (sf_dir, kind) -> materialized index directory.  Rebuilt once per
-# process (never trusted across processes: operator code may have
-# changed), then every stored-path query is a pure pruned read.
-_STORED_INDEX: dict[tuple[str, str], str] = {}
+# (sf_dir, corpus fingerprint, kind) -> materialized index directory.
+# Rebuilt once per process (never trusted across processes: operator
+# code may have changed), then every stored-path query is a pure pruned
+# read.  The fingerprint key (r8) means a corpus mutated in place at
+# the same path rebuilds instead of serving a stale index.
+_STORED_INDEX: dict[tuple[str, str, str], str] = {}
 
 
 def stored_index_dir(spark: SparkSession, sf_dir: str, kind: str = "flat") -> str:
@@ -500,15 +502,18 @@ def stored_index_dir(spark: SparkSession, sf_dir: str, kind: str = "flat") -> st
     100 TB the index is built by the ingest pipeline and queries only
     ever touch the pruned letter directories.
     """
-    key = (sf_dir, kind)
+    fp = table_fingerprint(sf_dir, "documents")
+    key = (sf_dir, fp, kind)
     d = _STORED_INDEX.get(key)
     if d is None:
         from ..sources.sinks import write_parquet_index
 
+        # fingerprint in the path: a rebuild lands in a fresh directory
         base = os.path.join(
             tempfile.gettempdir(),
             f"spark_graft_index_{os.getpid()}",
             sf_dir.strip("/").replace("/", "_"),
+            fp,
             kind,
         )
         docs = table(spark, sf_dir, "documents")
@@ -1245,7 +1250,7 @@ def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketed term lookup: the co-located storage layout on the query surface
 # --------------------------------------------------------------------------
 
-_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
+_BUCKETED_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
 CATALOG_BUCKETS = 8
 
 
@@ -1262,13 +1267,16 @@ def bucketed_catalog_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     (``sources.sinks.write_bucketed``), not per query.  Returns
     (postings_table, catalog_table) names in the session catalog.
     """
-    got = _BUCKETED_TABLES.get(sf_dir)
+    fp = table_fingerprint(sf_dir, "documents")
+    got = _BUCKETED_TABLES.get((sf_dir, fp))
     if got is not None:
         return got
     from ..sources.sinks import write_bucketed
 
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    post_t, cat_t = f"postings_b_{safe}", f"doc_catalog_b_{safe}"
+    # fingerprint in the catalog names + path: a mutated corpus gets
+    # fresh bucketed tables instead of stale catalog entries (r8)
+    post_t, cat_t = f"postings_b_{safe}_{fp}", f"doc_catalog_b_{safe}_{fp}"
     # external per-process paths: a managed table's warehouse location
     # outlives the (in-memory) catalog entry, so a second process would
     # hit LOCATION_ALREADY_EXISTS on the same managed name
@@ -1285,7 +1293,7 @@ def bucketed_catalog_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
         docs.select("doc_id", "lang", "source"), cat_t, "doc_id", CATALOG_BUCKETS,
         path=os.path.join(base, cat_t),
     )
-    _BUCKETED_TABLES[sf_dir] = (post_t, cat_t)
+    _BUCKETED_TABLES[(sf_dir, fp)] = (post_t, cat_t)
     return post_t, cat_t
 
 

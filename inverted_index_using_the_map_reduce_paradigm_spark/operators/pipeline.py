@@ -18,7 +18,7 @@ from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import materialize, table
+from ..data import materialize, table, table_fingerprint
 from ..functions.text import sql_tokens, tokens_of
 from ..registry import register
 from .dedup import JACCARD_THRESHOLD, sql_shingles
@@ -717,14 +717,15 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interchange_roundtrip — the CSV/JSON source+sink surface on the registry
 # --------------------------------------------------------------------------
 
-_INTERCHANGE_DIRS: dict[str, str] = {}
+_INTERCHANGE_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _interchange_base(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per process) a CSV export of every 3rd doc and
     a JSON export of every 3rd+1 doc under a temp dir, via the
     ``sources.formats`` wrappers — the write half of the roundtrip."""
-    got = _INTERCHANGE_DIRS.get(sf_dir)
+    fp = table_fingerprint(sf_dir, "documents")
+    got = _INTERCHANGE_DIRS.get((sf_dir, fp))
     if got is not None:
         return got
     import os
@@ -736,6 +737,7 @@ def _interchange_base(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"spark_graft_interchange_{os.getpid()}",
         sf_dir.strip("/").replace("/", "_"),
+        fp,
     )
     docs = table(spark, sf_dir, "documents")
     write_table(
@@ -748,7 +750,7 @@ def _interchange_base(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(base, "json"),
         "json",
     )
-    _INTERCHANGE_DIRS[sf_dir] = base
+    _INTERCHANGE_DIRS[(sf_dir, fp)] = base
     return base
 
 
@@ -812,7 +814,7 @@ def q_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orc_roundtrip — the columnar ORC source+sink with pruning + pushdown
 # --------------------------------------------------------------------------
 
-_ORC_DIRS: dict[str, str] = {}
+_ORC_DIRS: dict[tuple[str, str], str] = {}
 ORC_MIN_CHARS = 200
 ORC_LANGS = ("de", "en", "es")  # partition-pruning predicate
 
@@ -820,7 +822,8 @@ ORC_LANGS = ("de", "en", "es")  # partition-pruning predicate
 def _orc_base(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per process) an ORC export of every 3rd+2 doc,
     hive-partitioned by lang, via ``sources.formats.write_table``."""
-    got = _ORC_DIRS.get(sf_dir)
+    fp = table_fingerprint(sf_dir, "documents")
+    got = _ORC_DIRS.get((sf_dir, fp))
     if got is not None:
         return got
     import os
@@ -832,6 +835,7 @@ def _orc_base(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"spark_graft_orc_{os.getpid()}",
         sf_dir.strip("/").replace("/", "_"),
+        fp,
     )
     docs = table(spark, sf_dir, "documents")
     write_table(
@@ -842,7 +846,7 @@ def _orc_base(spark: SparkSession, sf_dir: str) -> str:
         "orc",
         partition_by=["lang"],
     )
-    _ORC_DIRS[sf_dir] = base
+    _ORC_DIRS[(sf_dir, fp)] = base
     return base
 
 
@@ -964,7 +968,7 @@ def q_geo_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zorder_pruned_scan — the Z-order layout on the query surface
 # --------------------------------------------------------------------------
 
-_ZORDER_DIRS: dict[str, str] = {}
+_ZORDER_DIRS: dict[tuple[str, str], str] = {}
 ZORDER_UID_LO, ZORDER_UID_HI = 40, 60
 ZORDER_VAL_LO, ZORDER_VAL_HI = 10.0, 50.0
 
@@ -972,7 +976,8 @@ ZORDER_VAL_LO, ZORDER_VAL_HI = 10.0, 50.0
 def _zorder_base(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per process) the events table Z-order
     clustered on (user_id, value) via ``sinks.write_zorder_layout``."""
-    got = _ZORDER_DIRS.get(sf_dir)
+    fp = table_fingerprint(sf_dir, "events")
+    got = _ZORDER_DIRS.get((sf_dir, fp))
     if got is not None:
         return got
     import os
@@ -984,12 +989,13 @@ def _zorder_base(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"spark_graft_zorder_{os.getpid()}",
         sf_dir.strip("/").replace("/", "_"),
+        fp,
     )
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
     write_zorder_layout(ev, base, ["user_id", "value"], n_files=8)
-    _ZORDER_DIRS[sf_dir] = base
+    _ZORDER_DIRS[(sf_dir, fp)] = base
     return base
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..data import table
+from ..data import table, table_fingerprint
 from ..functions.vectors import cosine_similarity
 from ..registry import register
 
@@ -940,9 +940,11 @@ def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stored IVF-PQ index: write-once partitionBy(cell), partition-pruned probe
 # --------------------------------------------------------------------------
 
-# (dir, cents, books) per sf_dir — the quantizer models MUST be the ones
-# the stored codes were produced with, so they cache with the directory
-_STORED_PQ: dict[str, tuple[str, np.ndarray, np.ndarray, int]] = {}
+# (dir, cents, books) per (sf_dir, corpus fingerprint) — the quantizer
+# models MUST be the ones the stored codes were produced with, so they
+# cache with the directory; the fingerprint key means a corpus mutated
+# in place gets a rebuilt index, never a stale one (r8)
+_STORED_PQ: dict[tuple[str, str], tuple[str, np.ndarray, np.ndarray, int]] = {}
 
 
 def stored_pq_index_dir(
@@ -955,7 +957,8 @@ def stored_pq_index_dir(
     for ANN: 16 x 4-bit codes per vector in nlist directories; the
     float vectors stay in the base table and are touched only by the
     bounded refine step."""
-    got = _STORED_PQ.get(sf_dir)
+    fp = table_fingerprint(sf_dir, "embeddings")
+    got = _STORED_PQ.get((sf_dir, fp))
     if got is None:
         emb = table(spark, sf_dir, "embeddings").select(
             "vec_id", _emb_double("embedding").alias("e")
@@ -965,10 +968,14 @@ def stored_pq_index_dir(
         cents = _train_centroids(emb, nlist, sample_n)
         books = _train_pq_codebooks(emb, cents, sample_n)
         home_encode = _pq_home_encoder(cents, books)
+        # fingerprint in the path: a rebuild lands in a FRESH directory
+        # so an in-flight query against the old index never reads a
+        # half-overwritten one
         base = os.path.join(
             tempfile.gettempdir(),
             f"spark_graft_pqindex_{os.getpid()}",
             sf_dir.strip("/").replace("/", "_"),
+            fp,
         )
         coded = emb.select(
             "vec_id", F.explode(F.array(home_encode(F.col("e")))).alias("hc")
@@ -978,7 +985,7 @@ def stored_pq_index_dir(
         coded.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(base)
-        _STORED_PQ[sf_dir] = got = (base, cents, books, corpus_n)
+        _STORED_PQ[(sf_dir, fp)] = got = (base, cents, books, corpus_n)
     return got
 
 

@@ -118,3 +118,57 @@ def test_bench_detail_guard_rules():
     old = {"sf": 0.1, "load1_start": 0.2}
     assert g(old, 0.1, 0.5, 0.3) is None
     assert "loaded start" in g(old, 0.1, 0.5, 5.0)
+
+
+def test_stored_index_caches_rebuild_on_corpus_mutation(spark, tmp_path):
+    """Stored-index caches key on (sf_dir, corpus fingerprint): mutating
+    the corpus IN PLACE at the same path must rebuild the index, not
+    serve the stale one (r8).  Checked for the letter-partitioned
+    inverted index and the IVF-PQ code index — the two write-once
+    stored paths whose staleness would silently corrupt query results."""
+    import shutil
+    import time as _time
+
+    import duckdb
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import (
+        stored_index_dir,
+    )
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import (
+        stored_pq_index_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "mut"
+    d.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{sf}/{t}.parquet", d / f"{t}.parquet")
+
+    idx1 = stored_index_dir(spark, str(d))
+    pq1 = stored_pq_index_dir(spark, str(d))[0]
+    assert stored_index_dir(spark, str(d)) == idx1  # cache hit, unchanged
+
+    # mutate both tables in place (same path, new content)
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (SELECT doc_id, text || ' zmutant' AS text, lang, source,
+                   n_chars + 8 AS n_chars
+            FROM '{sf}/documents.parquet') TO '{d / "documents.parquet"}'
+            (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT vec_id, embedding, label + 1 AS label
+            FROM '{sf}/embeddings.parquet') TO '{d / "embeddings.parquet"}'
+            (FORMAT PARQUET)"""
+    )
+    _time.sleep(0.01)  # ensure mtime_ns differs even on coarse clocks
+
+    idx2 = stored_index_dir(spark, str(d))
+    pq2 = stored_pq_index_dir(spark, str(d))[0]
+    assert idx2 != idx1 and pq2 != pq1  # fresh directories, rebuilt
+    # the rebuilt inverted index actually reflects the mutation
+    words = {
+        r.word
+        for r in spark.read.parquet(idx2).filter("letter = 'z'").collect()
+    }
+    assert "zmutant" in words
