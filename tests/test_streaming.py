@@ -524,3 +524,169 @@ def test_multibatch_stream_cms_sketch_equals_batch_sketch(spark, tmp_path):
     with _force_multi_batch():
         rolled = load_all()["stream_cms_sketch"].fn(spark, src).collect()
     assert sorted((r.seed, r.mass) for r in rolled) == [(s, n) for s in range(4)]
+
+
+# --------------------------------------------------------------------------
+# LATE-DATA semantics (r8): inject out-of-order rows beyond the
+# watermark per stateful query and pin drop-vs-update behavior.  The
+# forced-split harness feeds ordered files; these feed a file whose
+# rows are OLDER than the committed watermark.  Two mechanics matter
+# (both discovered empirically and load-bearing for the fixtures):
+# the watermark used to filter batch N's input is the one committed
+# from batches <= N-2, so a SPACER batch sits between the
+# watermark-advancing rows and the late rows; and a watermark operator
+# only sees rows that reach IT — the join's per-leg watermarks sit
+# after the event_type filters, so its spacers must be signup/purchase
+# rows, not clicks.
+# --------------------------------------------------------------------------
+
+
+def _write_event_batches(spark, tmp_path, batches):
+    """Write each batch of (event_id, ts_str, user_id, event_type,
+    value) rows as one single-file parquet named events{i}.parquet with
+    ascending mtimes (events.parquet for i=0 — the schema probe's
+    canonical name), so the file source feeds them one per trigger
+    under _force_multi_batch."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_events"
+    src.mkdir(exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(eid, ts, uid, et, val, "{}") for eid, ts, uid, et, val in rows],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        stage = str(tmp_path / f"_stage_late_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = str(src / ("events.parquet" if i == 0 else f"events{i}.parquet"))
+        _shutil.copy(part, dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+        _shutil.rmtree(stage)
+    return str(src)
+
+
+D = "2024-01-01"
+_TS = {  # unix seconds for the event times used below (UTC)
+    "10:00": 1704103200, "10:40": 1704105600, "13:00": 1704114000,
+    "13:30": 1704115800, "14:00": 1704117600, "14:30": 1704119400,
+    "15:00": 1704121200,
+}
+
+
+def test_late_row_dropped_by_windowed_aggregation(spark, tmp_path):
+    """stream_events_window (update mode, 1h watermark): a row arriving
+    after the watermark passed its window's end is DROPPED — the final
+    state for that window keeps the pre-late aggregate, diverging from
+    the batch result by exactly the late row."""
+    src = _write_event_batches(spark, tmp_path, [
+        [(1, f"{D} 10:00:00", 1, "click", 1.0),
+         (2, f"{D} 13:30:00", 2, "click", 1.0)],
+        [(3, f"{D} 14:30:00", 3, "click", 1.0)],   # spacer commits wm 12:30
+        [(4, f"{D} 10:20:00", 1, "click", 5.0),    # LATE: window ends 11:00
+         (5, f"{D} 14:40:00", 3, "click", 2.0)],   # fresh
+    ])
+    qs = load_all()
+    with _force_multi_batch():
+        sink = qs["stream_events_window"].fn(spark, src)
+        assert _engine._LAST_FED_BATCHES >= 3
+        final = as_set(
+            _final_state(sink, ["window_start", "event_type"], "n_events")
+        )
+    assert final == {
+        (_TS["10:00"], "click", 1, 1.0),  # late 10:20 row NOT merged
+        (_TS["13:00"], "click", 1, 1.0),
+        (_TS["14:00"], "click", 2, 3.0),
+    }
+
+
+def test_late_row_dropped_by_session_window_even_in_complete_mode(spark, tmp_path):
+    """stream_sessionize (complete mode): watermark filtering applies
+    to the INPUT regardless of output mode — a late row that would have
+    extended a closed session is dropped, so the final state keeps the
+    original session bounds (complete mode retains state but does not
+    resurrect late rows)."""
+    src = _write_event_batches(spark, tmp_path, [
+        [(1, f"{D} 10:00:00", 1, "click", 1.0),
+         (2, f"{D} 10:10:00", 1, "click", 2.0),
+         (3, f"{D} 13:30:00", 9, "click", 1.0)],
+        [(4, f"{D} 14:30:00", 9, "click", 1.0)],   # spacer commits wm 12:30
+        [(5, f"{D} 10:20:00", 1, "click", 5.0)],   # LATE: would extend session
+    ])
+    qs = load_all()
+    with _force_multi_batch():
+        got = as_set(qs["stream_sessionize"].fn(spark, src))
+        assert _engine._LAST_FED_BATCHES >= 3
+    assert got == {
+        (1, _TS["10:00"], _TS["10:40"], 2, 3.0),  # ends 10:10+gap, late row absent
+        (9, _TS["13:30"], _TS["14:00"], 1, 1.0),
+        (9, _TS["14:30"], _TS["15:00"], 1, 1.0),
+    }
+
+
+def test_late_row_updates_user_stats_no_watermark(spark, tmp_path):
+    """stream_user_stats (applyInPandasWithState, NoTimeout, no
+    watermark): event-time lateness is invisible — an out-of-order row
+    UPDATES the user's state, so the final emission equals the batch
+    aggregate INCLUDING the late row (the contract a watermark-free
+    custom stateful operator promises)."""
+    src = _write_event_batches(spark, tmp_path, [
+        [(1, f"{D} 10:00:00", 1, "click", 1.0),
+         (2, f"{D} 10:10:00", 1, "click", 2.0),
+         (3, f"{D} 13:30:00", 9, "click", 1.0)],
+        [(4, f"{D} 14:30:00", 9, "click", 1.0)],
+        [(5, f"{D} 10:20:00", 1, "click", 5.0)],   # late by event time
+    ])
+    qs = load_all()
+    with _force_multi_batch():
+        sink = qs["stream_user_stats"].fn(spark, src)
+        assert _engine._LAST_FED_BATCHES >= 3
+        final = as_set(_final_state(sink, ["user_id"], "n_events"))
+    assert final == {(1, 3, 8.0), (9, 2, 2.0)}
+
+
+def test_late_rows_dropped_by_stream_stream_join(spark, tmp_path):
+    """stream_purchase_attribution: a late signup and a late purchase
+    (each below the min-of-legs watermark, arriving in DIFFERENT
+    batches so neither can new-x-new join) are dropped pre-state — the
+    pair the batch join would produce never appears, while on-time
+    pairs keep flowing.  The spacer advancing the watermark must be a
+    signup+purchase pair: the per-leg watermark operators sit after
+    the event_type filters, so click rows never advance them."""
+    src = _write_event_batches(spark, tmp_path, [
+        [(1, f"{D} 10:00:00", 1, "signup", 0.0),
+         (2, f"{D} 10:30:00", 1, "purchase", 9.0),
+         (3, f"{D} 20:00:00", 9, "signup", 0.0),
+         (4, f"{D} 20:30:00", 9, "purchase", 9.0)],
+        [(5, f"{D} 21:00:00", 8, "signup", 0.0),   # spacer pair: commits
+         (6, f"{D} 21:30:00", 8, "purchase", 9.0)],  # wm >= 18:00 on both legs
+        [(7, f"{D} 10:40:00", 2, "signup", 0.0)],    # LATE signup, dropped
+        [(8, f"{D} 11:00:00", 2, "purchase", 9.0),   # LATE purchase, dropped
+         (9, f"{D} 21:40:00", 3, "signup", 0.0),
+         (10, f"{D} 21:50:00", 3, "purchase", 9.0)],
+    ])
+    qs = load_all()
+    with _force_multi_batch():
+        rows = qs["stream_purchase_attribution"].fn(spark, src).collect()
+        assert _engine._LAST_FED_BATCHES >= 3
+    pairs = {(r.user_id, r.purchase_id, r.signup_id) for r in rows}
+    assert pairs == {(1, 2, 1), (9, 4, 3), (8, 6, 5), (3, 10, 9)}  # no (2, 8, 7)
+
+
+def test_late_rows_counted_by_cms_sketch_no_watermark(spark, tmp_path):
+    """stream_cms_sketch: the sketch has no event-time semantics — a
+    late row is mass like any other, so per-seed mass equals the TOTAL
+    row count including the late one (the mergeable-sketch contract:
+    arrival order and lateness cannot change the final counters)."""
+    src = _write_event_batches(spark, tmp_path, [
+        [(1, f"{D} 10:00:00", 1, "click", 1.0),
+         (2, f"{D} 13:30:00", 2, "view", 1.0)],
+        [(3, f"{D} 14:30:00", 3, "click", 1.0)],
+        [(4, f"{D} 10:20:00", 1, "error", 5.0)],   # late by event time
+    ])
+    qs = load_all()
+    with _force_multi_batch():
+        rolled = qs["stream_cms_sketch"].fn(spark, src).collect()
+        assert _engine._LAST_FED_BATCHES >= 3
+    assert sorted((r.seed, r.mass) for r in rolled) == [(s, 4) for s in range(4)]
