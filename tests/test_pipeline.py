@@ -118,6 +118,12 @@ def test_bench_detail_guard_rules():
     old = {"sf": 0.1, "load1_start": 0.2}
     assert g(old, 0.1, 0.5, 0.3) is None
     assert "loaded start" in g(old, 0.1, 0.5, 5.0)
+    # the direct check: a JVM slow phase is invisible to the canaries,
+    # so a run measuring slower per query than the record is refused
+    # even with identical canaries and an idle start
+    rec = {**committed, "queries": {"a": 1.0, "b": 1.0}}
+    assert "slower than committed record" in g(rec, 0.1, 0.13, 0.3, 2.0)
+    assert g(rec, 0.1, 0.13, 0.3, 0.9) is None
 
 
 def test_stored_index_caches_rebuild_on_corpus_mutation(spark, tmp_path):
