@@ -20,10 +20,18 @@ Codec tiers (r7, PNG promoted r8):
   concatenated-IDAT zlib inflate, and full inversion of the five
   per-row filters; ``multimodal_png_decode`` round-trips payloads
   whose rows cycle all five filters, oracle-checked the same way.
-* Remaining compressed codecs (JPEG/...) stay import-gated behind PIL
-  (absent in this container): ``real_decode`` dispatches P6/PNG to
-  the builtin parsers and everything else to PIL or a
-  ``NotImplementedError`` — the documented honest stub.
+* Baseline sequential JPEG has a REAL stdlib-only decoder too (r8,
+  ``decode_jpeg``): marker walk, DHT-declared canonical Huffman
+  entropy decode with byte unstuffing, DC prediction + EXTEND,
+  dezigzag, dequantization, exact orthonormal IDCT;
+  ``multimodal_jpeg_decode`` synthesizes streams whose flat blocks
+  survive quantization exactly (DC step 8), so the lossy codec is
+  oracle-checked bit for bit.
+* Remaining codec variants (progressive/subsampled JPEG, WebP, ...)
+  stay import-gated behind PIL (absent in this container):
+  ``real_decode`` dispatches P6/PNG/baseline-JPEG to the builtin
+  parsers and everything else to PIL or a ``NotImplementedError`` —
+  the documented honest stub.
 * The original ``multimodal_features`` fake path is kept as the
   codec-independent plumbing check (binary schema, Arrow batch
   iteration, UDF signature, partition-parallel execution).
@@ -66,19 +74,23 @@ FEATURE_SCHEMA = "doc_id long, n_bytes long, width long, height long, checksum l
 
 
 def real_decode(payload: bytes) -> tuple[int, int]:
-    """Actual image decode: builtin parsers for P6 PPM (no dependency)
-    and PNG (stdlib zlib — r8, see ``decode_png``), PIL for the
-    remaining compressed codecs (JPEG/...) when installed."""
+    """Actual image decode: builtin parsers for P6 PPM (no
+    dependency), PNG (stdlib zlib — r8, ``decode_png``), and baseline
+    JPEG (r8, ``decode_jpeg``); PIL for anything else when
+    installed."""
     if payload[:2] == b"P6":
         w, h, _maxval, _off = _ppm_header(payload)
         return w, h
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         w, h, _mean, _mx, _sum = decode_png(payload)
         return w, h
+    if payload[:2] == b"\xff\xd8":
+        w, h, _mean, _mx, _sum = decode_jpeg(payload)
+        return w, h
     if not HAVE_PIL:  # pragma: no cover - PIL absent in this env
         raise NotImplementedError(
-            "JPEG-tier decoding requires PIL; this environment ships "
-            "none -- builtin decoders cover P6 PPM, PNG, and WAV"
+            "this codec requires PIL; this environment ships none -- "
+            "builtin decoders cover P6 PPM, PNG, baseline JPEG, and WAV"
         )
     import io  # pragma: no cover
 
@@ -718,3 +730,387 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _png_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_pngs, schema=PNG_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL lossy codec, dependency-free (r8): baseline sequential JPEG.
+# The full critical path of the other ubiquitous image format — marker
+# walk, DQT/SOF0/DHT/SOS parse, canonical Huffman decode with byte
+# unstuffing, DC prediction + coefficient EXTEND, dezigzag,
+# dequantization, and the exact orthonormal 8x8 IDCT — needs nothing
+# beyond numpy.  Huffman tables are read from the payload's DHT
+# segments (never hardcoded), so the decoder handles any
+# single-component baseline stream, not just this encoder's output.
+# Lossiness is controlled at synthesis: flat 8x8 blocks have DC = 8 x
+# (fill - 128) and zero AC, and a DC quantization step of 8 makes the
+# round trip EXACT for every fill value — so the DuckDB oracle can
+# predict the decoded raster bit for bit while the decoder still runs
+# the full lossy-codec machinery.  (AC decoding is exercised by unit
+# tests with hand-built coefficient streams checked against a numpy
+# IDCT reference.)
+# --------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_QDC = 8  # DC quant step: divides 8*(v-128) exactly -> lossless flats
+_JPEG_QAC = 16
+# encoder-defined canonical Huffman tables, carried in DHT like any
+# real stream: DC categories 0..11 and a small AC set incl. EOB + ZRL
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 10] + [0] * 12
+_JPEG_AC_VALS = [0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x11, 0x21, 0xF0]
+
+# orthonormal 2-D DCT basis (== JPEG's (1/4)C(u)C(v) scaling):
+# f = M @ F @ M.T reconstructs spatial samples from natural-order coefs
+_IDCT_M = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+)
+
+
+def _jpeg_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) per the canonical assignment (ITU T.81
+    Annex C): codes of each length are consecutive, doubling at each
+    length step."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # pad with 1s
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+def _jpeg_segment(marker: int, data: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+
+def encode_jpeg(doc_id: int, n_chars: int) -> bytes:
+    """A real baseline sequential grayscale JPEG: block-row r of the
+    raster is a flat fill ``(doc_id + r) % 256``; dimensions derive
+    from (doc_id, n_chars) in whole 8x8 blocks.  DC differences are
+    Huffman-coded with the encoder's DHT-declared canonical table;
+    every block ends with EOB.  With the DC quant step {_JPEG_QDC} the
+    flat blocks survive quantization exactly, so the oracle predicts
+    the decode."""
+    import struct
+
+    wb = n_chars % 8 + 1
+    hb = doc_id % 6 + 1
+    w, h = wb * 8, hb * 8
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    pred = 0
+    for r in range(hb):
+        dc_code = ((doc_id + r) % 256) - 128  # quantized DC: 8*s / 8
+        for _ in range(wb):
+            diff = dc_code - pred
+            pred = dc_code
+            t = abs(diff).bit_length()
+            code, length = dc_codes[t]
+            bw.write(code, length)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            code, length = ac_codes[0x00]  # EOB: all AC zero
+            bw.write(code, length)
+    qtab = bytes([0]) + bytes(
+        [_JPEG_QDC] + [_JPEG_QAC] * 63
+    )  # Pq/Tq=0, zigzag order (index 0 is DC either way)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + _jpeg_segment(0xDB, qtab)
+        + _jpeg_segment(0xC0, sof)
+        + _jpeg_segment(0xC4, dht_dc)
+        + _jpeg_segment(0xC4, dht_ac)
+        + _jpeg_segment(0xDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _JpegBitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-stuffing marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, t: int) -> int:
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            got = table.get((length, code))
+            if got is not None:
+                return got
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
+    """(width, height, mean_pixel, max_pixel, pixel_sum) from a REAL
+    baseline JPEG parse: marker walk (APPn/COM skipped), DQT (8-bit),
+    SOF0 (single-component baseline only — progressive SOF2,
+    multi-component, and restart intervals are rejected loudly), DHT
+    canonical-Huffman reconstruction, then per-block entropy decode
+    (DC predict + EXTEND, AC run/size with EOB and ZRL), dezigzag,
+    dequantize, orthonormal IDCT, +128 level shift, clamp."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    i = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = dc_id = ac_id = 0
+    blocks: list[np.ndarray] | None = None
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        data = payload[i + 4 : i + 2 + seglen]
+        i += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(data):
+                pq, tq = data[j] >> 4, data[j] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(data[j + 1 : j + 65], dtype=np.uint8)
+                nat = np.zeros(64)
+                nat[_JPEG_ZIGZAG] = zz
+                qtabs[tq] = nat.reshape(8, 8)
+                j += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = struct.unpack(">BHHB", data[:6])
+            if prec != 8 or nf != 1:
+                raise NotImplementedError(
+                    f"only 8-bit single-component baseline JPEG (got "
+                    f"precision={prec}, components={nf})"
+                )
+            if data[7] != 0x11:
+                raise NotImplementedError("subsampling unsupported")
+            comp_q = data[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError(
+                f"non-baseline SOF{marker - 0xC0} JPEG unsupported"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j < len(data):
+                cls, tid = data[j] >> 4, data[j] & 15
+                bits = list(data[j + 1 : j + 17])
+                nvals = sum(bits)
+                vals = list(data[j + 17 : j + 17 + nvals])
+                inv = {
+                    (length, code): v
+                    for v, (code, length) in _jpeg_canonical(bits, vals).items()
+                }
+                huff[(cls, tid)] = inv
+                j += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            if struct.unpack(">H", data[:2])[0] != 0:
+                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            dc_id, ac_id = data[2] >> 4, data[2] & 15
+            if w is None:
+                raise ValueError("JPEG SOS before SOF")
+            br = _JpegBitReader(payload, i)
+            q = qtabs[comp_q]
+            dc_t, ac_t = huff[(0, dc_id)], huff[(1, ac_id)]
+            wb, hb = (w + 7) // 8, (h + 7) // 8
+            pred = 0
+            blocks = []
+            for _ in range(wb * hb):
+                zz = np.zeros(64)
+                t = br.decode(dc_t)
+                pred += _jpeg_extend(br.receive(t), t)
+                zz[0] = pred
+                k = 1
+                while k < 64:
+                    rs = br.decode(ac_t)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _jpeg_extend(br.receive(rs & 15), rs & 15)
+                    k += 1
+                nat = np.zeros(64)
+                nat[_JPEG_ZIGZAG] = zz
+                coef = nat.reshape(8, 8) * q
+                spatial = _IDCT_M @ coef @ _IDCT_M.T
+                blocks.append(
+                    np.clip(np.round(spatial + 128), 0, 255).astype(np.uint8)
+                )
+            i = br.pos + (1 if br.n else 0)  # next marker search resumes here
+            while i < len(payload) and payload[i] != 0xFF:
+                i += 1
+        else:  # APPn / COM / anything skippable
+            pass
+    if blocks is None or w is None:
+        raise ValueError("JPEG missing SOS/SOF")
+    wb, hb = (w + 7) // 8, (h + 7) // 8
+    raster = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+    for idx, blk in enumerate(blocks):
+        by, bx = divmod(idx, wb)
+        raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    px = raster[:h, :w].reshape(-1)  # crop MCU padding to the SOF dims
+    return (
+        int(w),
+        int(h),
+        float(px.mean()) if px.size else 0.0,
+        int(px.max()) if px.size else 0,
+        int(px.sum(dtype=np.int64)),
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _jpeg_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_jpeg(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+JPEG_SCHEMA = (
+    "doc_id long, width long, height long, mean_pixel double,"
+    " max_pixel long, pixel_sum long"
+)
+
+
+def decode_jpegs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [decode_jpeg(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [f[0] for f in feats],
+                "height": [f[1] for f in feats],
+                "mean_pixel": [round(f[2], 3) + 0.0 for f in feats],
+                "max_pixel": [f[3] for f in feats],
+                "pixel_sum": [f[4] for f in feats],
+            }
+        )
+
+
+@register(
+    "multimodal_jpeg_decode",
+    # the oracle rebuilds the per-block-row fill (doc_id + r) % 256 via
+    # generate_series — an independent recompute of the decoded raster
+    # statistics (w x 8 identical samples per block row; the DC quant
+    # step of 8 makes the lossy round trip exact for flat blocks)
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, (n_chars % 8 + 1) * 8 AS w, doc_id % 6 + 1 AS hb
+  FROM documents
+), px AS (
+  SELECT doc_id, w, hb, unnest(generate_series(0, hb - 1)) AS r FROM dims
+)
+SELECT doc_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(hb) * 8 AS BIGINT) AS height,
+       round(avg((doc_id + r) % 256), 3) + 0 AS mean_pixel,
+       CAST(max((doc_id + r) % 256) AS BIGINT) AS max_pixel,
+       CAST(sum(((doc_id + r) % 256) * w * 8) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id
+""",
+    description="REAL lossy-codec decode: baseline JPEG (markers + DHT Huffman + dequant + IDCT)",
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through a REAL baseline JPEG: marker
+    walk, DHT-declared canonical Huffman entropy decode with byte
+    unstuffing, DC prediction + EXTEND, dezigzag, dequantization, and
+    the exact orthonormal IDCT.  Synthesis pins the lossiness: flat
+    8x8 blocks with a DC quant step of 8 reconstruct bit-exactly, so
+    the DuckDB oracle predicts the full decoded raster statistics and
+    any defect across the entropy/coefficient/transform pipeline
+    breaks the driver hash.  Same narrow two-Arrow-stage shape as the
+    PNG/PPM paths — decode parallelism == input partitions."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _jpeg_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_jpegs, schema=JPEG_SCHEMA)

@@ -54,11 +54,16 @@ def test_wav_roundtrip():
 
 def test_real_decode_dispatches_builtin_codecs_without_pil():
     assert real_decode(encode_ppm(5, 70)) == (70 % 64 + 1, 5 % 48 + 1)
-    # PNG now routes to the builtin stdlib decoder (r8), not PIL
+    # PNG and baseline JPEG route to the builtin stdlib decoders (r8)
     assert real_decode(encode_png(5, 70)) == (70 % 64 + 1, 5 % 48 + 1)
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (
+        encode_jpeg,
+    )
+
+    assert real_decode(encode_jpeg(5, 70)) == ((70 % 8 + 1) * 8, (5 % 6 + 1) * 8)
     if not HAVE_PIL:
         with pytest.raises(NotImplementedError):
-            real_decode(b"\xff\xd8\xff\xe0 jpeg-magic not really")
+            real_decode(b"RIFF....WEBPVP8 not really")  # PIL-tier magic
 
 
 # --------------------------------------------------------------------------
@@ -137,3 +142,147 @@ def test_png_generic_color_types(ctype, bpp):
     w2, h2, _mean, mx, s = decode_png(png)
     exp = [(y * 10 + x) % 256 for y in range(h) for x in range(w * bpp)]
     assert (w2, h2) == (w, h) and s == sum(exp) and mx == max(exp)
+
+
+# --------------------------------------------------------------------------
+# JPEG (r8): stdlib-only baseline decoder — markers + DHT Huffman +
+# dequant + exact orthonormal IDCT
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _IDCT_M,
+    _JPEG_AC_BITS,
+    _JPEG_AC_VALS,
+    _JPEG_DC_BITS,
+    _JPEG_DC_VALS,
+    _JPEG_QAC,
+    _JPEG_QDC,
+    _JPEG_ZIGZAG,
+    _jpeg_canonical,
+    _jpeg_segment,
+    _JpegBitWriter,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"),
+    # 250/255: the per-block-row fill wraps 255 -> 0 (largest |DC diff|
+    # categories); 0/1: degenerate dims; 128: fill crosses the level
+    # shift's zero
+    [(0, 0), (1, 7), (5, 63), (127, 8), (128, 1), (250, 5000), (255, 12)],
+)
+def test_jpeg_roundtrip_matches_synthesis(doc_id, n_chars):
+    w, h, mean, mx, s = decode_jpeg(encode_jpeg(doc_id, n_chars))
+    W, HB = (n_chars % 8 + 1) * 8, doc_id % 6 + 1
+    vals = [(doc_id + r) % 256 for r in range(HB)]
+    assert (w, h) == (W, HB * 8)
+    assert abs(mean - sum(vals) / HB) < 1e-9
+    assert mx == max(vals)
+    assert s == sum(v * W * 8 for v in vals)
+
+
+def _handmade_jpeg(zz_blocks):
+    """A single-component 8x8-per-block baseline JPEG whose entropy
+    data encodes the given zigzag coefficient lists verbatim (DC first,
+    already as quantized codes) — exercises the AC run/size, ZRL, and
+    EOB paths the flat-block encoder never emits."""
+    import struct
+
+    import numpy as np
+
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    pred = 0
+    for zz in zz_blocks:
+        diff = zz[0] - pred
+        pred = zz[0]
+        t = abs(diff).bit_length()
+        c, ln = dc_codes[t]
+        bw.write(c, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        k = 1
+        while k < 64:
+            if not any(zz[k:]):
+                c, ln = ac_codes[0x00]
+                bw.write(c, ln)  # EOB
+                break
+            run = 0
+            while zz[k] == 0:
+                run += 1
+                k += 1
+            while run >= 16:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)  # ZRL
+                run -= 16
+            v = zz[k]
+            t = abs(v).bit_length()
+            c, ln = ac_codes[(run << 4) | t]
+            bw.write(c, ln)
+            bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+            k += 1
+        else:
+            pass
+    n = len(zz_blocks)
+    w, h = 8 * n, 8
+    qtab = bytes([0]) + bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xDB, qtab)
+        + _jpeg_segment(0xC0, sof)
+        + _jpeg_segment(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + _jpeg_segment(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + _jpeg_segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_ac_coefficients_against_numpy_idct_reference():
+    """The AC path (run/size codes, EXTEND of negative values, ZRL,
+    mid-block EOB) decoded against an independent numpy IDCT of the
+    same dequantized coefficients."""
+    import numpy as np
+
+    zz1 = [0] * 64
+    zz1[0] = 17   # DC code
+    zz1[1] = 3    # AC (0,2)
+    zz1[2] = -5   # AC (0,3) negative -> EXTEND
+    zz1[5] = 1    # after a 2-zero run -> (2,1) = 0x21 code
+    zz2 = [0] * 64
+    zz2[0] = -9
+    zz2[18] = -1  # 17 zeros first: ZRL + (1,1) = 0x11
+    payload = _handmade_jpeg([zz1, zz2])
+    w, h, mean, mx, s = decode_jpeg(payload)
+    assert (w, h) == (16, 8)
+    # independent reference: dezigzag, dequantize, orthonormal IDCT
+    raster = np.zeros((8, 16))
+    for b, zz in enumerate([zz1, zz2]):
+        nat = np.zeros(64)
+        nat[_JPEG_ZIGZAG] = zz
+        q = np.full(64, _JPEG_QAC)
+        q[0] = _JPEG_QDC
+        coef = (nat * q[np.argsort(np.argsort(np.arange(64)))]).reshape(8, 8)
+        # q is natural-order constant except DC, so the simple form:
+        coef = nat.reshape(8, 8) * _JPEG_QAC
+        coef[0, 0] = nat.reshape(8, 8)[0, 0] * _JPEG_QDC
+        raster[:, b * 8 : b * 8 + 8] = np.clip(
+            np.round(_IDCT_M @ coef @ _IDCT_M.T + 128), 0, 255
+        )
+    assert abs(mean - raster.mean()) < 1e-9
+    assert mx == int(raster.max())
+    assert s == int(raster.sum())
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import struct
+
+    sof2 = _jpeg_segment(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"\xff\xd8" + sof2)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
