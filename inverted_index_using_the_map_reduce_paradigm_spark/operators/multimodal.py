@@ -827,14 +827,16 @@ def _jpeg_segment(marker: int, data: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
 
 
-def encode_jpeg(doc_id: int, n_chars: int) -> bytes:
+def encode_jpeg(doc_id: int, n_chars: int, restart_interval: int = 0) -> bytes:
     """A real baseline sequential grayscale JPEG: block-row r of the
     raster is a flat fill ``(doc_id + r) % 256``; dimensions derive
     from (doc_id, n_chars) in whole 8x8 blocks.  DC differences are
     Huffman-coded with the encoder's DHT-declared canonical table;
     every block ends with EOB.  With the DC quant step {_JPEG_QDC} the
     flat blocks survive quantization exactly, so the oracle predicts
-    the decode."""
+    the decode.  ``restart_interval`` > 0 emits a DRI segment and
+    RSTn markers every that-many MCUs (byte-aligned, DC prediction
+    reset) — the error-resilience structure real camera JPEGs carry."""
     import struct
 
     wb = n_chars % 8 + 1
@@ -844,9 +846,17 @@ def encode_jpeg(doc_id: int, n_chars: int) -> bytes:
     ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     pred = 0
+    mcu = 0
+    rst = 0
     for r in range(hb):
         dc_code = ((doc_id + r) % 256) - 128  # quantized DC: 8*s / 8
         for _ in range(wb):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.buf = bytearray(bw.flush())  # byte-align (pad with 1s)
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = 0  # RST resets the DC predictor
+            mcu += 1
             diff = dc_code - pred
             pred = dc_code
             t = abs(diff).bit_length()
@@ -863,12 +873,18 @@ def encode_jpeg(doc_id: int, n_chars: int) -> bytes:
     dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        _jpeg_segment(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + _jpeg_segment(0xDB, qtab)
         + _jpeg_segment(0xC0, sof)
         + _jpeg_segment(0xC4, dht_dc)
         + _jpeg_segment(0xC4, dht_ac)
+        + dri
         + _jpeg_segment(0xDA, sos)
         + bw.flush()
         + b"\xff\xd9"  # EOI
@@ -915,6 +931,16 @@ class _JpegBitReader:
                 return got
         raise ValueError("invalid Huffman code in JPEG stream")
 
+    def restart(self) -> None:
+        """Consume an RSTn marker: drop the padding bits of the current
+        byte, then the next two bytes must be FF D0..D7."""
+        self.n = 0
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
 
 def _jpeg_extend(v: int, t: int) -> int:
     if t == 0:
@@ -925,11 +951,12 @@ def _jpeg_extend(v: int, t: int) -> int:
 def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
     """(width, height, mean_pixel, max_pixel, pixel_sum) from a REAL
     baseline JPEG parse: marker walk (APPn/COM skipped), DQT (8-bit),
-    SOF0 (single-component baseline only — progressive SOF2,
-    multi-component, and restart intervals are rejected loudly), DHT
-    canonical-Huffman reconstruction, then per-block entropy decode
-    (DC predict + EXTEND, AC run/size with EOB and ZRL), dezigzag,
-    dequantize, orthonormal IDCT, +128 level shift, clamp."""
+    SOF0 (single-component baseline only — progressive SOF2 and
+    multi-component are rejected loudly), DHT canonical-Huffman
+    reconstruction, DRI/RSTn restart intervals (byte realign + DC
+    predictor reset), then per-block entropy decode (DC predict +
+    EXTEND, AC run/size with EOB and ZRL), dezigzag, dequantize,
+    orthonormal IDCT, +128 level shift, clamp."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -939,6 +966,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
     comp_q = dc_id = ac_id = 0
+    restart_interval = 0
     blocks: list[np.ndarray] | None = None
     while i < len(payload):
         if payload[i] != 0xFF:
@@ -987,9 +1015,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
                 }
                 huff[(cls, tid)] = inv
                 j += 17 + nvals
-        elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", data[:2])[0] != 0:
-                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             dc_id, ac_id = data[2] >> 4, data[2] & 15
             if w is None:
@@ -1000,7 +1027,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
             wb, hb = (w + 7) // 8, (h + 7) // 8
             pred = 0
             blocks = []
-            for _ in range(wb * hb):
+            for mcu in range(wb * hb):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    br.restart()
+                    pred = 0  # RST resets the DC predictor
                 zz = np.zeros(64)
                 t = br.decode(dc_t)
                 pred += _jpeg_extend(br.receive(t), t)
@@ -1049,8 +1079,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
 
 @F.pandas_udf(T.BinaryType())
 def _jpeg_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    # restart_interval=3: the driver hash also exercises the DRI/RSTn
+    # path (byte realignment + DC predictor reset) on every payload
     return pd.Series(
-        [encode_jpeg(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+        [
+            encode_jpeg(int(d), int(n), restart_interval=3)
+            for d, n in zip(doc_id, n_chars)
+        ]
     )
 
 

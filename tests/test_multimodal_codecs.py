@@ -286,3 +286,18 @@ def test_jpeg_rejects_progressive_and_garbage():
         decode_jpeg(b"\xff\xd8" + sof2)
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn support (r8): streams with restart markers every N MCUs
+    (byte realignment + DC predictor reset at each RSTn, marker ids
+    cycling D0..D7) decode identically to the unrestarted stream."""
+    for doc_id, n_chars, interval in [(5, 63, 2), (250, 5000, 1), (999, 20, 3)]:
+        plain = decode_jpeg(encode_jpeg(doc_id, n_chars))
+        rst = decode_jpeg(encode_jpeg(doc_id, n_chars, restart_interval=interval))
+        assert rst == plain
+        # the restarted stream really carries RST markers
+        p = encode_jpeg(doc_id, n_chars, restart_interval=interval)
+        assert any(
+            p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7 for i in range(2, len(p) - 2)
+        )
