@@ -1087,3 +1087,27 @@ def test_ivfpq_stored_prunes_to_probed_cells_one_python_pass(spark):
     final = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
     assert audit.python_eval_count(final) == 1, final
     assert "ArrowEvalPython" not in final, final  # no encode at query time
+
+
+def test_codec_decode_queries_have_no_semantic_shuffle(spark):
+    """The media-decode paths (PPM/WAV/PNG/JPEG round-trips) are two
+    narrow Arrow stages over the corpus — encode pandas_udf feeding a
+    decode mapInPandas — with NO data-dependent shuffle: decode
+    parallelism equals input partitions, the 100 TB media-ingest shape
+    their docstrings promise.  The only Exchange allowed is
+    data._spread's ROUND-ROBIN parallelism repair for the tiny
+    single-file fixture (absent on a real multi-split corpus); any
+    hash/range partitioning would mean a semantic shuffle crept in."""
+    for name in (
+        "multimodal_image_decode",
+        "multimodal_audio_decode",
+        "multimodal_png_decode",
+        "multimodal_jpeg_decode",
+    ):
+        plan = physical_plan(spark, name)
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "RoundRobinPartitioning" in line, (name, line)
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
