@@ -82,7 +82,7 @@ def detail_guard(
     sf: float,
     canary_par_sec: float,
     load_start: float,
-    new_spq: float | None = None,
+    new_timings: dict | None = None,
 ) -> str | None:
     """Reason to PRESERVE the committed BENCH_DETAIL.json (None = this
     run may replace it): the run started on a measurably slower host
@@ -107,13 +107,28 @@ def detail_guard(
             f"{committed.get('load1_start')})"
         )
     cq = committed.get("queries") or {}
-    if new_spq is not None and cq:
-        ref_spq = sum(cq.values()) / len(cq)
-        if new_spq > ref_spq * 1.15:
-            return (
-                f"slower than committed record ({new_spq:.3f} vs "
-                f"{ref_spq:.3f} s/query — JVM slow phase)"
+    if new_timings and cq:
+        # Compare mean s/query over the INTERSECTION of query names:
+        # a registry that grew inherently-slower queries (r8 codec
+        # decodes) would otherwise shift the new mean upward and block
+        # legitimate idle-start refreshes forever (r8 ADVICE).
+        common = sorted(set(cq) & set(new_timings))
+        if len(common) != len(cq) or len(common) != len(new_timings):
+            print(
+                f"detail_guard: registries differ (committed {len(cq)}, "
+                f"this run {len(new_timings)}, common {len(common)}) — "
+                "comparing over the intersection",
+                file=sys.stderr,
             )
+        if common:
+            ref_spq = sum(cq[k] for k in common) / len(common)
+            new_spq = sum(new_timings[k] for k in common) / len(common)
+            if new_spq > ref_spq * 1.15:
+                return (
+                    f"slower than committed record ({new_spq:.3f} vs "
+                    f"{ref_spq:.3f} s/query over {len(common)} common "
+                    "queries — JVM slow phase)"
+                )
     return None
 
 
@@ -245,6 +260,10 @@ def main() -> None:
         "ncpus": os.cpu_count(),
         "queries": timings,
         "conditions": conditions,
+        # surfaced here too (not just the driver line) so the record is
+        # self-describing when read from git alone (r8 VERDICT)
+        "sec_per_query": out["sec_per_query"],
+        "canary_norm_sec_per_query": out.get("canary_norm_sec_per_query"),
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     # Every full run records its detail to BENCH_DRIVER.json (the
@@ -257,9 +276,7 @@ def main() -> None:
     # file after driver runs.
     with open(os.path.join(repo, "BENCH_DRIVER.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    reason = detail_guard(
-        committed, sf, canary_par_sec, load_start, out["sec_per_query"]
-    )
+    reason = detail_guard(committed, sf, canary_par_sec, load_start, timings)
     if reason:
         out["detail_preserved"] = f"BENCH_DETAIL.json kept: {reason}"
         print(out["detail_preserved"] + "; this run -> BENCH_DRIVER.json",

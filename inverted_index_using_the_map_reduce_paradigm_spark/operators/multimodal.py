@@ -82,11 +82,19 @@ def real_decode(payload: bytes) -> tuple[int, int]:
         w, h, _maxval, _off = _ppm_header(payload)
         return w, h
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
-        w, h, _mean, _mx, _sum = decode_png(payload)
-        return w, h
-    if payload[:2] == b"\xff\xd8":
-        w, h, _mean, _mx, _sum = decode_jpeg(payload)
-        return w, h
+        try:
+            w, h, _mean, _mx, _sum = decode_png(payload)
+            return w, h
+        except NotImplementedError:  # interlaced/palette -> PIL if present
+            if not HAVE_PIL:
+                raise
+    elif payload[:2] == b"\xff\xd8":
+        try:
+            w, h, _mean, _mx, _sum = decode_jpeg(payload)
+            return w, h
+        except NotImplementedError:  # progressive/arith -> PIL if present
+            if not HAVE_PIL:
+                raise
     if not HAVE_PIL:  # pragma: no cover - PIL absent in this env
         raise NotImplementedError(
             "this codec requires PIL; this environment ships none -- "
@@ -1055,7 +1063,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
                 blocks.append(
                     np.clip(np.round(spatial + 128), 0, 255).astype(np.uint8)
                 )
-            i = br.pos + (1 if br.n else 0)  # next marker search resumes here
+            # br.pos is always the first UNREAD byte (partially-consumed
+            # bits live in acc/n, but pos already advanced past their
+            # byte), so the next marker search resumes exactly there --
+            # adding 1 when n>0 would skip the 0xFF of an adjacent marker.
+            i = br.pos
             while i < len(payload) and payload[i] != 0xFF:
                 i += 1
         else:  # APPn / COM / anything skippable

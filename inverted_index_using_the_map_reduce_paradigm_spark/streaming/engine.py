@@ -541,8 +541,8 @@ def q_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
-        # documents*.parquet (not the exact name): lets tests feed a
-        # multi-file split corpus one file per trigger
+        # exact-filename glob (_DOCS_GLOB): only the canonical
+        # documents.parquet feeds the stream, same as the other streams
         .option("pathGlobFilter", _DOCS_GLOB)
         .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
         .parquet(sf_dir)
