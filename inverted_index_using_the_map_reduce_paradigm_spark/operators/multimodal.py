@@ -21,12 +21,17 @@ Codec tiers (r7, PNG promoted r8):
   per-row filters; ``multimodal_png_decode`` round-trips payloads
   whose rows cycle all five filters, oracle-checked the same way.
 * Baseline sequential JPEG has a REAL stdlib-only decoder too (r8,
-  ``decode_jpeg``): marker walk, DHT-declared canonical Huffman
-  entropy decode with byte unstuffing, DC prediction + EXTEND,
-  dezigzag, dequantization, exact orthonormal IDCT;
+  ``decode_jpeg``; generalized r9 to ``_jpeg_parse``): marker walk,
+  DHT-declared canonical Huffman entropy decode with byte unstuffing,
+  DC prediction + EXTEND, AC run/size + ZRL, dezigzag, dequantization,
+  exact orthonormal IDCT, 1- or 3-component interleaved scans.
   ``multimodal_jpeg_decode`` synthesizes streams whose flat blocks
-  survive quantization exactly (DC step 8), so the lossy codec is
-  oracle-checked bit for bit.
+  survive quantization exactly (DC step 8);
+  ``multimodal_jpeg_ac_decode`` adds three nonzero AC coefficients per
+  block at {0,4}^2 basis positions (integer-exact IDCT, real run/size
+  and ZRL symbols); ``multimodal_jpeg_color_decode`` decodes
+  interleaved YCbCr 4:4:4 with per-component quant/Huffman tables —
+  all three oracle-checked bit for bit.
 * Remaining codec variants (progressive/subsampled JPEG, WebP, ...)
   stay import-gated behind PIL (absent in this container):
   ``real_decode`` dispatches P6/PNG/baseline-JPEG to the builtin
@@ -90,9 +95,9 @@ def real_decode(payload: bytes) -> tuple[int, int]:
                 raise
     elif payload[:2] == b"\xff\xd8":
         try:
-            w, h, _mean, _mx, _sum = decode_jpeg(payload)
+            w, h, _planes = _jpeg_parse(payload)  # grayscale or YCbCr
             return w, h
-        except NotImplementedError:  # progressive/arith -> PIL if present
+        except NotImplementedError:  # progressive/subsampled -> PIL if present
             if not HAVE_PIL:
                 raise
     if not HAVE_PIL:  # pragma: no cover - PIL absent in this env
@@ -747,15 +752,16 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unstuffing, DC prediction + coefficient EXTEND, dezigzag,
 # dequantization, and the exact orthonormal 8x8 IDCT — needs nothing
 # beyond numpy.  Huffman tables are read from the payload's DHT
-# segments (never hardcoded), so the decoder handles any
-# single-component baseline stream, not just this encoder's output.
+# segments (never hardcoded), so the decoder handles any 1- or
+# 3-component all-1x1 baseline stream, not just this encoder's output.
 # Lossiness is controlled at synthesis: flat 8x8 blocks have DC = 8 x
-# (fill - 128) and zero AC, and a DC quantization step of 8 makes the
-# round trip EXACT for every fill value — so the DuckDB oracle can
-# predict the decoded raster bit for bit while the decoder still runs
-# the full lossy-codec machinery.  (AC decoding is exercised by unit
-# tests with hand-built coefficient streams checked against a numpy
-# IDCT reference.)
+# (fill - 128), and the r9 AC variant places coefficients only at
+# {0,4}^2 basis positions where the 2-D basis magnitude is exactly
+# 1/8 — so quantization steps of 8 (DC) / 16 (AC) make the round trip
+# EXACT for every value and the DuckDB oracle predicts the decoded
+# raster bit for bit while the decoder runs the full lossy-codec
+# machinery (DC predict + EXTEND, AC run/size, ZRL, per-component
+# tables in the color variant).
 # --------------------------------------------------------------------------
 
 _JPEG_ZIGZAG = [
@@ -766,12 +772,31 @@ _JPEG_ZIGZAG = [
 ]
 _JPEG_QDC = 8  # DC quant step: divides 8*(v-128) exactly -> lossless flats
 _JPEG_QAC = 16
+# Chroma table (tq=1) for the color variant: DC step 16 so a quantized
+# chroma DC of q reconstructs as exactly 128 + 2*q per pixel.
+_JPEG_QDC_CHROMA = 16
 # encoder-defined canonical Huffman tables, carried in DHT like any
-# real stream: DC categories 0..11 and a small AC set incl. EOB + ZRL
+# real stream: DC categories 0..11 and an AC set incl. EOB + ZRL and
+# the (run,size) symbols the r9 AC synthesis emits (runs 3/8/9 from
+# the zigzag gaps between natural coefficients 4, 32 and 36).
 _JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
 _JPEG_DC_VALS = list(range(12))
-_JPEG_AC_BITS = [0, 0, 0, 10] + [0] * 12
-_JPEG_AC_VALS = [0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x11, 0x21, 0xF0]
+_JPEG_AC_BITS = [0, 0, 0, 0, 22] + [0] * 11
+_JPEG_AC_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x11, 0x21, 0xF0,
+    0x31, 0x32, 0x33, 0x34,  # run 3, sizes 1-4
+    0x81, 0x82, 0x83, 0x84,  # run 8, sizes 1-4 (follows a ZRL)
+    0x91, 0x92, 0x93, 0x94,  # run 9, sizes 1-4
+]
+# Chroma Huffman set (tid=1): DC categories 0..7 (DC values lie in
+# [-50,50] but the DIFFS wrap to +/-100 when a fill crosses the mod-101
+# boundary) and an EOB-only AC table — deliberately DIFFERENT shapes
+# from tid=0 so a decoder that ignores the per-component table
+# selectors cannot decode the color streams at all.
+_JPEG_DC1_BITS = [0, 0, 7, 1] + [0] * 12
+_JPEG_DC1_VALS = list(range(8))
+_JPEG_AC1_BITS = [1] + [0] * 15
+_JPEG_AC1_VALS = [0x00]
 
 # orthonormal 2-D DCT basis (== JPEG's (1/4)C(u)C(v) scaling):
 # f = M @ F @ M.T reconstructs spatial samples from natural-order coefs
@@ -835,16 +860,86 @@ def _jpeg_segment(marker: int, data: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
 
 
-def encode_jpeg(doc_id: int, n_chars: int, restart_interval: int = 0) -> bytes:
+def _jpeg_write_block(
+    bw: "_JpegBitWriter",
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    diff: int,
+    ac: list[tuple[int, int]] | None = None,
+) -> None:
+    """Entropy-code one block: DC difference, then the (zigzag_pos,
+    quantized_value) AC list (sorted, positions 1..63, values nonzero)
+    as real (run,size) symbols — inserting ZRL for gaps >= 16 — then
+    EOB unless position 63 was coded."""
+    t = abs(diff).bit_length()
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    k = 1
+    last = 0
+    for pos, val in ac or ():
+        run = pos - k
+        while run >= 16:
+            zc, zl = ac_codes[0xF0]
+            bw.write(zc, zl)
+            run -= 16
+        t = abs(val).bit_length()
+        code, length = ac_codes[(run << 4) | t]
+        bw.write(code, length)
+        bw.write(val if val >= 0 else val + (1 << t) - 1, t)
+        k = pos + 1
+        last = pos
+    if last != 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+
+
+# Natural coefficient positions whose 1-D bases are BOTH exactly
+# sqrt(2)/4 in magnitude (b0 == |b4|), so a dequantized coefficient D
+# at (v,u) in {0,4}^2 contributes exactly D/8 * s(x)*s(y) per pixel,
+# with s(t) = +1 for t in {0,3,4,7} and -1 for t in {1,2,5,6}.  With
+# the AC quant step of 16, a quantized value q contributes exactly
+# 2*q — integer, so round+clamp are no-ops and DuckDB can recompute
+# the decoded raster in closed form.
+_JPEG_AC_POS = sorted(
+    (_JPEG_ZIGZAG.index(nat), nat) for nat in (4, 32, 36)
+)  # zigzag 10 -> nat 32 (v=4,u=0), 14 -> 4 (v=0,u=4), 39 -> 36 (v=4,u=4)
+
+
+def _jpeg_ac_coeffs(doc_id: int, r: int, c: int) -> tuple[int, int, int]:
+    """Per-block quantized AC values (qh at (0,4): varies with x; qv at
+    (4,0): varies with y; qd at (4,4)), each mapped into
+    [-9,-1] u [1,9] so every block really codes three nonzero AC
+    coefficients (zero would change the run structure)."""
+
+    def nz(m: int) -> int:
+        return m - 9 if m < 9 else m - 8
+
+    return (
+        nz((doc_id + 5 * r + 3 * c) % 18),
+        nz((2 * doc_id + 7 * r + c) % 18),
+        nz((3 * doc_id + r + 11 * c) % 18),
+    )
+
+
+def encode_jpeg(
+    doc_id: int, n_chars: int, restart_interval: int = 0, ac: bool = False
+) -> bytes:
     """A real baseline sequential grayscale JPEG: block-row r of the
-    raster is a flat fill ``(doc_id + r) % 256``; dimensions derive
-    from (doc_id, n_chars) in whole 8x8 blocks.  DC differences are
-    Huffman-coded with the encoder's DHT-declared canonical table;
-    every block ends with EOB.  With the DC quant step {_JPEG_QDC} the
-    flat blocks survive quantization exactly, so the oracle predicts
-    the decode.  ``restart_interval`` > 0 emits a DRI segment and
-    RSTn markers every that-many MCUs (byte-aligned, DC prediction
-    reset) — the error-resilience structure real camera JPEGs carry."""
+    raster is a flat fill (``(doc_id + r) % 256``, or
+    ``64 + (doc_id + r) % 128`` when ``ac`` so AC swings never clamp);
+    dimensions derive from (doc_id, n_chars) in whole 8x8 blocks.  DC
+    differences are Huffman-coded with the encoder's DHT-declared
+    canonical table.  With the DC quant step {_JPEG_QDC} the flat
+    component survives quantization exactly, so the oracle predicts
+    the decode.  ``ac`` additionally codes three nonzero AC
+    coefficients per block at natural positions 4/32/36 (zigzag runs
+    9 and 3 plus a ZRL+run-8 — the full run/size path), each
+    contributing exactly 2*q per pixel (see ``_JPEG_AC_POS``).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that-many MCUs (byte-aligned, DC prediction reset) — the
+    error-resilience structure real camera JPEGs carry."""
     import struct
 
     wb = n_chars % 8 + 1
@@ -857,23 +952,24 @@ def encode_jpeg(doc_id: int, n_chars: int, restart_interval: int = 0) -> bytes:
     mcu = 0
     rst = 0
     for r in range(hb):
-        dc_code = ((doc_id + r) % 256) - 128  # quantized DC: 8*s / 8
-        for _ in range(wb):
+        if ac:
+            dc_code = 64 + (doc_id + r) % 128 - 128
+        else:
+            dc_code = ((doc_id + r) % 256) - 128  # quantized DC: 8*s / 8
+        for c in range(wb):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.buf = bytearray(bw.flush())  # byte-align (pad with 1s)
                 bw.buf += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 pred = 0  # RST resets the DC predictor
             mcu += 1
-            diff = dc_code - pred
+            coeffs = None
+            if ac:
+                qh, qv, qd = _jpeg_ac_coeffs(doc_id, r, c)
+                by_nat = {4: qh, 32: qv, 36: qd}
+                coeffs = [(pos, by_nat[nat]) for pos, nat in _JPEG_AC_POS]
+            _jpeg_write_block(bw, dc_codes, ac_codes, dc_code - pred, coeffs)
             pred = dc_code
-            t = abs(diff).bit_length()
-            code, length = dc_codes[t]
-            bw.write(code, length)
-            if t:
-                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            code, length = ac_codes[0x00]  # EOB: all AC zero
-            bw.write(code, length)
     qtab = bytes([0]) + bytes(
         [_JPEG_QDC] + [_JPEG_QAC] * 63
     )  # Pq/Tq=0, zigzag order (index 0 is DC either way)
@@ -896,6 +992,73 @@ def encode_jpeg(doc_id: int, n_chars: int, restart_interval: int = 0) -> bytes:
         + _jpeg_segment(0xDA, sos)
         + bw.flush()
         + b"\xff\xd9"  # EOI
+    )
+
+
+def encode_jpeg_color(doc_id: int, n_chars: int) -> bytes:
+    """A real baseline INTERLEAVED YCbCr 4:4:4 JPEG (three components,
+    all sampling factors 1x1, one block of each per MCU in Y,Cb,Cr
+    scan order).  Y carries the same fill+AC synthesis as
+    ``encode_jpeg(ac=True)``; Cb/Cr are flat chroma planes
+    ``128 + 2*q`` with q in [-50,50] quantized under the SECOND quant
+    table (tq=1, DC step 16) and coded with the SECOND Huffman set
+    (tid=1) — so per-component quant-table and Huffman-table selection,
+    interleaved MCU layout, and per-component DC predictors are all
+    load-bearing for a correct decode."""
+    import struct
+
+    wb = n_chars % 8 + 1
+    hb = doc_id % 6 + 1
+    w, h = wb * 8, hb * 8
+    dc0 = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac0 = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc1 = _jpeg_canonical(_JPEG_DC1_BITS, _JPEG_DC1_VALS)
+    ac1 = _jpeg_canonical(_JPEG_AC1_BITS, _JPEG_AC1_VALS)
+    bw = _JpegBitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for r in range(hb):
+        y_dc = 64 + (doc_id + r) % 128 - 128
+        cb_dc = (doc_id * 7 + r) % 101 - 50
+        cr_dc = (doc_id * 13 + r) % 101 - 50
+        for c in range(wb):
+            qh, qv, qd = _jpeg_ac_coeffs(doc_id, r, c)
+            by_nat = {4: qh, 32: qv, 36: qd}
+            coeffs = [(pos, by_nat[nat]) for pos, nat in _JPEG_AC_POS]
+            _jpeg_write_block(bw, dc0, ac0, y_dc - preds[1], coeffs)
+            preds[1] = y_dc
+            _jpeg_write_block(bw, dc1, ac1, cb_dc - preds[2], None)
+            preds[2] = cb_dc
+            _jpeg_write_block(bw, dc1, ac1, cr_dc - preds[3], None)
+            preds[3] = cr_dc
+    qtab0 = bytes([0x00]) + bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)
+    qtab1 = bytes([0x01]) + bytes([_JPEG_QDC_CHROMA] + [_JPEG_QAC] * 63)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        _jpeg_segment(
+            0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        )
+        + _jpeg_segment(
+            0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        )
+        # two tables in ONE DHT segment: real encoders pack them, so the
+        # decoder's multi-table segment walk is exercised too
+        + _jpeg_segment(
+            0xC4,
+            bytes([0x01]) + bytes(_JPEG_DC1_BITS) + bytes(_JPEG_DC1_VALS)
+            + bytes([0x11]) + bytes(_JPEG_AC1_BITS) + bytes(_JPEG_AC1_VALS),
+        )
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xDB, qtab0 + qtab1)  # two quant tables, one DQT
+        + _jpeg_segment(0xC0, sof)
+        + dht
+        + _jpeg_segment(0xDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
     )
 
 
@@ -956,15 +1119,18 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
-    """(width, height, mean_pixel, max_pixel, pixel_sum) from a REAL
-    baseline JPEG parse: marker walk (APPn/COM skipped), DQT (8-bit),
-    SOF0 (single-component baseline only — progressive SOF2 and
-    multi-component are rejected loudly), DHT canonical-Huffman
-    reconstruction, DRI/RSTn restart intervals (byte realign + DC
-    predictor reset), then per-block entropy decode (DC predict +
-    EXTEND, AC run/size with EOB and ZRL), dezigzag, dequantize,
-    orthonormal IDCT, +128 level shift, clamp."""
+def _jpeg_parse(payload: bytes) -> tuple[int, int, list[tuple[int, "np.ndarray"]]]:
+    """REAL baseline JPEG parse to per-component rasters: marker walk
+    (APPn/COM skipped), DQT (8-bit, multi-table segments), SOF0 with
+    1 or 3 components all sampled 1x1 (progressive SOF2, arithmetic
+    and subsampled streams are rejected loudly), DHT canonical-Huffman
+    reconstruction (multi-table segments), DRI/RSTn restart intervals
+    (byte realign + ALL DC predictors reset), then interleaved
+    per-MCU entropy decode with each scan component's own quant table,
+    Huffman pair and DC predictor (DC predict + EXTEND, AC run/size
+    with EOB and ZRL), dezigzag, dequantize, orthonormal IDCT, +128
+    level shift, clamp.  Returns (w, h, [(component_id, raster)]) in
+    scan order with rasters cropped to the SOF dimensions."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -973,9 +1139,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comp_q = dc_id = ac_id = 0
+    comps: list[tuple[int, int]] = []  # SOF order: (component_id, tq)
+    scan: list[tuple[int, int, int]] | None = None  # (cid, dc_id, ac_id)
     restart_interval = 0
-    blocks: list[np.ndarray] | None = None
+    blocks: dict[int, list[np.ndarray]] = {}
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
@@ -998,14 +1165,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
                 j += 65
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nf = struct.unpack(">BHHB", data[:6])
-            if prec != 8 or nf != 1:
+            if prec != 8 or nf not in (1, 3):
                 raise NotImplementedError(
-                    f"only 8-bit single-component baseline JPEG (got "
+                    f"only 8-bit 1- or 3-component baseline JPEG (got "
                     f"precision={prec}, components={nf})"
                 )
-            if data[7] != 0x11:
-                raise NotImplementedError("subsampling unsupported")
-            comp_q = data[8]
+            comps = []
+            for k in range(nf):
+                cid, hv, tq = data[6 + 3 * k : 9 + 3 * k]
+                if hv != 0x11:
+                    raise NotImplementedError("subsampling unsupported")
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError(
                 f"non-baseline SOF{marker - 0xC0} JPEG unsupported"
@@ -1026,43 +1196,57 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
-            dc_id, ac_id = data[2] >> 4, data[2] & 15
             if w is None:
                 raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) JPEG unsupported"
+                )
+            tq_of = dict(comps)
+            scan = []
+            for k in range(ns):
+                cs, tda = data[1 + 2 * k], data[2 + 2 * k]
+                if cs not in tq_of:
+                    raise ValueError(f"SOS component {cs} not in SOF")
+                scan.append((cs, tda >> 4, tda & 15))
             br = _JpegBitReader(payload, i)
-            q = qtabs[comp_q]
-            dc_t, ac_t = huff[(0, dc_id)], huff[(1, ac_id)]
             wb, hb = (w + 7) // 8, (h + 7) // 8
-            pred = 0
-            blocks = []
+            preds = {cid: 0 for cid, _, _ in scan}
+            blocks = {cid: [] for cid, _, _ in scan}
             for mcu in range(wb * hb):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     br.restart()
-                    pred = 0  # RST resets the DC predictor
-                zz = np.zeros(64)
-                t = br.decode(dc_t)
-                pred += _jpeg_extend(br.receive(t), t)
-                zz[0] = pred
-                k = 1
-                while k < 64:
-                    rs = br.decode(ac_t)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _jpeg_extend(br.receive(rs & 15), rs & 15)
-                    k += 1
-                nat = np.zeros(64)
-                nat[_JPEG_ZIGZAG] = zz
-                coef = nat.reshape(8, 8) * q
-                spatial = _IDCT_M @ coef @ _IDCT_M.T
-                blocks.append(
-                    np.clip(np.round(spatial + 128), 0, 255).astype(np.uint8)
-                )
+                    preds = dict.fromkeys(preds, 0)  # RST resets ALL preds
+                for cid, dc_id, ac_id in scan:
+                    q = qtabs[tq_of[cid]]
+                    dc_t, ac_t = huff[(0, dc_id)], huff[(1, ac_id)]
+                    zz = np.zeros(64)
+                    t = br.decode(dc_t)
+                    preds[cid] += _jpeg_extend(br.receive(t), t)
+                    zz[0] = preds[cid]
+                    k = 1
+                    while k < 64:
+                        rs = br.decode(ac_t)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        zz[k] = _jpeg_extend(br.receive(rs & 15), rs & 15)
+                        k += 1
+                    nat = np.zeros(64)
+                    nat[_JPEG_ZIGZAG] = zz
+                    coef = nat.reshape(8, 8) * q
+                    spatial = _IDCT_M @ coef @ _IDCT_M.T
+                    blocks[cid].append(
+                        np.clip(np.round(spatial + 128), 0, 255).astype(
+                            np.uint8
+                        )
+                    )
             # br.pos is always the first UNREAD byte (partially-consumed
             # bits live in acc/n, but pos already advanced past their
             # byte), so the next marker search resumes exactly there --
@@ -1072,20 +1256,81 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
                 i += 1
         else:  # APPn / COM / anything skippable
             pass
-    if blocks is None or w is None:
+    if scan is None or w is None:
         raise ValueError("JPEG missing SOS/SOF")
     wb, hb = (w + 7) // 8, (h + 7) // 8
-    raster = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
-    for idx, blk in enumerate(blocks):
-        by, bx = divmod(idx, wb)
-        raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-    px = raster[:h, :w].reshape(-1)  # crop MCU padding to the SOF dims
+    out: list[tuple[int, np.ndarray]] = []
+    for cid, _, _ in scan:
+        raster = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+        for idx, blk in enumerate(blocks[cid]):
+            by, bx = divmod(idx, wb)
+            raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        out.append((cid, raster[:h, :w]))  # crop MCU padding to SOF dims
+    return int(w), int(h), out
+
+
+# sign of the u=4 DCT basis per block-local coordinate: cos((2t+1)pi/4)
+_JPEG_S4 = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+
+
+def _jpeg_quad_sums(raster: "np.ndarray") -> tuple[int, int, int]:
+    """(sum px*s(x%8), sum px*s(y%8), sum px*s(x%8)*s(y%8)) over the
+    raster — the three sums project out exactly 64x the dequantized/8
+    AC coefficient at natural positions 4, 32 and 36 per block (every
+    other coefficient position and the DC fill cancel), so each AC
+    value the stream codes is individually load-bearing for the
+    driver hash."""
+    h, w = raster.shape
+    sx = np.tile(_JPEG_S4, (w + 7) // 8)[:w]
+    sy = np.tile(_JPEG_S4, (h + 7) // 8)[:h]
+    px = raster.astype(np.int64)
+    return (
+        int((px * sx[None, :]).sum()),
+        int((px * sy[:, None]).sum()),
+        int((px * sx[None, :] * sy[:, None]).sum()),
+    )
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int]:
+    """(width, height, mean_pixel, max_pixel, pixel_sum) from a real
+    single-component (grayscale) baseline JPEG — see ``_jpeg_parse``
+    for the full decode pipeline this drives."""
+    w, h, planes = _jpeg_parse(payload)
+    if len(planes) != 1:
+        raise ValueError(f"expected grayscale JPEG, got {len(planes)} planes")
+    px = planes[0][1].reshape(-1)
     return (
         int(w),
         int(h),
         float(px.mean()) if px.size else 0.0,
         int(px.max()) if px.size else 0,
         int(px.sum(dtype=np.int64)),
+    )
+
+
+def decode_jpeg_color(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int, int, int, int]:
+    """(width, height, y_sum, y_max, cb_sum, cr_sum, ac_h_sum,
+    ac_v_sum, ac_d_sum) from a real interleaved YCbCr 4:4:4 baseline
+    JPEG: per-plane statistics plus the three quad sums of the Y plane
+    (``_jpeg_quad_sums``), which read back the Y AC coefficients."""
+    w, h, planes = _jpeg_parse(payload)
+    if len(planes) != 3:
+        raise ValueError(f"expected YCbCr JPEG, got {len(planes)} planes")
+    by_cid = dict(planes)
+    y, cb, cr = by_cid[1], by_cid[2], by_cid[3]
+    ach, acv, acd = _jpeg_quad_sums(y)
+    return (
+        int(w),
+        int(h),
+        int(y.sum(dtype=np.int64)),
+        int(y.max()) if y.size else 0,
+        int(cb.sum(dtype=np.int64)),
+        int(cr.sum(dtype=np.int64)),
+        ach,
+        acv,
+        acd,
     )
 
 
@@ -1161,3 +1406,191 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _jpeg_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_jpegs, schema=JPEG_SCHEMA)
+
+
+@F.pandas_udf(T.BinaryType())
+def _jpeg_ac_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    # restart_interval=2 so byte realignment + predictor reset interleave
+    # with real AC (run,size) symbols and ZRLs inside one stream
+    return pd.Series(
+        [
+            encode_jpeg(int(d), int(n), restart_interval=2, ac=True)
+            for d, n in zip(doc_id, n_chars)
+        ]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _jpeg_color_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_jpeg_color(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+JPEG_AC_SCHEMA = (
+    "doc_id long, width long, height long, pixel_sum long, max_pixel long,"
+    " ac_h_sum long, ac_v_sum long, ac_d_sum long"
+)
+
+
+def decode_jpegs_ac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, planes = _jpeg_parse(p)
+            y = planes[0][1]
+            ach, acv, acd = _jpeg_quad_sums(y)
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    int(y.sum(dtype="int64")),
+                    int(y.max()) if y.size else 0,
+                    ach,
+                    acv,
+                    acd,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "pixel_sum", "max_pixel",
+                "ac_h_sum", "ac_v_sum", "ac_d_sum",
+            ],
+        )
+
+
+JPEG_COLOR_SCHEMA = (
+    "doc_id long, width long, height long, y_sum long, y_max long,"
+    " cb_sum long, cr_sum long, ac_h_sum long, ac_v_sum long, ac_d_sum long"
+)
+
+
+def decode_jpegs_color(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_jpeg_color(p))
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "y_sum", "y_max",
+                "cb_sum", "cr_sum", "ac_h_sum", "ac_v_sum", "ac_d_sum",
+            ],
+        )
+
+
+# The AC synthesis in closed form, shared by both oracles: per block
+# (r, c) the decoded pixels are fill + ah*s(x) + av*s(y) + ad*s(x)s(y)
+# with s summing to zero over a block — so pixel_sum sees only fill,
+# max_pixel the best-aligned sign class, and the quad sums exactly
+# 64*ah / 64*av / 64*ad per block (see _JPEG_AC_POS / _jpeg_quad_sums).
+_JPEG_AC_BLOCKS_CTE = """
+WITH dims AS (
+  SELECT doc_id, n_chars % 8 + 1 AS wb, doc_id % 6 + 1 AS hb FROM documents
+), rows_ AS (
+  SELECT doc_id, wb, hb, unnest(generate_series(0, hb - 1)) AS r FROM dims
+), blocks AS (
+  SELECT doc_id, wb, hb, r, unnest(generate_series(0, wb - 1)) AS c
+  FROM rows_
+), coef AS (
+  SELECT doc_id, wb, hb, r,
+         64 + (doc_id + r) % 128 AS fill,
+         2 * (CASE WHEN (doc_id + 5*r + 3*c) % 18 < 9
+              THEN (doc_id + 5*r + 3*c) % 18 - 9
+              ELSE (doc_id + 5*r + 3*c) % 18 - 8 END) AS ah,
+         2 * (CASE WHEN (2*doc_id + 7*r + c) % 18 < 9
+              THEN (2*doc_id + 7*r + c) % 18 - 9
+              ELSE (2*doc_id + 7*r + c) % 18 - 8 END) AS av,
+         2 * (CASE WHEN (3*doc_id + r + 11*c) % 18 < 9
+              THEN (3*doc_id + r + 11*c) % 18 - 9
+              ELSE (3*doc_id + r + 11*c) % 18 - 8 END) AS ad
+  FROM blocks
+)
+"""
+
+
+@register(
+    "multimodal_jpeg_ac_decode",
+    oracle=_JPEG_AC_BLOCKS_CTE
+    + """
+SELECT doc_id,
+       CAST(any_value(wb) * 8 AS BIGINT) AS width,
+       CAST(any_value(hb) * 8 AS BIGINT) AS height,
+       CAST(sum(64 * fill) AS BIGINT) AS pixel_sum,
+       CAST(max(fill + greatest(ah + av + ad, ah - av - ad,
+                                -ah + av - ad, -ah - av + ad))
+            AS BIGINT) AS max_pixel,
+       CAST(sum(64 * ah) AS BIGINT) AS ac_h_sum,
+       CAST(sum(64 * av) AS BIGINT) AS ac_v_sum,
+       CAST(sum(64 * ad) AS BIGINT) AS ac_d_sum
+FROM coef GROUP BY doc_id
+""",
+    description=(
+        "REAL JPEG AC path: run/size + ZRL entropy decode of three nonzero"
+        " AC coefficients per block, oracle-predicted in closed form"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_jpeg_ac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through a baseline JPEG whose blocks
+    are NOT flat: three nonzero AC coefficients per block at natural
+    positions 4/32/36 (zigzag runs 9 and 3 plus ZRL+run-8), restart
+    markers every 2 MCUs.  The u,v in {0,4} basis trick keeps the IDCT
+    integer-exact (each coefficient contributes exactly 2*q per pixel
+    with a +/- sign pattern), so DuckDB predicts pixel_sum, max_pixel
+    and the three quad sums — which project out each AC coefficient
+    individually — making the run/size, ZRL and EXTEND paths
+    driver-hash load-bearing (r8 VERDICT item 1)."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _jpeg_ac_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_jpegs_ac, schema=JPEG_AC_SCHEMA)
+
+
+@register(
+    "multimodal_jpeg_color_decode",
+    oracle=_JPEG_AC_BLOCKS_CTE
+    + """
+SELECT doc_id,
+       CAST(any_value(wb) * 8 AS BIGINT) AS width,
+       CAST(any_value(hb) * 8 AS BIGINT) AS height,
+       CAST(sum(64 * fill) AS BIGINT) AS y_sum,
+       CAST(max(fill + greatest(ah + av + ad, ah - av - ad,
+                                -ah + av - ad, -ah - av + ad))
+            AS BIGINT) AS y_max,
+       CAST(sum(64 * (128 + 2 * ((doc_id * 7 + r) % 101 - 50)))
+            AS BIGINT) AS cb_sum,
+       CAST(sum(64 * (128 + 2 * ((doc_id * 13 + r) % 101 - 50)))
+            AS BIGINT) AS cr_sum,
+       CAST(sum(64 * ah) AS BIGINT) AS ac_h_sum,
+       CAST(sum(64 * av) AS BIGINT) AS ac_v_sum,
+       CAST(sum(64 * ad) AS BIGINT) AS ac_d_sum
+FROM coef GROUP BY doc_id
+""",
+    description=(
+        "REAL JPEG color path: interleaved YCbCr 4:4:4 MCU decode with"
+        " per-component quant/Huffman tables and DC predictors"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_jpeg_color_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-trips every document through an interleaved YCbCr 4:4:4
+    baseline JPEG: Y carries the AC synthesis, Cb/Cr are flat planes
+    quantized under a SECOND quant table (DC step 16 -> pixels
+    128 + 2*q) and coded with a SECOND Huffman set, so table
+    selection, the 3-blocks-per-MCU scan order and per-component DC
+    predictors all change the oracle-predicted per-plane sums (r8
+    VERDICT item 1, color variant)."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _jpeg_color_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_jpegs_color, schema=JPEG_COLOR_SCHEMA)

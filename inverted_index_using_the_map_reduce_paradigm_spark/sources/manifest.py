@@ -47,6 +47,7 @@ def read_corpus(
     manifest_path: str,
     validate: bool = False,
     wholetext: bool | str = False,
+    doc_level: bool = False,
 ) -> DataFrame:
     """documents-shaped DataFrame (doc_id, text) from a reference manifest.
 
@@ -76,12 +77,18 @@ def read_corpus(
     lists — ``formatted_index`` documents its tolerance of
     line-grained rows), and WRONG for any doc-level consumer
     (length/quality stats, whole-text dedup), which would silently
-    treat each fragment as a document.  Callers outside the inverted
-    index pipeline must pass ``True``/``False`` — never ``"auto"`` —
-    unless their aggregation collapses rows per doc_id.  (Re-gluing
-    the fragments into one row would need a shuffle and a single-task
-    multi-GiB string — exactly what "auto" exists to avoid.)  When
-    the split is active both branches pass EXPLICIT path lists (the
+    treat each fragment as a document.  Doc-level consumers pass
+    ``doc_level=True`` (requires ``wholetext="auto"``): the oversized
+    files' line rows are re-glued into one row per doc — ordered by
+    ``input_file_block_start()`` then a per-task monotonic id, so the
+    shuffle-surviving sort key IS the file offset order — with the
+    trailing newline restored from a driver-side 1-byte probe, making
+    the output byte-identical to the pure wholetext read.  The glue
+    step deliberately gives back the skew-safety for those files (one
+    task holds the whole document again, as any doc-level consumer
+    must); the corpus still SCANS in parallel and only the few
+    oversized docs pay the single-task concat.  When the split is
+    active both branches pass EXPLICIT path lists (the
     parent-directory listing shortcut would re-read the big files in
     the wholetext branch) — the per-path driver listing cost is the
     documented price of a skewed layout.
@@ -131,6 +138,11 @@ def read_corpus(
             F.col("value").alias("text"),
         )
 
+    if doc_level and wholetext != "auto":
+        raise ValueError(
+            "doc_level=True is the auto-split re-aggregation contract; "
+            "wholetext=True/False already yields doc/line rows directly"
+        )
     big: list[str] = []
     if wholetext == "auto":
         big = [
@@ -147,6 +159,46 @@ def read_corpus(
             if os.path.abspath(p) not in bigset
         ]
         lines = _scan(big, per_file=False)
+        if doc_level:
+            # Re-glue each oversized file's line rows into ONE row in
+            # exact byte order: input_file_block_start() orders the
+            # Hadoop splits by file offset and a per-task monotonic id
+            # orders rows within a split, so sorting the collected
+            # (block, seq, text) structs reconstructs the file even
+            # though collect_list order is shuffle-dependent.  The
+            # line scan cannot see whether the file's last byte was a
+            # newline, so probe it driver-side (1 byte per oversized
+            # file — there are few by construction).
+            def _ends_nl(p: str) -> bool:
+                with open(p, "rb") as f:
+                    f.seek(-1, os.SEEK_END)
+                    return f.read(1) == b"\n"
+
+            nl_tail = [p for p in big if _ends_nl(p)]
+            lines = (
+                lines.withColumn("blk", F.input_file_block_start())
+                .withColumn("seq", F.monotonically_increasing_id())
+                .groupBy("abs_path")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("blk", "seq", "text"))
+                    ).alias("frags")
+                )
+                .select(
+                    "abs_path",
+                    F.concat_ws(
+                        "\n", F.transform("frags", lambda x: x.text)
+                    ).alias("text"),
+                )
+            )
+            if nl_tail:
+                lines = lines.withColumn(
+                    "text",
+                    F.when(
+                        F.col("abs_path").isin(nl_tail),
+                        F.concat(F.col("text"), F.lit("\n")),
+                    ).otherwise(F.col("text")),
+                )
         if small:
             lines = lines.unionByName(_scan(small, per_file=True))
     else:

@@ -7,19 +7,44 @@ from: floors are set measured-minus-margin, so re-run this after any
 quantizer change.
 
 Usage: python scripts/ann_recall.py [DIR ...] [--variants ivf ivfpq ...]
+                                    [--assert-floors]
 Default dirs: sf0.001, sf0.01; add /tmp/scale_sweep/x{16,64} for ladders.
+
+``--assert-floors`` turns the sweep into a gate (exit 1 on violation):
+fixture-scale dirs must clear the census floor (0.5), and any
+/tmp/scale_sweep/x{m} dir with m >= 16 must clear the SCALE floor
+below — so the r8 adaptive-quantizer gains (IVF/IVF-PQ 0.72-0.88 at
+x16..x256) cannot silently erode in a later round.  Floors are
+measured-minus-margin from the SCALE.md §13 table.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = ["rp", "ivf", "ivfpq", "ivfpq_stored"]
+
+FIXTURE_FLOOR = 0.5  # == census.IVF_RECALL_FLOOR at sf0.001/sf0.01
+# at >= x16 the sqrt(n) coarse quantizer must keep recall rising with
+# corpus size: r8 measured IVF 0.76/0.76, IVF-PQ 0.72/0.72 at x16/x64
+# and IVF-PQ 0.88 at x256 — floor set with ~0.07 margin.
+SCALE_FLOOR = 0.65
+SCALE_FLOOR_VARIANTS = {"ivf", "ivfpq", "ivfpq_stored"}
+
+
+def floor_for(d: str, variant: str) -> float | None:
+    m = re.search(r"x(\d+)$", d.rstrip("/"))
+    if m and int(m.group(1)) >= 16:
+        return SCALE_FLOOR if variant in SCALE_FLOOR_VARIANTS else None
+    if "testdata/sf" in d:
+        return FIXTURE_FLOOR if variant in SCALE_FLOOR_VARIANTS else None
+    return None
 
 
 def main() -> int:
@@ -28,7 +53,9 @@ def main() -> int:
         "dirs", nargs="*", default=["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     )
     ap.add_argument("--variants", nargs="+", default=["ivf", "ivfpq"])
+    ap.add_argument("--assert-floors", action="store_true")
     args = ap.parse_args()
+    violations: list[str] = []
 
     from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import (
         N_QUERIES,
@@ -51,11 +78,23 @@ def main() -> int:
                 for r in qs[f"similarity_search_{v}"].fn(spark, d).collect()
             }
             recall = len(ann & exact) / (N_QUERIES * TOP_K)
+            floor = floor_for(d, v) if args.assert_floors else None
+            verdict = ""
+            if floor is not None:
+                if recall < floor:
+                    violations.append(f"{d} {v}: {recall:.3f} < floor {floor}")
+                    verdict = f"  FLOOR VIOLATION (< {floor})"
+                else:
+                    verdict = f"  ok (floor {floor})"
             print(
                 f"{d} {v}: recall={recall:.3f} n_ann={len(ann)}"
-                f" ({time.perf_counter() - t0:.1f}s, load1 {os.getloadavg()[0]:.1f})",
+                f" ({time.perf_counter() - t0:.1f}s, load1 {os.getloadavg()[0]:.1f})"
+                + verdict,
                 flush=True,
             )
+    if violations:
+        print("RECALL FLOOR VIOLATIONS:\n  " + "\n  ".join(violations))
+        return 1
     return 0
 
 

@@ -22,3 +22,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-hundred-MiB fixtures; runs in the full suite"
+    )

@@ -9,6 +9,8 @@ from __future__ import annotations
 import os
 import string
 
+import pytest
+
 from inverted_index_using_the_map_reduce_paradigm_spark.operators.inverted_index import formatted_index
 from inverted_index_using_the_map_reduce_paradigm_spark.sources.manifest import read_corpus
 from inverted_index_using_the_map_reduce_paradigm_spark.sources.sinks import (
@@ -483,3 +485,86 @@ def test_read_corpus_auto_splits_big_files_same_result(spark, tmp_path, monkeypa
         }
 
     assert idx(auto) == idx(whole) == idx(line)
+
+
+def test_read_corpus_doc_level_reglues_auto_split(spark, tmp_path, monkeypatch):
+    """doc_level=True (r9): the auto-split's line fragments of an
+    oversized doc must re-glue to the EXACT bytes the pure wholetext
+    read yields — offset order across Hadoop splits, interior empty
+    lines, and the trailing-newline probe (one file ends with \\n, one
+    does not)."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources import manifest as m
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "small.txt").write_text("alpha beta\ngamma\n")
+    # two oversized files, distinct line lengths so any resequencing
+    # shows up; big2 has interior blank lines and NO trailing newline
+    (d / "big1.txt").write_text(
+        "".join(f"line {i} " + "x" * (i % 37) + "\n" for i in range(400))
+    )
+    (d / "big2.txt").write_text(
+        "".join(f"row {i}\n\n" for i in range(300)) + "tail-no-newline"
+    )
+    paths = [str(d / "big1.txt"), str(d / "big2.txt"), str(d / "small.txt")]
+    mf = tmp_path / "manifest.txt"
+    mf.write_text(f"{len(paths)}\n" + "\n".join(paths) + "\n")
+
+    monkeypatch.setattr(m, "WHOLETEXT_MAX_BYTES", 1024)
+    # force multiple Hadoop splits per big file so the re-glue really
+    # crosses split boundaries
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        glued = m.read_corpus(
+            spark, str(mf), validate=True, wholetext="auto", doc_level=True
+        )
+        whole = m.read_corpus(spark, str(mf), validate=True, wholetext=True)
+        got = {r.doc_id: r.text for r in glued.collect()}
+        want = {r.doc_id: r.text for r in whole.collect()}
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert set(got) == {1, 2, 3}
+    assert got == want  # byte-identical, trailing newline included
+    # exactly one row per doc — the doc-level contract
+    assert glued.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # and the guard: doc_level without the auto split is a misuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        m.read_corpus(spark, str(mf), wholetext=True, doc_level=True)
+
+
+@pytest.mark.slow
+def test_read_corpus_doc_level_full_size_doc(spark, tmp_path):
+    """The r8 VERDICT's literal done-bar: a document over the REAL
+    256 MiB threshold (no monkeypatch) through a doc-level consumer —
+    length and sha256 must match the pure-wholetext read."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources import manifest as m
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    block = ("lorem ipsum dolor sit amet " * 37 + "\n").encode()  # ~1 KiB
+    big = d / "big.txt"
+    with open(big, "wb") as f:
+        for _ in range(270 * 1024):  # ~270 MiB > WHOLETEXT_MAX_BYTES
+            f.write(block)
+    (d / "small.txt").write_text("alpha beta\n")
+    paths = [str(big), str(d / "small.txt")]
+    mf = tmp_path / "manifest.txt"
+    mf.write_text(f"{len(paths)}\n" + "\n".join(paths) + "\n")
+
+    def digest(docs):
+        return {
+            (r.doc_id, r.n, r.sha)
+            for r in docs.select(
+                "doc_id",
+                F.length("text").alias("n"),
+                F.sha2("text", 256).alias("sha"),
+            ).collect()
+        }
+
+    glued = m.read_corpus(spark, str(mf), wholetext="auto", doc_level=True)
+    whole = m.read_corpus(spark, str(mf), wholetext=True)
+    assert digest(glued) == digest(whole)

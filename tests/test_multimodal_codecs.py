@@ -301,3 +301,127 @@ def test_jpeg_restart_intervals_roundtrip():
         assert any(
             p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7 for i in range(2, len(p) - 2)
         )
+
+
+# --------------------------------------------------------------------------
+# r9: AC-coefficient and YCbCr color JPEG paths (oracle-backed synthesis)
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _jpeg_ac_coeffs,
+    _jpeg_parse,
+    _jpeg_quad_sums,
+    decode_jpeg_color,
+    encode_jpeg_color,
+)
+
+
+def _predict_ac(doc_id, n_chars):
+    """Closed-form prediction of the ac=True synthesis (mirrors the
+    DuckDB oracle of multimodal_jpeg_ac_decode, independently of both
+    the encoder and the decoder)."""
+    wb, hb = n_chars % 8 + 1, doc_id % 6 + 1
+    total = mx = ach = acv = acd = 0
+    for r in range(hb):
+        fill = 64 + (doc_id + r) % 128
+        for c in range(wb):
+            qh, qv, qd = _jpeg_ac_coeffs(doc_id, r, c)
+            ah, av, ad = 2 * qh, 2 * qv, 2 * qd
+            total += 64 * fill
+            mx = max(
+                mx, fill + max(ah + av + ad, ah - av - ad, -ah + av - ad, -ah - av + ad)
+            )
+            ach += 64 * ah
+            acv += 64 * av
+            acd += 64 * ad
+    return wb * 8, hb * 8, total, mx, ach, acv, acd
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars", "rst"),
+    [(0, 0, 0), (1, 7, 2), (17, 70, 0), (123, 255, 2), (999, 3, 1), (4242, 63, 3)],
+)
+def test_jpeg_ac_roundtrip_matches_closed_form(doc_id, n_chars, rst):
+    """Non-flat blocks: three nonzero AC coefficients per block (runs
+    9, 3 and ZRL+8) decode to the closed-form raster — pixel_sum sees
+    the fill only, the quad sums read back each AC coefficient."""
+    p = encode_jpeg(doc_id, n_chars, restart_interval=rst, ac=True)
+    w, h, planes = _jpeg_parse(p)
+    assert len(planes) == 1
+    y = planes[0][1]
+    got = (w, h, int(y.sum()), int(y.max()), *_jpeg_quad_sums(y))
+    assert got == _predict_ac(doc_id, n_chars)
+    # the stream really carries ZRL bytes-wise impossible to verify, but
+    # it must be LONGER than the flat stream of the same dims (per-block
+    # AC symbols) — guards against silently reverting to EOB-only
+    assert len(p) > len(encode_jpeg(doc_id, n_chars, restart_interval=rst))
+
+
+def test_jpeg_ac_raster_matches_numpy_idct():
+    """The closed-form sign-pattern algebra itself double-checked
+    against a brute-force numpy IDCT of the declared coefficients."""
+    import numpy as np
+
+    doc_id, n_chars = 77, 9  # 2x... wb=2, hb=6 blocks
+    p = encode_jpeg(doc_id, n_chars, ac=True)
+    _, _, planes = _jpeg_parse(p)
+    y = planes[0][1]
+    wb, hb = n_chars % 8 + 1, doc_id % 6 + 1
+    for r in range(hb):
+        for c in range(wb):
+            qh, qv, qd = _jpeg_ac_coeffs(doc_id, r, c)
+            nat = np.zeros((8, 8))
+            nat[0, 0] = (64 + (doc_id + r) % 128 - 128) * _JPEG_QDC
+            nat[0, 4] = qh * _JPEG_QAC
+            nat[4, 0] = qv * _JPEG_QAC
+            nat[4, 4] = qd * _JPEG_QAC
+            want = np.clip(np.round(_IDCT_M @ nat @ _IDCT_M.T + 128), 0, 255)
+            got = y[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+            assert (got == want).all()
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"),
+    # 11: doc*7 % 101 lands near the wrap so chroma DC diffs hit the
+    # +/-100 category-7 path; 0/1: degenerate dims
+    [(0, 0), (1, 7), (11, 70), (123, 255), (999, 3), (4242, 63)],
+)
+def test_jpeg_color_roundtrip_matches_closed_form(doc_id, n_chars):
+    got = decode_jpeg_color(encode_jpeg_color(doc_id, n_chars))
+    w, h, ysum, ymax, ach, acv, acd = _predict_ac(doc_id, n_chars)
+    wb, hb = n_chars % 8 + 1, doc_id % 6 + 1
+    cb = sum((128 + 2 * ((doc_id * 7 + r) % 101 - 50)) * 64 * wb for r in range(hb))
+    cr = sum((128 + 2 * ((doc_id * 13 + r) % 101 - 50)) * 64 * wb for r in range(hb))
+    assert got == (w, h, ysum, ymax, cb, cr, ach, acv, acd)
+
+
+def test_jpeg_color_chroma_dc_wrap_hits_category_7():
+    """Find a stream whose chroma fill crosses the mod-101 wrap so the
+    DC DIFF needs category 7 (the r9 KeyError regression) and check it
+    still decodes to the closed form."""
+    found = False
+    for doc_id in range(200):
+        hb = doc_id % 6 + 1
+        if any((doc_id * 7 + r) % 101 == 100 for r in range(hb - 1)):
+            found = True
+            test_jpeg_color_roundtrip_matches_closed_form(doc_id, 12)
+    assert found
+
+
+def test_jpeg_color_rejects_mismatched_wrappers():
+    with pytest.raises(ValueError):  # color payload through the gray API
+        decode_jpeg(encode_jpeg_color(5, 9))
+    with pytest.raises(ValueError):  # gray payload through the color API
+        decode_jpeg_color(encode_jpeg(5, 9))
+
+
+def test_jpeg_trailing_marker_after_entropy_data():
+    """r8 ADVICE off-by-one: the marker walk must resume at br.pos (the
+    first unread byte) — a COM segment between the entropy data and
+    EOI, whose body contains 0xFF bytes, misparses if the resume skips
+    the COM's 0xFF."""
+    p = encode_jpeg(9, 20, ac=True)
+    assert p[-2:] == b"\xff\xd9"
+    com = _jpeg_segment(0xFE, b"trailing \xff\xd9 bait \xff comment")
+    patched = p[:-2] + com + b"\xff\xd9"
+    assert decode_jpeg(patched) == decode_jpeg(p)
