@@ -64,6 +64,13 @@ _EXPECT_MULTI_BATCH = False
 # instead of silently collapsing back into one.
 _LAST_FED_BATCHES = 0
 
+# Full progress dicts of those fed batches (numInputRows,
+# triggerExecution duration, state-operator rows/memory) — the raw
+# material scripts/stream_bench.py turns into rows/s and per-batch
+# latency, captured here because _run_to_memory stops the query before
+# returning and recentProgress dies with it.
+_LAST_PROGRESS: list[dict] = []
+
 # Production readStream globs are the EXACT fixture filenames: a wide
 # glob (events*.parquet) would silently ingest any stray
 # events_backup.parquet in the directory, and with the single-batch
@@ -137,11 +144,12 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
         .queryName(name)
         .start()
     )
-    global _LAST_FED_BATCHES
+    global _LAST_FED_BATCHES, _LAST_PROGRESS
     try:
         q.processAllAvailable()
         fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
         _LAST_FED_BATCHES = len(fed)
+        _LAST_PROGRESS = fed
         if len(fed) > 1 and not _EXPECT_MULTI_BATCH:
             raise RuntimeError(
                 f"streaming fixture split into {len(fed)} micro-batches; "
