@@ -1062,6 +1062,78 @@ def encode_jpeg_color(doc_id: int, n_chars: int) -> bytes:
     )
 
 
+def encode_jpeg_420(doc_id: int, n_chars: int) -> bytes:
+    """A real baseline YCbCr 4:2:0 JPEG — the sampling most camera
+    JPEGs ship: Y declared 2x2, chroma 1x1, so each MCU covers a 16x16
+    tile and carries FOUR Y blocks (in 2x2 MCU-local scan order, which
+    the DC predictor chains across) plus one Cb and one Cr block at
+    half resolution.  Dimensions are whole MCUs: w = 16*(n_chars%4+1),
+    h = 16*(doc_id%3+1).  Y block (R, C) of the 2*hm x 2*wm grid uses
+    the same fill+AC synthesis as ``encode_jpeg(ac=True)`` (indexed by
+    the GLOBAL block row/col, so the oracle is the same closed form on
+    a finer grid); chroma block of MCU row my is flat
+    ``128 + 2*((doc_id*k + my) % 101 - 50)`` under the tq=1 table."""
+    import struct
+
+    wm = n_chars % 4 + 1  # MCU columns
+    hm = doc_id % 3 + 1  # MCU rows
+    w, h = wm * 16, hm * 16
+    dc0 = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac0 = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc1 = _jpeg_canonical(_JPEG_DC1_BITS, _JPEG_DC1_VALS)
+    ac1 = _jpeg_canonical(_JPEG_AC1_BITS, _JPEG_AC1_VALS)
+    bw = _JpegBitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(hm):
+        cb_dc = (doc_id * 7 + my) % 101 - 50
+        cr_dc = (doc_id * 13 + my) % 101 - 50
+        for mx in range(wm):
+            for r in range(2):  # MCU-local Y scan order: row-major 2x2
+                for c in range(2):
+                    R, C = 2 * my + r, 2 * mx + c
+                    y_dc = 64 + (doc_id + R) % 128 - 128
+                    qh, qv, qd = _jpeg_ac_coeffs(doc_id, R, C)
+                    by_nat = {4: qh, 32: qv, 36: qd}
+                    coeffs = [
+                        (pos, by_nat[nat]) for pos, nat in _JPEG_AC_POS
+                    ]
+                    _jpeg_write_block(bw, dc0, ac0, y_dc - preds[1], coeffs)
+                    preds[1] = y_dc
+            _jpeg_write_block(bw, dc1, ac1, cb_dc - preds[2], None)
+            preds[2] = cb_dc
+            _jpeg_write_block(bw, dc1, ac1, cr_dc - preds[3], None)
+            preds[3] = cr_dc
+    qtab0 = bytes([0x00]) + bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)
+    qtab1 = bytes([0x01]) + bytes([_JPEG_QDC_CHROMA] + [_JPEG_QAC] * 63)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        _jpeg_segment(
+            0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        )
+        + _jpeg_segment(
+            0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        )
+        + _jpeg_segment(
+            0xC4,
+            bytes([0x01]) + bytes(_JPEG_DC1_BITS) + bytes(_JPEG_DC1_VALS)
+            + bytes([0x11]) + bytes(_JPEG_AC1_BITS) + bytes(_JPEG_AC1_VALS),
+        )
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xDB, qtab0 + qtab1)
+        + _jpeg_segment(0xC0, sof)
+        + dht
+        + _jpeg_segment(0xDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+
 class _JpegBitReader:
     """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
     stops at any non-stuffing marker."""
@@ -1173,9 +1245,12 @@ def _jpeg_parse(payload: bytes) -> tuple[int, int, list[tuple[int, "np.ndarray"]
             comps = []
             for k in range(nf):
                 cid, hv, tq = data[6 + 3 * k : 9 + 3 * k]
-                if hv != 0x11:
-                    raise NotImplementedError("subsampling unsupported")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 15
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi} unsupported (1-2 only)"
+                    )
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError(
                 f"non-baseline SOF{marker - 0xC0} JPEG unsupported"
@@ -1203,50 +1278,64 @@ def _jpeg_parse(payload: bytes) -> tuple[int, int, list[tuple[int, "np.ndarray"]
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) JPEG unsupported"
                 )
-            tq_of = dict(comps)
+            tq_of = {c[0]: c[3] for c in comps}
+            # per T.81 a single-component scan is NOT MCU-interleaved:
+            # each data unit is one block regardless of declared factors
+            samp = (
+                {comps[0][0]: (1, 1)}
+                if len(comps) == 1
+                else {c[0]: (c[1], c[2]) for c in comps}
+            )
             scan = []
             for k in range(ns):
                 cs, tda = data[1 + 2 * k], data[2 + 2 * k]
                 if cs not in tq_of:
                     raise ValueError(f"SOS component {cs} not in SOF")
                 scan.append((cs, tda >> 4, tda & 15))
+            hmax = max(hi for hi, _ in samp.values())
+            vmax = max(vi for _, vi in samp.values())
             br = _JpegBitReader(payload, i)
-            wb, hb = (w + 7) // 8, (h + 7) // 8
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             preds = {cid: 0 for cid, _, _ in scan}
             blocks = {cid: [] for cid, _, _ in scan}
-            for mcu in range(wb * hb):
+            for mcu in range(mcux * mcuy):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     br.restart()
                     preds = dict.fromkeys(preds, 0)  # RST resets ALL preds
                 for cid, dc_id, ac_id in scan:
                     q = qtabs[tq_of[cid]]
                     dc_t, ac_t = huff[(0, dc_id)], huff[(1, ac_id)]
-                    zz = np.zeros(64)
-                    t = br.decode(dc_t)
-                    preds[cid] += _jpeg_extend(br.receive(t), t)
-                    zz[0] = preds[cid]
-                    k = 1
-                    while k < 64:
-                        rs = br.decode(ac_t)
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        if k > 63:
-                            raise ValueError("AC run past end of block")
-                        zz[k] = _jpeg_extend(br.receive(rs & 15), rs & 15)
-                        k += 1
-                    nat = np.zeros(64)
-                    nat[_JPEG_ZIGZAG] = zz
-                    coef = nat.reshape(8, 8) * q
-                    spatial = _IDCT_M @ coef @ _IDCT_M.T
-                    blocks[cid].append(
-                        np.clip(np.round(spatial + 128), 0, 255).astype(
-                            np.uint8
+                    hi, vi = samp[cid]
+                    for _blk in range(hi * vi):  # MCU-local scan order
+                        zz = np.zeros(64)
+                        t = br.decode(dc_t)
+                        preds[cid] += _jpeg_extend(br.receive(t), t)
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode(ac_t)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _jpeg_extend(
+                                br.receive(rs & 15), rs & 15
+                            )
+                            k += 1
+                        nat = np.zeros(64)
+                        nat[_JPEG_ZIGZAG] = zz
+                        coef = nat.reshape(8, 8) * q
+                        spatial = _IDCT_M @ coef @ _IDCT_M.T
+                        blocks[cid].append(
+                            np.clip(np.round(spatial + 128), 0, 255).astype(
+                                np.uint8
+                            )
                         )
-                    )
             # br.pos is always the first UNREAD byte (partially-consumed
             # bits live in acc/n, but pos already advanced past their
             # byte), so the next marker search resumes exactly there --
@@ -1258,14 +1347,20 @@ def _jpeg_parse(payload: bytes) -> tuple[int, int, list[tuple[int, "np.ndarray"]
             pass
     if scan is None or w is None:
         raise ValueError("JPEG missing SOS/SOF")
-    wb, hb = (w + 7) // 8, (h + 7) // 8
     out: list[tuple[int, np.ndarray]] = []
     for cid, _, _ in scan:
-        raster = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+        hi, vi = samp[cid]
+        raster = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
         for idx, blk in enumerate(blocks[cid]):
-            by, bx = divmod(idx, wb)
+            m, j = divmod(idx, hi * vi)  # MCU index, MCU-local block
+            my, mx = divmod(m, mcux)
+            r, c = divmod(j, hi)
+            by, bx = my * vi + r, mx * hi + c
             raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-        out.append((cid, raster[:h, :w]))  # crop MCU padding to SOF dims
+        # crop MCU padding to this component's own sampled dims
+        wi = -(-w * hi // hmax)  # ceil
+        hi_dim = -(-h * vi // vmax)
+        out.append((cid, raster[:hi_dim, :wi]))
     return int(w), int(h), out
 
 
@@ -1592,5 +1687,89 @@ def q_multimodal_jpeg_color_decode(
     docs = table(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id", _jpeg_color_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_jpegs_color, schema=JPEG_COLOR_SCHEMA)
+
+
+@F.pandas_udf(T.BinaryType())
+def _jpeg_420_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_jpeg_420(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+@register(
+    "multimodal_jpeg_420_decode",
+    # Y stats over the 2*hm x 2*wm block grid (same closed form as the
+    # AC query on a finer grid); chroma sums over the half-resolution
+    # planes (one block per MCU, fill indexed by MCU row)
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 4 + 1 AS wm, doc_id % 3 + 1 AS hm FROM documents
+), yrows AS (
+  SELECT doc_id, wm, hm, unnest(generate_series(0, 2 * hm - 1)) AS r
+  FROM dims
+), yblocks AS (
+  SELECT doc_id, wm, hm, r, unnest(generate_series(0, 2 * wm - 1)) AS c
+  FROM yrows
+), coef AS (
+  SELECT doc_id, wm, hm,
+         64 + (doc_id + r) % 128 AS fill,
+         2 * (CASE WHEN (doc_id + 5*r + 3*c) % 18 < 9
+              THEN (doc_id + 5*r + 3*c) % 18 - 9
+              ELSE (doc_id + 5*r + 3*c) % 18 - 8 END) AS ah,
+         2 * (CASE WHEN (2*doc_id + 7*r + c) % 18 < 9
+              THEN (2*doc_id + 7*r + c) % 18 - 9
+              ELSE (2*doc_id + 7*r + c) % 18 - 8 END) AS av,
+         2 * (CASE WHEN (3*doc_id + r + 11*c) % 18 < 9
+              THEN (3*doc_id + r + 11*c) % 18 - 9
+              ELSE (3*doc_id + r + 11*c) % 18 - 8 END) AS ad
+  FROM yblocks
+), ystats AS (
+  SELECT doc_id,
+         CAST(any_value(wm) * 16 AS BIGINT) AS width,
+         CAST(any_value(hm) * 16 AS BIGINT) AS height,
+         CAST(sum(64 * fill) AS BIGINT) AS y_sum,
+         CAST(max(fill + greatest(ah + av + ad, ah - av - ad,
+                                  -ah + av - ad, -ah - av + ad))
+              AS BIGINT) AS y_max,
+         CAST(sum(64 * ah) AS BIGINT) AS ac_h_sum,
+         CAST(sum(64 * av) AS BIGINT) AS ac_v_sum,
+         CAST(sum(64 * ad) AS BIGINT) AS ac_d_sum
+  FROM coef GROUP BY doc_id
+), crows AS (
+  SELECT doc_id, wm, unnest(generate_series(0, hm - 1)) AS my FROM dims
+), cstats AS (
+  SELECT doc_id,
+         CAST(sum(64 * wm * (128 + 2 * ((doc_id * 7 + my) % 101 - 50)))
+              AS BIGINT) AS cb_sum,
+         CAST(sum(64 * wm * (128 + 2 * ((doc_id * 13 + my) % 101 - 50)))
+              AS BIGINT) AS cr_sum
+  FROM crows GROUP BY doc_id
+)
+SELECT y.doc_id, width, height, y_sum, y_max, cb_sum, cr_sum,
+       ac_h_sum, ac_v_sum, ac_d_sum
+FROM ystats y JOIN cstats c ON y.doc_id = c.doc_id
+""",
+    description=(
+        "REAL JPEG 4:2:0 path: 16x16 MCUs with four Y blocks + half-res"
+        " chroma, the sampling most camera JPEGs ship"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_jpeg_420_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-trips every document through a YCbCr 4:2:0 baseline JPEG
+    (Y sampled 2x2, chroma 1x1): the decoder's MCU geometry — four Y
+    blocks per 16x16 MCU in MCU-local scan order chained by ONE DC
+    predictor, chroma planes assembled at half resolution — is fully
+    load-bearing for the oracle match, since a block misplaced within
+    its MCU changes the quad sums and a wrong predictor chain changes
+    every fill.  Same Arrow-parallel narrow-map plan as the other
+    codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _jpeg_420_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_jpegs_color, schema=JPEG_COLOR_SCHEMA)

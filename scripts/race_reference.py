@@ -99,11 +99,20 @@ def main() -> int:
         help="skew corpus: doc 1 grown to ~MIB MiB, all others tiny;"
         " the engine reads with wholetext='auto' (line-split big file)",
     )
+    ap.add_argument(
+        "--build-only",
+        action="store_true",
+        help="build (or verify) the corpus and exit — lets the multi-GiB"
+        " write run concurrently with other work, keeping the timed race"
+        " itself on an otherwise idle host",
+    )
     args = ap.parse_args()
 
     base = os.path.join(tempfile.gettempdir(), "spark_graft_race")
     os.makedirs(base, exist_ok=True)
     manifest = build_corpus(base, args.mult, skew_mib=args.skew)
+    if args.build_only:
+        return 0
 
     ref_bin = os.path.join(base, "ref_bin")
     subprocess.run(["g++", "-O2", "-pthread", "-o", ref_bin, REF_SRC], check=True)

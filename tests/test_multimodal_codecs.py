@@ -425,3 +425,76 @@ def test_jpeg_trailing_marker_after_entropy_data():
     com = _jpeg_segment(0xFE, b"trailing \xff\xd9 bait \xff comment")
     patched = p[:-2] + com + b"\xff\xd9"
     assert decode_jpeg(patched) == decode_jpeg(p)
+
+
+# --------------------------------------------------------------------------
+# r9: 4:2:0 subsampled color
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    encode_jpeg_420,
+)
+
+
+def _predict_420(doc_id, n_chars):
+    wm, hm = n_chars % 4 + 1, doc_id % 3 + 1
+    total = mx = ach = acv = acd = 0
+    for R in range(2 * hm):
+        fill = 64 + (doc_id + R) % 128
+        for C in range(2 * wm):
+            qh, qv, qd = _jpeg_ac_coeffs(doc_id, R, C)
+            ah, av, ad = 2 * qh, 2 * qv, 2 * qd
+            total += 64 * fill
+            mx = max(
+                mx, fill + max(ah + av + ad, ah - av - ad, -ah + av - ad, -ah - av + ad)
+            )
+            ach += 64 * ah
+            acv += 64 * av
+            acd += 64 * ad
+    cb = sum((128 + 2 * ((doc_id * 7 + my) % 101 - 50)) * 64 * wm for my in range(hm))
+    cr = sum((128 + 2 * ((doc_id * 13 + my) % 101 - 50)) * 64 * wm for my in range(hm))
+    return (wm * 16, hm * 16, total, mx, cb, cr, ach, acv, acd)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"),
+    [(0, 0), (1, 7), (11, 70), (123, 255), (999, 3), (4242, 63)],
+)
+def test_jpeg_420_roundtrip_matches_closed_form(doc_id, n_chars):
+    """4:2:0: four Y blocks per 16x16 MCU in MCU-local scan order (one
+    DC predictor chains across them) + half-resolution chroma."""
+    assert decode_jpeg_color(encode_jpeg_420(doc_id, n_chars)) == _predict_420(
+        doc_id, n_chars
+    )
+
+
+def test_jpeg_420_chroma_planes_are_half_resolution():
+    w, h, planes = _jpeg_parse(encode_jpeg_420(5, 9))
+    d = dict(planes)
+    assert d[1].shape == (h, w)
+    assert d[2].shape == (h // 2, w // 2)
+    assert d[3].shape == (h // 2, w // 2)
+
+
+def test_jpeg_420_y_blocks_really_interleave():
+    """The MCU-local 2x2 scan order is load-bearing: a decoder that
+    assembled Y blocks in raster order would swap blocks (0,1)/(1,0)
+    of every MCU — check two horizontally-adjacent Y blocks within one
+    MCU decode to DIFFERENT rasters (their AC coefficients differ) and
+    land at the right raster offsets."""
+    import numpy as np
+
+    doc_id, n_chars = 77, 9  # wm=2, hm=3 -> Y grid 4x6
+    _, _, planes = _jpeg_parse(encode_jpeg_420(doc_id, n_chars))
+    y = dict(planes)[1]
+    for R in range(2 * (doc_id % 3 + 1)):
+        for C in range(2 * (n_chars % 4 + 1)):
+            qh, qv, qd = _jpeg_ac_coeffs(doc_id, R, C)
+            nat = np.zeros((8, 8))
+            nat[0, 0] = (64 + (doc_id + R) % 128 - 128) * _JPEG_QDC
+            nat[0, 4] = qh * _JPEG_QAC
+            nat[4, 0] = qv * _JPEG_QAC
+            nat[4, 4] = qd * _JPEG_QAC
+            want = np.clip(np.round(_IDCT_M @ nat @ _IDCT_M.T + 128), 0, 255)
+            got = y[R * 8 : R * 8 + 8, C * 8 : C * 8 + 8]
+            assert (got == want).all(), (R, C)
