@@ -122,8 +122,15 @@ def test_bench_detail_guard_rules():
     # so a run measuring slower per query than the record is refused
     # even with identical canaries and an idle start
     rec = {**committed, "queries": {"a": 1.0, "b": 1.0}}
-    assert "slower than committed record" in g(rec, 0.1, 0.13, 0.3, 2.0)
-    assert g(rec, 0.1, 0.13, 0.3, 0.9) is None
+    slow = {"a": 2.0, "b": 2.0}
+    assert "slower than committed record" in g(rec, 0.1, 0.13, 0.3, slow)
+    assert g(rec, 0.1, 0.13, 0.3, {"a": 0.9, "b": 0.9}) is None
+    # r9: the comparison runs over the INTERSECTION of query names, so
+    # a registry that grew an inherently slow new query can still
+    # refresh the record (r8 ADVICE), while a genuinely slow run on
+    # the common set is still refused
+    assert g(rec, 0.1, 0.13, 0.3, {"a": 0.9, "b": 0.9, "codec": 60.0}) is None
+    assert "common" in g(rec, 0.1, 0.13, 0.3, {"a": 2.0, "b": 2.0, "c": 0.1})
 
 
 def test_stored_index_caches_rebuild_on_corpus_mutation(spark, tmp_path):
