@@ -20,6 +20,9 @@ Codec tiers (r7, PNG promoted r8):
   concatenated-IDAT zlib inflate, and full inversion of the five
   per-row filters; ``multimodal_png_decode`` round-trips payloads
   whose rows cycle all five filters, oracle-checked the same way.
+  Indexed-color (PLTE) streams decode too (r9,
+  ``multimodal_png_palette_decode``: bpp=1 defilter + palette
+  expansion, stats over the expanded RGB).
 * Baseline sequential JPEG has a REAL stdlib-only decoder too (r8,
   ``decode_jpeg``; generalized r9 to ``_jpeg_parse``): marker walk,
   DHT-declared canonical Huffman entropy decode with byte unstuffing,
@@ -599,7 +602,10 @@ def decode_png(payload: bytes) -> tuple[int, int, float, int, int]:
     IHDR, concatenated-IDAT zlib inflate, and full defiltering of the
     five per-row filters.  Supports the non-interlaced 8-bit
     gray/RGB/gray+alpha/RGBA color types (the decode loop is generic
-    over samples-per-pixel); rejects interlace, palette, and sub-byte
+    over samples-per-pixel) and, since r9, indexed-color type 3
+    (defilter over 1-byte indices, then PLTE expansion to RGB — the
+    statistics are over the EXPANDED RGB samples, so a palette-lookup
+    bug is as visible as a filter bug); rejects interlace and sub-byte
     depths loudly rather than mis-decoding."""
     import struct
     import zlib
@@ -608,6 +614,7 @@ def decode_png(payload: bytes) -> tuple[int, int, float, int, int]:
         raise ValueError("not a PNG payload")
     i = len(_PNG_SIG)
     idat = bytearray()
+    plte: bytes | None = None
     w = h = depth = ctype = interlace = None
     while i < len(payload):
         (length,) = struct.unpack(">I", payload[i : i + 4])
@@ -620,6 +627,10 @@ def decode_png(payload: bytes) -> tuple[int, int, float, int, int]:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif typ == b"PLTE":
+            if length % 3 or not 3 <= length <= 768:
+                raise ValueError("PNG PLTE length not a valid 3*n")
+            plte = data
         elif typ == b"IDAT":
             idat.extend(data)
         elif typ == b"IEND":
@@ -627,13 +638,17 @@ def decode_png(payload: bytes) -> tuple[int, int, float, int, int]:
         i += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+    if depth != 8 or interlace != 0 or (
+        ctype not in _PNG_CHANNELS and ctype != 3
+    ):
         raise NotImplementedError(
             f"unsupported PNG variant (depth={depth}, color={ctype}, "
             f"interlace={interlace}); supported: 8-bit non-interlaced "
-            "gray/RGB/gray+alpha/RGBA"
+            "gray/RGB/gray+alpha/RGBA/indexed"
         )
-    bpp = _PNG_CHANNELS[ctype]
+    if ctype == 3 and plte is None:
+        raise ValueError("indexed-color PNG missing PLTE")
+    bpp = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
     stride = w * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if raw.size != h * (stride + 1):
@@ -667,7 +682,13 @@ def decode_png(payload: bytes) -> tuple[int, int, float, int, int]:
                 # poison the Average/Paeth prediction 3 bytes later
                 rec[x] = (line[x] + pred) % 256
         out[y] = rec % 256
-    px = out.reshape(-1)
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(out.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        px = pal[out.reshape(-1)].reshape(-1)  # expand indices to RGB
+    else:
+        px = out.reshape(-1)
     return (
         int(w),
         int(h),
@@ -753,7 +774,8 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dequantization, and the exact orthonormal 8x8 IDCT — needs nothing
 # beyond numpy.  Huffman tables are read from the payload's DHT
 # segments (never hardcoded), so the decoder handles any 1- or
-# 3-component all-1x1 baseline stream, not just this encoder's output.
+# 3-component baseline stream with sampling factors 1-2 (4:4:4 and
+# 4:2:0 alike), not just this encoder's output.
 # Lossiness is controlled at synthesis: flat 8x8 blocks have DC = 8 x
 # (fill - 128), and the r9 AC variant places coefficients only at
 # {0,4}^2 basis positions where the 2-D basis magnitude is exactly
@@ -1773,3 +1795,131 @@ def q_multimodal_jpeg_420_decode(
         "doc_id", _jpeg_420_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_jpegs_color, schema=JPEG_COLOR_SCHEMA)
+
+
+# r9: indexed-color (palette) PNG — the third common PNG layout after
+# gray/RGB.  Filters run over 1-byte INDICES (bpp=1 changes every
+# left-neighbor offset in the filter algebra), then PLTE expands to
+# RGB; statistics over the expanded samples make both the defilter and
+# the palette lookup oracle-visible.
+PNG_PALETTE_SIZE = 64
+
+
+def _png_palette_entry(j: int) -> tuple[int, int, int]:
+    return (j * 37 + 5) % 256, (j * 73 + 11) % 256, (j * 151 + 23) % 256
+
+
+def encode_png_palette(doc_id: int, n_chars: int) -> bytes:
+    """A real 8-bit indexed-color PNG: pixel (x, y) carries palette
+    index ``(doc_id + x + y) % 64`` (varying along BOTH axes, so Sub
+    diffs are nonzero within every row — a stricter defilter probe
+    than the flat-row RGB tier), rows cycle all five filters, and the
+    64-entry PLTE is a fixed affine ramp the oracle recomputes."""
+    import struct
+    import zlib
+
+    w = n_chars % 64 + 1
+    h = doc_id % 48 + 1
+    prior = np.zeros(w, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        raw = (doc_id + y + np.arange(w, dtype=np.int64)) % PNG_PALETTE_SIZE
+        ft = y % 5
+        if ft == 0:
+            filt = raw
+        elif ft == 1:  # Sub (bpp=1: left neighbor is x-1)
+            left = np.concatenate([np.zeros(1, dtype=np.int64), raw[:-1]])
+            filt = raw - left
+        elif ft == 2:  # Up
+            filt = raw - prior
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(1, dtype=np.int64), raw[:-1]])
+            filt = raw - (left + prior) // 2
+        else:  # Paeth
+            left = np.concatenate([np.zeros(1, dtype=np.int64), raw[:-1]])
+            upleft = np.concatenate(
+                [np.zeros(1, dtype=np.int64), prior[:-1]]
+            )
+            pred = np.array(
+                [
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prior, upleft)
+                ],
+                dtype=np.int64,
+            )
+            filt = raw - pred
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = raw
+    plte = b"".join(
+        bytes(_png_palette_entry(j)) for j in range(PNG_PALETTE_SIZE)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    z = zlib.compress(bytes(out), 6)
+    png = bytearray(_PNG_SIG)
+    png.extend(_png_chunk(b"IHDR", ihdr))
+    png.extend(_png_chunk(b"PLTE", plte))
+    for i in range(0, len(z), _PNG_IDAT_SPLIT):
+        png.extend(_png_chunk(b"IDAT", z[i : i + _PNG_IDAT_SPLIT]))
+    png.extend(_png_chunk(b"IEND", b""))
+    return bytes(png)
+
+
+@F.pandas_udf(T.BinaryType())
+def _png_palette_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_png_palette(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+@register(
+    "multimodal_png_palette_decode",
+    # per-pixel grid: j = (doc_id + x + y) % 64, palette channels are
+    # affine ramps of j — the oracle recomputes the EXPANDED RGB stats
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 64 + 1 AS w, doc_id % 48 + 1 AS h FROM documents
+), rows_ AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims
+), px AS (
+  SELECT doc_id, w, h, (doc_id + y + unnest(generate_series(0, w - 1))) % 64
+         AS j
+  FROM rows_
+), chan AS (
+  SELECT doc_id, w, h,
+         (j * 37 + 5) % 256 AS r,
+         (j * 73 + 11) % 256 AS g,
+         (j * 151 + 23) % 256 AS b
+  FROM px
+)
+SELECT doc_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       round(sum(r + g + b) / (3.0 * any_value(w) * any_value(h)), 3) + 0
+         AS mean_pixel,
+       CAST(max(greatest(r, g, b)) AS BIGINT) AS max_pixel,
+       CAST(sum(r + g + b) AS BIGINT) AS pixel_sum
+FROM chan GROUP BY doc_id
+""",
+    description=(
+        "REAL indexed-color PNG decode: defilter over 1-byte indices +"
+        " PLTE expansion to RGB"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_png_palette_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-trips every document through an indexed-color PNG whose
+    pixel indices vary along both axes (nonzero Sub diffs in every
+    row) under all five cycling filters, then expands through a
+    64-entry PLTE.  The oracle recomputes the expanded RGB statistics
+    per pixel, so a defilter bug at bpp=1 (different left-neighbor
+    offsets than the RGB tier) or a palette-lookup bug breaks the
+    driver hash.  Same two-Arrow-stage narrow plan as the other codec
+    tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _png_palette_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_pngs, schema=PNG_SCHEMA)

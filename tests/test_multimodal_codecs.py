@@ -498,3 +498,67 @@ def test_jpeg_420_y_blocks_really_interleave():
             want = np.clip(np.round(_IDCT_M @ nat @ _IDCT_M.T + 128), 0, 255)
             got = y[R * 8 : R * 8 + 8, C * 8 : C * 8 + 8]
             assert (got == want).all(), (R, C)
+
+
+# --------------------------------------------------------------------------
+# r9: indexed-color (palette) PNG
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    PNG_PALETTE_SIZE,
+    _png_chunk,
+    _png_palette_entry,
+    encode_png_palette,
+)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"), [(0, 0), (1, 7), (47, 63), (123, 255), (999, 70)]
+)
+def test_png_palette_roundtrip_matches_synthesis(doc_id, n_chars):
+    """Defilter over 1-byte indices (all five filters cycle) + PLTE
+    expansion: stats over the expanded RGB must match the closed
+    form."""
+    w, h = n_chars % 64 + 1, doc_id % 48 + 1
+    total = mx = 0
+    for y in range(h):
+        for x in range(w):
+            r, g, b = _png_palette_entry((doc_id + x + y) % PNG_PALETTE_SIZE)
+            total += r + g + b
+            mx = max(mx, r, g, b)
+    got = decode_png(encode_png_palette(doc_id, n_chars))
+    assert got[0] == w and got[1] == h
+    assert got[3] == mx and got[4] == total
+    assert abs(got[2] - total / (3 * w * h)) < 1e-9
+
+
+def test_png_palette_missing_plte_and_bad_index():
+    """An indexed PNG without PLTE, or with an index past the palette,
+    must fail loudly rather than mis-decode."""
+    import struct
+    import zlib
+
+    p = bytearray(encode_png_palette(5, 9))
+    # strip the PLTE chunk: walk chunks and drop it
+    out = bytearray(p[:8])
+    i = 8
+    while i < len(p):
+        (length,) = struct.unpack(">I", p[i : i + 4])
+        typ = bytes(p[i + 4 : i + 8])
+        if typ != b"PLTE":
+            out.extend(p[i : i + 12 + length])
+        i += 12 + length
+    with pytest.raises(ValueError):
+        decode_png(bytes(out))
+    # palette of 2 entries but an index of 5: out of range
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    idat = zlib.compress(bytes([0, 5]))  # filter 0, index 5
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(6))
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
