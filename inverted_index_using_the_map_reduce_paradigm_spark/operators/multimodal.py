@@ -20,9 +20,10 @@ Codec tiers (r7, PNG promoted r8):
   concatenated-IDAT zlib inflate, and full inversion of the five
   per-row filters; ``multimodal_png_decode`` round-trips payloads
   whose rows cycle all five filters, oracle-checked the same way.
-  Indexed-color (PLTE) streams decode too (r9,
+  Indexed-color (PLTE) and Adam7-interlaced streams decode too (r9,
   ``multimodal_png_palette_decode``: bpp=1 defilter + palette
-  expansion, stats over the expanded RGB).
+  expansion; ``multimodal_png_interlaced_decode``: seven independently
+  filtered passes scattered back, position-weighted checksum).
 * Baseline sequential JPEG has a REAL stdlib-only decoder too (r8,
   ``decode_jpeg``; generalized r9 to ``_jpeg_parse``): marker walk,
   DHT-declared canonical Huffman entropy decode with byte unstuffing,
@@ -93,7 +94,7 @@ def real_decode(payload: bytes) -> tuple[int, int]:
         try:
             w, h, _mean, _mx, _sum = decode_png(payload)
             return w, h
-        except NotImplementedError:  # interlaced/palette -> PIL if present
+        except NotImplementedError:  # sub-byte/16-bit -> PIL if present
             if not HAVE_PIL:
                 raise
     elif payload[:2] == b"\xff\xd8":
@@ -596,17 +597,63 @@ def encode_png(doc_id: int, n_chars: int) -> bytes:
     return bytes(png)
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float, int, int]:
-    """(width, height, mean_pixel, max_pixel, pixel_sum) from a REAL
-    PNG parse: signature check, chunk walk with CRC32 verification,
-    IHDR, concatenated-IDAT zlib inflate, and full defiltering of the
-    five per-row filters.  Supports the non-interlaced 8-bit
-    gray/RGB/gray+alpha/RGBA color types (the decode loop is generic
-    over samples-per-pixel) and, since r9, indexed-color type 3
-    (defilter over 1-byte indices, then PLTE expansion to RGB — the
-    statistics are over the EXPANDED RGB samples, so a palette-lookup
-    bug is as visible as a filter bug); rejects interlace and sub-byte
-    depths loudly rather than mis-decoding."""
+# Adam7 pass grid: (x0, y0, dx, dy) per ISO/IEC 15948 §8.2
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_defilter(rows: "np.ndarray", stride: int, bpp: int) -> "np.ndarray":
+    """Invert the five per-row PNG filters over one scanline set (the
+    whole image, or one Adam7 pass — each pass filters independently
+    with a zero prior above its first row)."""
+    h = rows.shape[0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        prior = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up is vectorizable
+            rec = line + prior
+        else:  # Sub/Average/Paeth need the already-reconstructed left
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + prior[x]) // 2
+                elif ft == 4:
+                    upleft = prior[x - bpp] if x >= bpp else 0
+                    pred = _paeth(int(left), int(prior[x]), int(upleft))
+                else:
+                    raise ValueError(f"PNG filter type {ft} out of range")
+                # reduce EACH byte before it becomes the next left
+                # neighbor: predictors operate on reconstructed BYTES
+                # (RFC 2083 §6.3), so an unreduced v+256 here would
+                # poison the Average/Paeth prediction 3 bytes later
+                rec[x] = (line[x] + pred) % 256
+        out[y] = rec % 256
+    return out
+
+
+def _png_parse(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """REAL PNG parse to an (h, w, nchan) uint8 raster: signature
+    check, chunk walk with CRC32 verification, IHDR/PLTE,
+    concatenated-IDAT zlib inflate, full defiltering of the five
+    per-row filters, Adam7 de-interlacing (seven independently
+    filtered passes scattered back onto the final grid), and PLTE
+    expansion for indexed color.  Supports 8-bit
+    gray/RGB/gray+alpha/RGBA/indexed, interlaced or not; rejects
+    sub-byte depths loudly rather than mis-decoding."""
     import struct
     import zlib
 
@@ -638,57 +685,58 @@ def decode_png(payload: bytes) -> tuple[int, int, float, int, int]:
         i += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0 or (
+    if depth != 8 or interlace not in (0, 1) or (
         ctype not in _PNG_CHANNELS and ctype != 3
     ):
         raise NotImplementedError(
             f"unsupported PNG variant (depth={depth}, color={ctype}, "
-            f"interlace={interlace}); supported: 8-bit non-interlaced "
-            "gray/RGB/gray+alpha/RGBA/indexed"
+            f"interlace={interlace}); supported: 8-bit "
+            "gray/RGB/gray+alpha/RGBA/indexed, Adam7 or none"
         )
     if ctype == 3 and plte is None:
         raise ValueError("indexed-color PNG missing PLTE")
     bpp = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
-    stride = w * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG IDAT size does not match dimensions")
-    rows = raw.reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ft = int(rows[y, 0])
-        line = rows[y, 1:].astype(np.int64)
-        prior = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
-        if ft == 0:
-            rec = line
-        elif ft == 2:  # Up is vectorizable
-            rec = line + prior
-        else:  # Sub/Average/Paeth need the already-reconstructed left
-            rec = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                if ft == 1:
-                    pred = left
-                elif ft == 3:
-                    pred = (left + prior[x]) // 2
-                elif ft == 4:
-                    upleft = prior[x - bpp] if x >= bpp else 0
-                    pred = _paeth(int(left), int(prior[x]), int(upleft))
-                else:
-                    raise ValueError(f"PNG filter type {ft} out of range")
-                # reduce EACH byte before it becomes the next left
-                # neighbor: predictors operate on reconstructed BYTES
-                # (RFC 2083 §6.3), so an unreduced v+256 here would
-                # poison the Average/Paeth prediction 3 bytes later
-                rec[x] = (line[x] + pred) % 256
-        out[y] = rec % 256
+    if interlace == 0:
+        stride = w * bpp
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG IDAT size does not match dimensions")
+        img = _png_defilter(raw.reshape(h, stride + 1), stride, bpp).reshape(
+            h, w, bpp
+        )
+    else:  # Adam7: seven passes, each an independently filtered sub-image
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass carries no scanlines at all
+            stride_p = wp * bpp
+            n = hp * (stride_p + 1)
+            if pos + n > raw.size:
+                raise ValueError("PNG IDAT shorter than its Adam7 passes")
+            sub = _png_defilter(
+                raw[pos : pos + n].reshape(hp, stride_p + 1), stride_p, bpp
+            )
+            pos += n
+            img[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+        if pos != raw.size:
+            raise ValueError("PNG IDAT longer than its Adam7 passes")
     if ctype == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        if int(out.max(initial=0)) >= len(pal):
+        if int(img.max(initial=0)) >= len(pal):
             raise ValueError("PNG palette index out of range")
-        px = pal[out.reshape(-1)].reshape(-1)  # expand indices to RGB
-    else:
-        px = out.reshape(-1)
+        img = pal[img[:, :, 0]]  # (h, w, 3)
+    return int(w), int(h), img
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float, int, int]:
+    """(width, height, mean_pixel, max_pixel, pixel_sum) over the
+    decoded samples (palette-expanded for indexed color) — see
+    ``_png_parse`` for the full decode pipeline this drives."""
+    w, h, img = _png_parse(payload)
+    px = img.reshape(-1)
     return (
         int(w),
         int(h),
@@ -1923,3 +1971,173 @@ def q_multimodal_png_palette_decode(
         "doc_id", _png_palette_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_pngs, schema=PNG_SCHEMA)
+
+
+# r9: Adam7 interlaced RGB PNG.  The synthesis varies along BOTH axes
+# and per channel, and the query's checksum is POSITION-WEIGHTED —
+# sum/max/mean are permutation-invariant, so a de-interlacer that
+# scattered pixels to the wrong (x, y) could pass them; the weighted
+# sum cannot be fooled by any misplacement.
+def _png_filter_row(
+    raw: "np.ndarray", prior: "np.ndarray", ft: int, bpp: int
+) -> "np.ndarray":
+    """Apply PNG filter ``ft`` to one raw scanline (both int64)."""
+    left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+    if ft == 0:
+        return raw
+    if ft == 1:
+        return raw - left
+    if ft == 2:
+        return raw - prior
+    if ft == 3:
+        return raw - (left + prior) // 2
+    upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+    pred = np.array(
+        [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, upleft)],
+        dtype=np.int64,
+    )
+    return raw - pred
+
+
+def encode_png_interlaced(doc_id: int, n_chars: int) -> bytes:
+    """A real Adam7-interlaced 8-bit RGB PNG: sample (x, y, c) is
+    ``(doc_id + 3x + 5y + 7c) % 256`` (varying along every axis), each
+    of the seven passes filtered independently with filters cycling
+    over the PASS's own rows — so de-interlacing, per-pass filter
+    state, and the empty-pass rule are all load-bearing."""
+    import struct
+    import zlib
+
+    w = n_chars % 64 + 1
+    h = doc_id % 48 + 1
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    cs = np.arange(3, dtype=np.int64)
+    img = (
+        doc_id + 3 * xs[None, :, None] + 5 * ys[:, None, None] + 7 * cs[None, None, :]
+    ) % 256
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]  # (hp, wp, 3)
+        hp, wp = sub.shape[:2]
+        if hp == 0 or wp == 0:
+            continue  # empty pass emits nothing, not even filter bytes
+        prior = np.zeros(wp * 3, dtype=np.int64)
+        for r in range(hp):
+            raw = sub[r].reshape(-1)
+            ft = r % 5
+            filt = _png_filter_row(raw, prior, ft, 3)
+            out.append(ft)
+            out.extend((filt % 256).astype(np.uint8).tobytes())
+            prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    z = zlib.compress(bytes(out), 6)
+    png = bytearray(_PNG_SIG)
+    png.extend(_png_chunk(b"IHDR", ihdr))
+    for i in range(0, len(z), _PNG_IDAT_SPLIT):
+        png.extend(_png_chunk(b"IDAT", z[i : i + _PNG_IDAT_SPLIT]))
+    png.extend(_png_chunk(b"IEND", b""))
+    return bytes(png)
+
+
+@F.pandas_udf(T.BinaryType())
+def _png_interlaced_payload(
+    doc_id: pd.Series, n_chars: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            encode_png_interlaced(int(d), int(n))
+            for d, n in zip(doc_id, n_chars)
+        ]
+    )
+
+
+PNG_ILACE_SCHEMA = (
+    "doc_id long, width long, height long, pixel_sum long, max_pixel long,"
+    " pos_checksum long"
+)
+
+
+def decode_pngs_interlaced(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, img = _png_parse(p)
+            v = img.astype(np.int64)
+            xs = np.arange(w, dtype=np.int64)
+            ys = np.arange(h, dtype=np.int64)
+            cs = np.arange(img.shape[2], dtype=np.int64)
+            wgt = (
+                1
+                + (xs[None, :, None] + 2 * ys[:, None, None] + cs[None, None, :])
+                % 9
+            )
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    int(v.sum()),
+                    int(v.max()) if v.size else 0,
+                    int((v * wgt).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "pixel_sum", "max_pixel",
+                "pos_checksum",
+            ],
+        )
+
+
+@register(
+    "multimodal_png_interlaced_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 64 + 1 AS w, doc_id % 48 + 1 AS h FROM documents
+), ys AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims
+), xs AS (
+  SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM ys
+), sam AS (
+  SELECT doc_id, w, h, y, x, unnest(generate_series(0, 2)) AS c FROM xs
+), v AS (
+  SELECT doc_id, w, h,
+         (doc_id + 3 * x + 5 * y + 7 * c) % 256 AS val,
+         1 + (x + 2 * y + c) % 9 AS wgt
+  FROM sam
+)
+SELECT doc_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       CAST(sum(val) AS BIGINT) AS pixel_sum,
+       CAST(max(val) AS BIGINT) AS max_pixel,
+       CAST(sum(val * wgt) AS BIGINT) AS pos_checksum
+FROM v GROUP BY doc_id
+""",
+    description=(
+        "REAL Adam7 interlaced PNG decode: seven independently filtered"
+        " passes scattered back, position-weighted checksum"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_png_interlaced_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-trips every document through an Adam7-interlaced RGB PNG
+    whose samples vary along x, y and channel.  The oracle's
+    position-weighted checksum makes the de-interlacer itself
+    falsifiable: sum/max are invariant under pixel permutation, so
+    only the weighted sum catches a pass scattered to wrong
+    coordinates or per-pass filter state bleeding across passes.  Same
+    two-Arrow-stage narrow plan as the other codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _png_interlaced_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(
+        decode_pngs_interlaced, schema=PNG_ILACE_SCHEMA
+    )

@@ -109,10 +109,16 @@ def test_png_crc_corruption_detected():
         decode_png(bytes(p))
 
 
-def test_png_rejects_interlace_and_bad_signature():
+def test_png_rejects_subbyte_depth_and_bad_signature():
+    """Adam7 decodes since r9, so the loud-rejection pins move to the
+    genuinely unsupported variants: sub-byte/16-bit depths and unknown
+    interlace methods."""
     import struct
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # Adam7 flag
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit depth
+    with pytest.raises(NotImplementedError):
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)  # bogus interlace
     with pytest.raises(NotImplementedError):
         decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
     with pytest.raises(ValueError):
@@ -562,3 +568,81 @@ def test_png_palette_missing_plte_and_bad_index():
     )
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+# --------------------------------------------------------------------------
+# r9: Adam7 interlaced PNG
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _ADAM7,
+    _png_parse,
+    encode_png_interlaced,
+)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"),
+    # 1x1 and tiny sizes leave several Adam7 passes EMPTY (the
+    # no-scanlines rule); larger ones exercise all seven
+    [(0, 0), (1, 1), (5, 7), (7, 3), (47, 63), (123, 255), (999, 70)],
+)
+def test_png_interlaced_reconstructs_exact_raster(doc_id, n_chars):
+    import numpy as np
+
+    w0, h0 = n_chars % 64 + 1, doc_id % 48 + 1
+    w, h, img = _png_parse(encode_png_interlaced(doc_id, n_chars))
+    assert (w, h) == (w0, h0)
+    xs = np.arange(w)[None, :, None]
+    ys = np.arange(h)[:, None, None]
+    cs = np.arange(3)[None, None, :]
+    want = ((doc_id + 3 * xs + 5 * ys + 7 * cs) % 256).astype(np.uint8)
+    assert (img == want).all()
+
+
+def test_png_interlaced_pass_boundaries_are_load_bearing():
+    """Truncating the inflated stream by one pass (or appending a
+    spurious one) must fail loudly — the Adam7 walk accounts for every
+    byte."""
+    import struct
+    import zlib
+
+    p = encode_png_interlaced(9, 20)
+    # re-inflate, chop the last pass's bytes, re-deflate, re-chunk
+    i = 8
+    idat = bytearray()
+    chunks = []
+    while i < len(p):
+        (length,) = struct.unpack(">I", p[i : i + 4])
+        typ = bytes(p[i + 4 : i + 8])
+        data = p[i + 8 : i + 8 + length]
+        chunks.append((typ, data))
+        if typ == b"IDAT":
+            idat.extend(data)
+        i += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    for mutated in (raw[:-5], raw + raw[-5:]):
+        png = bytearray(_PNG_SIG)
+        for typ, data in chunks:
+            if typ == b"IDAT":
+                continue
+            if typ == b"IEND":
+                png.extend(_png_chunk(b"IDAT", zlib.compress(bytes(mutated))))
+            png.extend(_png_chunk(typ, data))
+        with pytest.raises(ValueError):
+            _png_parse(bytes(png))
+
+
+def test_png_interlaced_passes_filter_independently():
+    """First row of EVERY pass must defilter against a zero prior: the
+    encoder cycles filters per pass row, so pass 7 (the last, largest
+    pass) starts with filter 0 again — decode a tall image where pass
+    boundaries would corrupt rows if prior state leaked."""
+    w, h, img = _png_parse(encode_png_interlaced(47, 63))  # 64 x 48
+    assert img.shape == (48, 64, 3)
+    # spot-check a pass-7 row (odd y) far from pass 1 rows
+    import numpy as np
+
+    y = 47
+    want = ((47 + 3 * np.arange(64)[:, None] + 5 * y + 7 * np.arange(3)[None, :]) % 256)
+    assert (img[y] == want).all()
