@@ -85,33 +85,24 @@ def detail_guard(
     new_timings: dict | None = None,
 ) -> str | None:
     """Reason to PRESERVE the committed BENCH_DETAIL.json (None = this
-    run may replace it): the run started on a measurably slower host
-    phase (parallel canary > 1.25x the committed record's), started
-    loaded where the committed record started idle, ran a different
-    scale factor, or — the direct check — actually measured slower per
-    query than the committed record (> 1.15x s/query).  The last rule
-    exists because this host's ~2x JVM-side slow phases are INVISIBLE
-    to the pure-CPU canaries (measured r7/r8: identical canaries,
-    2x query times), so only comparing the protected quantity itself
-    keeps the record monotone-fast."""
+    run may replace it).  Rules, in order: (1) the protected quantity
+    itself — mean s/query over the INTERSECTION of query names (r8
+    ADVICE: a registry that grew inherently slower queries must not
+    block refreshes) — a run strictly faster than the record replaces
+    it UNCONDITIONALLY (faster queries on a slower host is stronger
+    evidence the floor moved, not weaker — r9, the 0.973-on-a-slow-
+    canary case), and a run slower by more than the 1.05x A/A noise
+    band never does; (2) within the noise band, host conditions must
+    be at least as good as the record's (canary, idle start).  The
+    direct rule leads because this host's ~2x JVM-side slow phases are
+    INVISIBLE to the pure-CPU canaries (measured r7/r8: identical
+    canaries, 2x query times)."""
     if committed is None:
         return None
-    ref_par = committed.get("host_canary_par32_sec")
     if committed.get("sf") != sf:
         return f"different sf ({committed.get('sf')} committed vs {sf})"
-    if ref_par and canary_par_sec > ref_par * 1.25:
-        return f"slower host phase (canary_par {canary_par_sec} vs committed {ref_par})"
-    if load_start > max(2.0, 2 * committed.get("load1_start", 0.0)):
-        return (
-            f"loaded start (load1 {load_start} vs committed "
-            f"{committed.get('load1_start')})"
-        )
     cq = committed.get("queries") or {}
     if new_timings and cq:
-        # Compare mean s/query over the INTERSECTION of query names:
-        # a registry that grew inherently-slower queries (r8 codec
-        # decodes) would otherwise shift the new mean upward and block
-        # legitimate idle-start refreshes forever (r8 ADVICE).
         common = sorted(set(cq) & set(new_timings))
         if len(common) != len(cq) or len(common) != len(new_timings):
             print(
@@ -123,15 +114,22 @@ def detail_guard(
         if common:
             ref_spq = sum(cq[k] for k in common) / len(common)
             new_spq = sum(new_timings[k] for k in common) / len(common)
-            # 1.05: A/A noise band only — the record is monotone-fast,
-            # so a measurably slower run never replaces it (r9; the r8
-            # 1.15 tolerance let a 6% slower run lower the bar)
+            if new_spq <= ref_spq:
+                return None  # strictly faster — replace unconditionally
             if new_spq > ref_spq * 1.05:
                 return (
                     f"slower than committed record ({new_spq:.3f} vs "
                     f"{ref_spq:.3f} s/query over {len(common)} common "
                     "queries — JVM slow phase)"
                 )
+    ref_par = committed.get("host_canary_par32_sec")
+    if ref_par and canary_par_sec > ref_par * 1.25:
+        return f"slower host phase (canary_par {canary_par_sec} vs committed {ref_par})"
+    if load_start > max(2.0, 2 * committed.get("load1_start", 0.0)):
+        return (
+            f"loaded start (load1 {load_start} vs committed "
+            f"{committed.get('load1_start')})"
+        )
     return None
 
 

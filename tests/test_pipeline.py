@@ -125,6 +125,10 @@ def test_bench_detail_guard_rules():
     slow = {"a": 2.0, "b": 2.0}
     assert "slower than committed record" in g(rec, 0.1, 0.13, 0.3, slow)
     assert g(rec, 0.1, 0.13, 0.3, {"a": 0.9, "b": 0.9}) is None
+    # r9: a STRICTLY faster run replaces the record even on a slower
+    # host / loaded start — faster queries under worse conditions is
+    # stronger evidence the floor moved
+    assert g(rec, 0.1, 9.9, 9.9, {"a": 0.9, "b": 0.9}) is None
     # r9: the comparison runs over the INTERSECTION of query names, so
     # a registry that grew an inherently slow new query can still
     # refresh the record (r8 ADVICE), while a genuinely slow run on
