@@ -1102,7 +1102,12 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "multimodal_image_decode",
         "multimodal_audio_decode",
         "multimodal_png_decode",
+        "multimodal_png_palette_decode",
+        "multimodal_png_interlaced_decode",
         "multimodal_jpeg_decode",
+        "multimodal_jpeg_ac_decode",
+        "multimodal_jpeg_color_decode",
+        "multimodal_jpeg_420_decode",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
