@@ -237,6 +237,29 @@ def main() -> None:
         out["canary_norm_sec_per_query"] = round(
             out["sec_per_query"] * ref_par / canary_par_sec, 3
         )
+    # Per-query regression surfacing (r9): the mean hides a single
+    # query going 5x — compare each query to the committed record,
+    # normalized by this run's own mean ratio so a global JVM slow
+    # phase doesn't flag everything, and name the outliers.
+    cq = (committed or {}).get("queries") or {}
+    common = sorted(set(cq) & set(timings))
+    if common:
+        global_ratio = (
+            sum(timings[k] for k in common) / max(sum(cq[k] for k in common), 1e-9)
+        )
+        flagged = {
+            k: round(timings[k] / max(cq[k], 1e-9) / global_ratio, 2)
+            for k in common
+            if cq[k] >= 0.3  # sub-noise-floor queries flap on absolute ms
+            and timings[k] / max(cq[k], 1e-9) > 2 * global_ratio
+        }
+        if flagged:
+            out["per_query_regressions"] = flagged
+            print(
+                f"per-query regressions vs committed record (x over this "
+                f"run's global {global_ratio:.2f}x): {flagged}",
+                file=sys.stderr,
+            )
     # The driver keeps only the last ~2000 chars of stdout, so a JSON
     # line longer than that is truncated mid-object and never parses
     # (BENCH_r01/r02 both recorded parsed:null for exactly this reason).
