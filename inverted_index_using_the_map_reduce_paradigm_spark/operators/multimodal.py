@@ -2141,3 +2141,160 @@ def q_multimodal_png_interlaced_decode(
     return payloads.mapInPandas(
         decode_pngs_interlaced, schema=PNG_ILACE_SCHEMA
     )
+
+
+# r9: G.711 mu-law WAV — a REAL compressed telephony audio codec whose
+# expansion is a pure per-byte formula (no recursive predictor state),
+# so a DuckDB oracle can recompute every decoded sample in closed form.
+# The RIFF container is hand-rolled: stdlib ``wave`` refuses non-PCM
+# format tags, which is exactly what makes this tier load-bearing —
+# the chunk walk, the fmt format-tag dispatch, and the expansion
+# formula are all this module's own code.
+WAV_ULAW_FORMAT = 7  # WAVE_FORMAT_MULAW
+
+
+def _ulaw_expand(b: int) -> int:
+    """CCITT G.711 mu-law byte -> linear 16-bit sample (the classic
+    Sun ulaw2linear: complement, extract exponent/mantissa, re-bias)."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def encode_wav_ulaw(doc_id: int, n_chars: int) -> bytes:
+    """A real RIFF WAV with format tag 7 (mu-law), mono 8 kHz, 8 bits
+    per sample; sample byte i is ``(doc_id + i) % 256`` so the oracle
+    enumerates the exact decoded waveform."""
+    import struct
+
+    n = n_chars % 800 + 50
+    data = bytes((doc_id + i) % 256 for i in range(n))
+    fmt = struct.pack(
+        "<HHIIHH", WAV_ULAW_FORMAT, 1, 8000, 8000, 1, 8
+    )  # tag, ch, rate, byterate, align, bits
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF word padding
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ulaw(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(n_samples, sample_rate, sample_sum, sample_max, sample_min)
+    from a real RIFF chunk walk (fmt format-tag check, word-aligned
+    chunk skipping) + per-byte G.711 expansion."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt_tag = rate = None
+    data: bytes | None = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, nch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if nch != 1 or bits != 8:
+                raise NotImplementedError("only mono 8-bit mu-law WAV")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if fmt_tag is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag != WAV_ULAW_FORMAT:
+        raise NotImplementedError(f"format tag {fmt_tag}, expected mu-law (7)")
+    samples = np.array([_ulaw_expand(b) for b in data], dtype=np.int64)
+    return (
+        int(samples.size),
+        int(rate),
+        int(samples.sum()),
+        int(samples.max()) if samples.size else 0,
+        int(samples.min()) if samples.size else 0,
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _ulaw_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_wav_ulaw(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+ULAW_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, sample_sum long,"
+    " sample_max long, sample_min long"
+)
+
+
+def decode_wavs_ulaw(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_wav_ulaw(p))
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "sample_rate", "sample_sum",
+                "sample_max", "sample_min",
+            ],
+        )
+
+
+@register(
+    "multimodal_ulaw_decode",
+    # the G.711 expansion in SQL: u = 255 - byte, exponent/mantissa
+    # split, re-bias — the same closed form the decoder implements,
+    # recomputed independently over the synthesized byte stream
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 800 + 50 AS n FROM documents
+), bytes_ AS (
+  SELECT doc_id, n,
+         (doc_id + unnest(generate_series(0, n - 1))) % 256 AS b
+  FROM dims
+), expanded AS (
+  SELECT doc_id, n,
+         CASE WHEN (255 - b) >= 128
+              THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                          * (1 << (((255 - b) // 16) % 8)))
+              ELSE (((255 - b) % 16) * 8 + 132)
+                   * (1 << (((255 - b) // 16) % 8)) - 132
+         END AS s
+  FROM bytes_
+)
+SELECT doc_id,
+       CAST(any_value(n) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(sum(s) AS BIGINT) AS sample_sum,
+       CAST(max(s) AS BIGINT) AS sample_max,
+       CAST(min(s) AS BIGINT) AS sample_min
+FROM expanded GROUP BY doc_id
+""",
+    description=(
+        "REAL compressed-audio decode: G.711 mu-law WAV (hand-rolled"
+        " RIFF walk + per-byte expansion)"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through a mu-law (G.711) WAV — the
+    compressed telephony codec — with a hand-rolled RIFF container
+    (stdlib ``wave`` refuses non-PCM tags): word-aligned chunk walk,
+    format-tag dispatch, and the complement/exponent/mantissa/re-bias
+    expansion, every decoded sample recomputed by the oracle in closed
+    form.  Same two-Arrow-stage narrow plan as the other codec
+    tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _ulaw_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_wavs_ulaw, schema=ULAW_SCHEMA)

@@ -646,3 +646,54 @@ def test_png_interlaced_passes_filter_independently():
     y = 47
     want = ((47 + 3 * np.arange(64)[:, None] + 5 * y + 7 * np.arange(3)[None, :]) % 256)
     assert (img[y] == want).all()
+
+
+# --------------------------------------------------------------------------
+# r9: G.711 mu-law WAV
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _ulaw_expand,
+    decode_wav_ulaw,
+    encode_wav_ulaw,
+)
+
+
+def test_ulaw_expansion_matches_canonical_anchors():
+    """Sun ulaw2linear's published 16-bit-domain anchors: both zero
+    codes decode to 0, the extreme codes to +/-32124, and expansion is
+    odd-symmetric (complement bit 7 flips the sign exactly)."""
+    assert _ulaw_expand(0xFF) == 0 and _ulaw_expand(0x7F) == 0
+    assert _ulaw_expand(0x00) == -32124 and _ulaw_expand(0x80) == 32124
+    for b in range(128):
+        assert _ulaw_expand(b) == -_ulaw_expand(b | 0x80)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"), [(0, 0), (1, 3), (5, 70), (123, 255), (999, 799)]
+)
+def test_ulaw_wav_roundtrip(doc_id, n_chars):
+    n = n_chars % 800 + 50
+    exp = [_ulaw_expand((doc_id + i) % 256) for i in range(n)]
+    got = decode_wav_ulaw(encode_wav_ulaw(doc_id, n_chars))
+    assert got == (n, 8000, sum(exp), max(exp), min(exp))
+
+
+def test_ulaw_rejects_pcm_and_walks_extra_chunks():
+    """A PCM-tagged stream is a loud NotImplementedError, and the RIFF
+    walk must skip unknown (odd-length, word-padded) chunks to find
+    fmt/data."""
+    import struct
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (
+        encode_wav,
+    )
+
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_wav_ulaw(encode_wav(5, 70))  # PCM 16-bit stdlib stream
+    # splice an odd-length LIST chunk before fmt: still decodes
+    p = encode_wav_ulaw(7, 20)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # padded to 4
+    patched = p[:12] + extra + p[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav_ulaw(patched) == decode_wav_ulaw(p)
