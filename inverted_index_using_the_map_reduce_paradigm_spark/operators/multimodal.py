@@ -685,17 +685,23 @@ def _png_parse(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         i += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace not in (0, 1) or (
-        ctype not in _PNG_CHANNELS and ctype != 3
+    if (
+        depth not in (8, 16)
+        or (depth == 16 and ctype == 3)  # PLTE indices are 8-bit by spec
+        or interlace not in (0, 1)
+        or (ctype not in _PNG_CHANNELS and ctype != 3)
     ):
         raise NotImplementedError(
             f"unsupported PNG variant (depth={depth}, color={ctype}, "
-            f"interlace={interlace}); supported: 8-bit "
-            "gray/RGB/gray+alpha/RGBA/indexed, Adam7 or none"
+            f"interlace={interlace}); supported: 8/16-bit "
+            "gray/RGB/gray+alpha/RGBA + 8-bit indexed, Adam7 or none"
         )
     if ctype == 3 and plte is None:
         raise ValueError("indexed-color PNG missing PLTE")
-    bpp = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+    channels = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+    # the filter algebra is BYTE-wise with bpp = bytes per pixel (RFC
+    # 2083 §6.2: at depth 16 the left neighbor is 2*channels bytes back)
+    bpp = channels * (depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 0:
         stride = w * bpp
@@ -728,6 +734,8 @@ def _png_parse(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         if int(img.max(initial=0)) >= len(pal):
             raise ValueError("PNG palette index out of range")
         img = pal[img[:, :, 0]]  # (h, w, 3)
+    elif depth == 16:  # recombine big-endian byte pairs into samples
+        img = (img[:, :, 0::2].astype(np.uint16) << 8) | img[:, :, 1::2]
     return int(w), int(h), img
 
 
@@ -2298,3 +2306,89 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _ulaw_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_wavs_ulaw, schema=ULAW_SCHEMA)
+
+
+# r9: 16-bit grayscale PNG — the scientific-imaging depth.  The filter
+# algebra runs over BYTES with a 2-byte left-neighbor offset, then
+# big-endian pairs recombine into samples; a decoder that filtered over
+# samples (or combined little-endian) breaks on every non-None row.
+def encode_png_16(doc_id: int, n_chars: int) -> bytes:
+    """A real 16-bit grayscale PNG: sample (x, y) is
+    ``(doc_id * 251 + 9x + 17y) % 65536`` (both bytes of most samples
+    nonzero, varying along both axes), rows cycle all five filters."""
+    import struct
+    import zlib
+
+    w = n_chars % 64 + 1
+    h = doc_id % 48 + 1
+    xs = np.arange(w, dtype=np.int64)
+    prior = np.zeros(2 * w, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        samples = (doc_id * 251 + 9 * xs + 17 * y) % 65536
+        raw = np.empty(2 * w, dtype=np.int64)
+        raw[0::2] = samples >> 8
+        raw[1::2] = samples & 0xFF
+        ft = y % 5
+        filt = _png_filter_row(raw, prior, ft, 2)
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)  # depth 16, gray
+    z = zlib.compress(bytes(out), 6)
+    png = bytearray(_PNG_SIG)
+    png.extend(_png_chunk(b"IHDR", ihdr))
+    for i in range(0, len(z), _PNG_IDAT_SPLIT):
+        png.extend(_png_chunk(b"IDAT", z[i : i + _PNG_IDAT_SPLIT]))
+    png.extend(_png_chunk(b"IEND", b""))
+    return bytes(png)
+
+
+@F.pandas_udf(T.BinaryType())
+def _png16_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_png_16(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+@register(
+    "multimodal_png16_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 64 + 1 AS w, doc_id % 48 + 1 AS h FROM documents
+), ys AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims
+), px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 251 + 9 * unnest(generate_series(0, w - 1)) + 17 * y)
+           % 65536 AS v
+  FROM ys
+)
+SELECT doc_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       round(sum(v) / (1.0 * any_value(w) * any_value(h)), 3) + 0
+         AS mean_pixel,
+       CAST(max(v) AS BIGINT) AS max_pixel,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id
+""",
+    description=(
+        "REAL 16-bit grayscale PNG decode: byte-wise filters with 2-byte"
+        " offsets, big-endian sample recombination"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_png16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through a 16-bit grayscale PNG whose
+    samples vary along both axes under all five cycling filters.  The
+    oracle recomputes sum/max/mean over the 16-bit SAMPLES, so both a
+    filter-offset bug (depth 16 moves the left neighbor to 2 bytes
+    back) and an endianness bug in the byte-pair recombination break
+    the driver hash.  Same two-Arrow-stage narrow plan as the other
+    codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _png16_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_pngs, schema=PNG_SCHEMA)

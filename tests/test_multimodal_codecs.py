@@ -110,12 +110,16 @@ def test_png_crc_corruption_detected():
 
 
 def test_png_rejects_subbyte_depth_and_bad_signature():
-    """Adam7 decodes since r9, so the loud-rejection pins move to the
-    genuinely unsupported variants: sub-byte/16-bit depths and unknown
-    interlace methods."""
+    """Adam7 and depth 16 decode since r9, so the loud-rejection pins
+    move to the genuinely unsupported variants: sub-byte depths,
+    16-bit PALETTE (forbidden by spec), and unknown interlace
+    methods."""
     import struct
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)  # 4-bit depth
+    with pytest.raises(NotImplementedError):
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)  # 16-bit palette
     with pytest.raises(NotImplementedError):
         decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)  # bogus interlace
@@ -697,3 +701,48 @@ def test_ulaw_rejects_pcm_and_walks_extra_chunks():
     patched = p[:12] + extra + p[12:]
     patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
     assert decode_wav_ulaw(patched) == decode_wav_ulaw(p)
+
+
+# --------------------------------------------------------------------------
+# r9: 16-bit grayscale PNG
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    encode_png_16,
+)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"),
+    [(0, 0), (1, 1), (5, 63), (47, 70), (255, 255), (999, 13)],
+)
+def test_png16_roundtrip_matches_synthesis(doc_id, n_chars):
+    """Byte-wise filters at 2-byte offsets + big-endian recombination:
+    stats over the 16-bit samples must match the closed form."""
+    w, h = n_chars % 64 + 1, doc_id % 48 + 1
+    vals = [
+        (doc_id * 251 + 9 * x + 17 * y) % 65536
+        for y in range(h)
+        for x in range(w)
+    ]
+    got = decode_png(encode_png_16(doc_id, n_chars))
+    assert got[0] == w and got[1] == h
+    assert got[3] == max(vals) and got[4] == sum(vals)
+    assert abs(got[2] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_png16_endianness_is_load_bearing():
+    """A sample > 255 must reconstruct big-endian: flip the two bytes
+    of a known flat payload and the sum changes."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    idat_be = zlib.compress(bytes([0, 0x12, 0x34]))  # sample 0x1234
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat_be)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(png)[4] == 0x1234

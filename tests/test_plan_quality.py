@@ -1108,6 +1108,8 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "multimodal_jpeg_ac_decode",
         "multimodal_jpeg_color_decode",
         "multimodal_jpeg_420_decode",
+        "multimodal_png16_decode",
+        "multimodal_ulaw_decode",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
