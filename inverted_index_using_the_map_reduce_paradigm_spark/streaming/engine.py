@@ -485,7 +485,12 @@ def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation queries this one's batch equality holds under any
     micro-batch splitting.  At 100 TB the static side is the
     slowly-changing dim snapshot; swapping it per trigger is how
-    dimension updates propagate without restarting the stream."""
+    dimension updates propagate without restarting the stream.  The
+    join is UNHINTED (round 10): customer is SF-linear, and a pinned
+    broadcast would re-ship a corpus-scale build side every
+    micro-batch — the planner's size check picks broadcast per batch
+    while the snapshot fits and falls back to a shuffle join when it
+    doesn't."""
     from ..data import table as _table
 
     ev = _event_stream(spark, sf_dir).select("event_id", "user_id", "value")
@@ -493,7 +498,7 @@ def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    joined = ev.join(F.broadcast(dim), "user_id").select(
+    joined = ev.join(dim, "user_id").select(
         "event_id",
         "user_id",
         "segment",
