@@ -111,6 +111,18 @@ def detail_guard(
                 "comparing over the intersection",
                 file=sys.stderr,
             )
+        if not common:
+            # r9 ADVICE: zero shared query names means the direct
+            # s/query rule can't run at all — without it, a record
+            # could be replaced on canary/load checks alone against an
+            # incomparable registry.  Preserve; replacing a record
+            # whose queries all changed names is an explicit
+            # delete-BENCH_DETAIL.json decision, not a silent one.
+            return (
+                "no common query names with committed record "
+                f"({len(cq)} committed vs {len(new_timings)} new) — "
+                "incomparable registries"
+            )
         if common:
             ref_spq = sum(cq[k] for k in common) / len(common)
             new_spq = sum(new_timings[k] for k in common) / len(common)
@@ -320,6 +332,21 @@ def main() -> None:
             }
             out["queries_omitted"] = len(omitted)
             out["omitted_sec"] = round(sum(timings[k] for k in omitted), 2)
+            line = json.dumps(out, separators=(",", ":"))
+        # per_query_regressions is the other unbounded dict on the
+        # line (r9 ADVICE): a pathological run flagging dozens of
+        # outliers could still blow the driver's ~2000-char window
+        # even with every query omitted.  Keep only the WORST
+        # offenders (largest normalized ratio) until the line fits.
+        flagged = out.get("per_query_regressions")
+        while len(line) > 1800 and flagged:
+            worst = sorted(flagged, key=flagged.get, reverse=True)
+            flagged = {k: flagged[k] for k in worst[: max(len(worst) - 1, 0)]}
+            if flagged:
+                out["per_query_regressions"] = flagged
+            else:
+                out.pop("per_query_regressions", None)
+            out["regressions_truncated"] = True
             line = json.dumps(out, separators=(",", ":"))
     print(line)
 

@@ -2203,6 +2203,15 @@ def decode_wav_ulaw(payload: bytes) -> tuple[int, int, int, int, int]:
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if i + 8 + clen > len(payload):
+            # a corrupt length would otherwise surface as a
+            # struct.error on the fmt unpack or a silently TRUNCATED
+            # data chunk (fewer decoded samples) — fail loud instead,
+            # per the codec tiers' contract (r9 ADVICE)
+            raise ValueError(
+                f"WAV chunk {cid!r} at {i} claims {clen} bytes but only "
+                f"{len(payload) - i - 8} remain"
+            )
         body = payload[i + 8 : i + 8 + clen]
         if cid == b"fmt ":
             fmt_tag, nch, rate, _br, _ba, bits = struct.unpack(

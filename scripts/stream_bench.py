@@ -135,11 +135,28 @@ def main() -> int:
     load1 = round(os.getloadavg()[0], 2)
     results: dict[str, dict] = {}
     for name in names:
+        # _LAST_PROGRESS is only written by queries routed through
+        # _run_to_memory; reset it per query so a foreachBatch-based
+        # query (e.g. stream_upsert_store) can't silently inherit the
+        # PREVIOUS query's batch/row/state metrics (r9 ADVICE).
+        engine._LAST_PROGRESS = []
         t0 = time.perf_counter()
         sink = qs[name].fn(spark, d)
         out_rows = sink.count()
         wall = time.perf_counter() - t0
         prog = engine._LAST_PROGRESS
+        if not prog:
+            print(
+                f"{name}: no streaming progress captured (not a "
+                "_run_to_memory query) — wall/out_rows only",
+                file=sys.stderr,
+            )
+            results[name] = {
+                "wall_sec": round(wall, 2),
+                "out_rows": out_rows,
+                "progress": None,
+            }
+            continue
         rows_in = sum(p["numInputRows"] for p in prog)
         trig_ms = [
             p["durationMs"]["triggerExecution"]

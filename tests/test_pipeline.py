@@ -135,6 +135,10 @@ def test_bench_detail_guard_rules():
     # the common set is still refused
     assert g(rec, 0.1, 0.13, 0.3, {"a": 0.9, "b": 0.9, "codec": 60.0}) is None
     assert "common" in g(rec, 0.1, 0.13, 0.3, {"a": 2.0, "b": 2.0, "c": 0.1})
+    # r10 (r9 ADVICE): ZERO common names means the direct s/query rule
+    # can't run — the record must be preserved, not replaced on
+    # canary/load checks alone against an incomparable registry
+    assert "incomparable" in g(rec, 0.1, 0.13, 0.3, {"x": 0.1, "y": 0.1})
 
 
 def test_stored_index_caches_rebuild_on_corpus_mutation(spark, tmp_path):
