@@ -746,3 +746,76 @@ def test_png16_endianness_is_load_bearing():
         + _png_chunk(b"IEND", b"")
     )
     assert decode_png(png)[4] == 0x1234
+
+
+# --------------------------------------------------------------------------
+# progressive JPEG (SOF2) — r10
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _jpeg_ac_coeffs,
+    _jpeg_parse_progressive,
+    encode_jpeg_progressive,
+)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"),
+    [(0, 0), (1, 7), (17, 70), (101, 61), (123, 255), (999, 3), (4242, 63)],
+)
+def test_jpeg_progressive_matches_baseline_raster(doc_id, n_chars):
+    """The five-scan SOF2 stream must reconstruct the EXACT raster of
+    the baseline AC stream carrying the same quantized coefficients —
+    successive approximation refines to Al=0, so the coefficient
+    buffer converges bit for bit."""
+    import numpy as np
+
+    bw, bh, bplanes = _jpeg_parse(encode_jpeg(doc_id, n_chars, ac=True))
+    pw_, ph, pplanes = _jpeg_parse_progressive(
+        encode_jpeg_progressive(doc_id, n_chars)
+    )
+    assert (bw, bh) == (pw_, ph)
+    assert np.array_equal(bplanes[0][1], pplanes[0][1])
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """Find a fixture point whose AC values are all |v| <= 3 in some
+    block (empty first-pass band at Al=2) so a real EOBRUN > 1 is
+    coded, and check the decode still matches baseline."""
+    import numpy as np
+
+    found = 0
+    for doc_id in range(500):
+        hb = doc_id % 6 + 1
+        wb = 8  # n_chars % 8 == 7
+        empties = [
+            (r, c)
+            for r in range(hb)
+            for c in range(wb)
+            if all(abs(q) <= 3 for q in _jpeg_ac_coeffs(doc_id, r, c))
+        ]
+        if not empties:
+            continue
+        found += 1
+        b = _jpeg_parse(encode_jpeg(doc_id, 7, ac=True))
+        p = _jpeg_parse_progressive(encode_jpeg_progressive(doc_id, 7))
+        assert np.array_equal(b[2][0][1], p[2][0][1]), doc_id
+        if found >= 5:
+            break
+    assert found, "synthesis no longer produces empty first-pass bands"
+
+
+def test_jpeg_progressive_parser_rejection_is_mutual():
+    with pytest.raises(NotImplementedError):  # SOF2 through baseline
+        _jpeg_parse(encode_jpeg_progressive(5, 9))
+    with pytest.raises(ValueError):  # SOF0 through progressive
+        _jpeg_parse_progressive(encode_jpeg(5, 9))
+
+
+def test_jpeg_progressive_real_decode_dispatch():
+    """real_decode must route SOF2 to the builtin progressive parser
+    (no PIL in this container)."""
+    assert real_decode(encode_jpeg_progressive(5, 70)) == (
+        (70 % 8 + 1) * 8,
+        (5 % 6 + 1) * 8,
+    )
