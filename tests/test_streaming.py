@@ -488,6 +488,61 @@ def test_multibatch_stream_purchase_attribution_equals_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_multibatch_stream_events_window_equals_batch(spark, tmp_path):
+    """Tumbling-window aggregation under a forced 4-file ts-ordered
+    split (r9 VERDICT item 6): windows spanning a trigger boundary
+    must merge in the state store, and the ts-ordered feed guarantees
+    no row is watermark-dropped (a batch's min ts is >= the previous
+    batch's max, so every window end is >= the committed watermark) —
+    the FINAL update-mode emission per (window, event_type) must equal
+    the batch events_window exactly, sums included."""
+    qs = load_all()
+    batch = as_set(qs["events_window"].fn(spark, SF))
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    with _force_multi_batch():
+        sink = qs["stream_events_window"].fn(spark, src)
+        assert _engine._LAST_FED_BATCHES >= 3
+        final = as_set(
+            _final_state(sink, ["window_start", "event_type"], "n_events")
+        )
+    assert final == batch
+
+
+def test_multibatch_stream_enrich_static_equals_batch(spark, tmp_path):
+    """The stream-static dimension join under a forced 4-file split:
+    stateless, so the union of per-trigger emissions must equal the
+    batch join row-for-row regardless of how the stream is split —
+    and the static side re-resolves identically every trigger."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    qs = load_all()
+    ev = table(spark, SF, "events")
+    dim = table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    batch = as_set(
+        ev.select("event_id", "user_id", "value")
+        .join(dim, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "segment",
+            (F.round("value", 2) + F.lit(0.0)).alias("value"),
+        )
+    )
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    # the static dim side resolves from the same sf_dir
+    _shutil.copy(f"{SF}/customer.parquet", f"{src}/customer.parquet")
+    with _force_multi_batch():
+        got = as_set(qs["stream_enrich_static"].fn(spark, src))
+        assert _engine._LAST_FED_BATCHES >= 3
+    assert len(batch) > 0
+    assert got == batch
+
+
 def test_multibatch_stream_cms_sketch_equals_batch_sketch(spark, tmp_path):
     """The streaming Count-Min sketch under a forced 4-file ts-ordered
     split: every (seed, bucket) counter must accumulate across trigger
