@@ -819,3 +819,105 @@ def test_jpeg_progressive_real_decode_dispatch():
         (70 % 8 + 1) * 8,
         (5 % 6 + 1) * 8,
     )
+
+
+# --------------------------------------------------------------------------
+# audio ladder rung 2: stereo 16-bit PCM + IMA-ADPCM — r10
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _IMA_SAMPLES_PER_BLOCK,
+    _IMA_STEPS,
+    decode_wav_ima_adpcm,
+    decode_wav_stereo,
+    encode_wav_ima_adpcm,
+    encode_wav_stereo,
+)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 7, 55, 123, 4242])
+def test_wav_stereo_roundtrip_per_channel(doc_id):
+    n_chars = doc_id * 17 % 400
+    nch, nf, pl, pr, sl, sr, rate = decode_wav_stereo(
+        encode_wav_stereo(doc_id, n_chars)
+    )
+    amp = doc_id % 90 + 10
+    want_nf = n_chars % 300 + 40
+    right = [(doc_id + t) % 200 - 100 for t in range(want_nf)]
+    assert (nch, nf, rate) == (2, want_nf, 8000)
+    assert (pl, sl) == (amp, amp * (want_nf % 2))
+    assert (pr, sr) == (max(abs(v) for v in right), sum(right))
+
+
+def test_wav_stereo_rejects_mono():
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import encode_wav
+
+    with pytest.raises(NotImplementedError):
+        decode_wav_stereo(encode_wav(5, 9))
+
+
+def _ima_reference(doc_id):
+    """Independent pure-Python replay of the IMA machine (written
+    against the published step/index tables, not the decoder code)."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (
+        _IMA_INDEX_ADJ,
+        _ima_fixture_nibble,
+        _ima_fixture_params,
+    )
+
+    out = []
+    for b in range(2):
+        pred, idx = _ima_fixture_params(doc_id, b)
+        out.append(pred)
+        for t in range(_IMA_SAMPLES_PER_BLOCK - 1):
+            nib = _ima_fixture_nibble(doc_id, b, t)
+            step = _IMA_STEPS[idx]
+            diff = (step >> 3) + (step >> 2 if nib & 1 else 0) \
+                 + (step >> 1 if nib & 2 else 0) + (step if nib & 4 else 0)
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+            out.append(pred)
+    return out
+
+
+@pytest.mark.parametrize("doc_id", [0, 3, 17, 88, 123, 4242])
+def test_ima_adpcm_roundtrip_matches_reference(doc_id):
+    ref = _ima_reference(doc_id)
+    n, rate, s, mn, mx = decode_wav_ima_adpcm(encode_wav_ima_adpcm(doc_id, 0))
+    assert (n, rate) == (len(ref), 8000)
+    assert (s, mn, mx) == (sum(ref), min(ref), max(ref))
+
+
+def test_ima_adpcm_clamps_are_exercised():
+    """The fixture domain must hit BOTH predictor clamps — otherwise
+    the greatest/least in the oracle (and the decoder's min/max) are
+    dead code the hash can't see."""
+    lo = hi = False
+    for doc_id in range(80):
+        ref = _ima_reference(doc_id)
+        lo = lo or min(ref) == -32768
+        hi = hi or max(ref) == 32767
+        if lo and hi:
+            break
+    assert lo and hi
+
+
+def test_ima_adpcm_loud_failures():
+    p = encode_wav_ima_adpcm(9, 0)
+    # corrupt chunk length -> ValueError, not struct.error/truncation
+    bad = bytearray(p)
+    i = p.index(b"data")
+    bad[i + 4 : i + 8] = (2 ** 31).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        decode_wav_ima_adpcm(bytes(bad))
+    # out-of-range step index in a block header -> ValueError
+    bad = bytearray(p)
+    bad[i + 8 + 2] = 99  # first block's index byte
+    with pytest.raises(ValueError):
+        decode_wav_ima_adpcm(bytes(bad))
+    # mu-law payload through the IMA API -> loud NotImplementedError
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import encode_wav_ulaw
+
+    with pytest.raises(NotImplementedError):
+        decode_wav_ima_adpcm(encode_wav_ulaw(5, 9))
