@@ -109,6 +109,8 @@ def build_scale_dir(m: int) -> str:
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
         shutil.copy(os.path.join(SRC, f"{t}.parquet"), d)
     con = duckdb.connect()
+    # 1024-copy builds exceed DuckDB's default parser depth (1000)
+    con.sql("SET max_expression_depth TO 16384")
     doc_parts, emb_parts, ev_parts = [], [], []
     for i in range(m):
         if i == 0:
