@@ -96,11 +96,21 @@ def _tag(i: int) -> str:
     return "q" + chr(97 + i // 26) + chr(97 + i % 26)
 
 
-def build_scale_dir(m: int) -> str:
-    """/tmp/scale_sweep/x{m} with enlarged fact tables, reused if built."""
+def build_scale_dir(m: int, perturb: float = 0.0) -> str:
+    """/tmp/scale_sweep/x{m} with enlarged fact tables, reused if built.
+
+    ``perturb`` > 0 builds an ``x{m}p`` variant whose embedding copies
+    additionally get a deterministic per-(copy, dim) nudge of up to
+    +/-6*perturb per component.  Rationale (r10): pure rotation makes
+    copy i and copy i+64 IDENTICAL, so at m > 64*TOP_K/10ish the exact
+    top-10 of every query is all cos=1.0 duplicates sitting in the
+    query's own IVF cell and recall saturates at 1.0 (measured at
+    x1024) — the rung stops discriminating.  Perturbed copies sit at
+    cos ~0.9 from their base, spread across cell boundaries, so the
+    quantizer's probe breadth is what recall measures again."""
     import duckdb
 
-    d = os.path.join(BASE, f"x{m}")
+    d = os.path.join(BASE, f"x{m}p" if perturb else f"x{m}")
     stamp = os.path.join(d, ".complete")
     if os.path.exists(stamp):
         return d
@@ -127,14 +137,20 @@ def build_scale_dir(m: int) -> str:
                 f" FROM '{SRC}/documents.parquet'"
             )
         r = i % 64
-        emb_parts.append(
-            f"SELECT vec_id + {i * OFFSET} AS vec_id,"
-            + (
-                "embedding,"
-                if r == 0
-                else f"list_concat(embedding[{r + 1}:], embedding[:{r}]) AS embedding,"
+        rot = (
+            "embedding"
+            if r == 0
+            else f"list_concat(embedding[{r + 1}:], embedding[:{r}])"
+        )
+        if perturb and i:
+            rot = (
+                f"CAST(list_transform({rot}, (x, j) ->"
+                f" x + (({i} * 31 + j * 17) % 13 - 6) * {perturb})"
+                f" AS FLOAT[])"
             )
-            + f" label + {i * 100} AS label FROM '{SRC}/embeddings.parquet'"
+        emb_parts.append(
+            f"SELECT vec_id + {i * OFFSET} AS vec_id, {rot} AS embedding,"
+            f" label + {i * 100} AS label FROM '{SRC}/embeddings.parquet'"
         )
         ev_parts.append(
             f"SELECT event_id + {i * OFFSET} AS event_id, ts,"
