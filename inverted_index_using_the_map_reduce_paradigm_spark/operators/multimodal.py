@@ -39,7 +39,8 @@ Codec tiers (r7, PNG promoted r8):
 * ``multimodal_jpeg_progressive_decode`` (r10) decodes real SOF2
   streams builtin: five-scan spectral-selection + successive-
   approximation (DC first/refine, AC first pass with EOB runs, a
-  two-step AC refinement ladder), oracle-checked bit for bit.
+  two-step AC refinement ladder) with DRI/RSTn restart intervals
+  in every scan, oracle-checked bit for bit.
 * Remaining codec variants (subsampled-progressive JPEG, arithmetic
   coding, WebP, ...) stay import-gated behind PIL (absent in this
   container): ``real_decode`` dispatches P6/PNG/JPEG to the builtin
@@ -2471,6 +2472,14 @@ class _JpegProgWriter(_JpegBitWriter):
         self.emit_pending()
 
 
+def _jpeg_prog_restart(bw: "_JpegBitWriter", rst: int) -> int:
+    """Byte-align (1-padded) and emit RSTn; returns the next marker
+    number (modulo-8 cycle, restarting at 0 each scan per T.81)."""
+    bw.buf = bytearray(bw.flush())
+    bw.buf += bytes([0xFF, 0xD0 + rst])
+    return (rst + 1) % 8
+
+
 def _jpeg_prog_scan_header(
     comps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int
 ) -> bytes:
@@ -2480,7 +2489,9 @@ def _jpeg_prog_scan_header(
     return _jpeg_segment(0xDA, data + bytes([ss, se, (ah << 4) | al]))
 
 
-def encode_jpeg_progressive(doc_id: int, n_chars: int) -> bytes:
+def encode_jpeg_progressive(
+    doc_id: int, n_chars: int, restart_interval: int = 0
+) -> bytes:
     """A real progressive (SOF2) grayscale JPEG carrying the same
     quantized coefficients as ``encode_jpeg(ac=True)`` — flat fill
     64 + (doc_id+r) % 128 per block row plus the three {0,4}^2 AC
@@ -2517,8 +2528,11 @@ def encode_jpeg_progressive(doc_id: int, n_chars: int) -> bytes:
 
     # scan 1: DC first pass, Al=1 (arithmetic shift; diff-coded)
     bw = _JpegBitWriter()
-    pred = 0
-    for zz in zz_blocks:
+    pred = rst = 0
+    for b, zz in enumerate(zz_blocks):
+        if restart_interval and b and b % restart_interval == 0:
+            rst = _jpeg_prog_restart(bw, rst)
+            pred = 0  # RST resets the DC predictor
         v = int(zz[0]) >> 1
         diff = v - pred
         pred = v
@@ -2531,7 +2545,10 @@ def encode_jpeg_progressive(doc_id: int, n_chars: int) -> bytes:
 
     # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
     bw = _JpegBitWriter()
-    for zz in zz_blocks:
+    rst = 0
+    for b, zz in enumerate(zz_blocks):
+        if restart_interval and b and b % restart_interval == 0:
+            rst = _jpeg_prog_restart(bw, rst)
         bw.write(int(zz[0]) & 1, 1)
     scan_dc2 = _jpeg_prog_scan_header([(1, 0, 0)], 0, 0, 1, 0) + bw.flush()
 
@@ -2543,7 +2560,11 @@ def encode_jpeg_progressive(doc_id: int, n_chars: int) -> bytes:
     lo, hi = ss_band
     ac_al = 2
     pw = _JpegProgWriter(ac_codes)
-    for zz in zz_blocks:
+    rst = 0
+    for b, zz in enumerate(zz_blocks):
+        if restart_interval and b and b % restart_interval == 0:
+            pw.flush_eobrun()  # an EOB run never crosses a restart
+            rst = _jpeg_prog_restart(pw, rst)
         nz = [
             (k, (abs(int(zz[k])) >> ac_al) * (1 if zz[k] > 0 else -1))
             for k in range(lo, hi + 1)
@@ -2576,7 +2597,11 @@ def encode_jpeg_progressive(doc_id: int, n_chars: int) -> bytes:
     ac_refines = []
     for al in range(ac_al - 1, -1, -1):
         pw = _JpegProgWriter(ac_codes)
-        for zz in zz_blocks:
+        rst = 0
+        for b, zz in enumerate(zz_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                pw.flush_eobrun()  # flushes buffered correction bits too
+                rst = _jpeg_prog_restart(pw, rst)
             absval = [abs(int(zz[k])) >> al for k in range(lo, hi + 1)]
             eob = 0  # band index AFTER the last newly-significant coef
             for j, a in enumerate(absval):
@@ -2621,12 +2646,18 @@ def encode_jpeg_progressive(doc_id: int, n_chars: int) -> bytes:
     dht_ac = (
         bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
     )
+    dri = (
+        _jpeg_segment(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _jpeg_segment(0xDB, qtab)
         + _jpeg_segment(0xC2, sof)  # SOF2: progressive DCT, Huffman
         + _jpeg_segment(0xC4, dht_dc)
         + _jpeg_segment(0xC4, dht_ac)
+        + dri
         + scan_dc1
         + scan_dc2
         + scan_ac1
@@ -2664,6 +2695,7 @@ def _jpeg_parse_progressive(
     preds: dict[int, int] = {}
     nbx = nby = 0
     eobrun = 0
+    restart_interval = 0
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
@@ -2717,6 +2749,8 @@ def _jpeg_parse_progressive(
                     for v, (code, length) in _jpeg_canonical(bits, vals).items()
                 }
                 j += 17 + nvals
+        elif marker == 0xDD:  # DRI: restart interval in MCUs (= blocks, 1x1)
+            (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # one scan of the progressive script
             if w is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -2737,6 +2771,9 @@ def _jpeg_parse_progressive(
                     raise ValueError("progressive DC scan with Se != 0")
                 preds = {cid: 0 for cid, _, _ in scan}
                 for b in range(nbx * nby):
+                    if restart_interval and b and b % restart_interval == 0:
+                        br.restart()  # byte-align + consume RSTn
+                        preds = dict.fromkeys(preds, 0)
                     for cid, dc_id, _ in scan:
                         cf = coefs[cid]
                         if ah == 0:  # first pass: diff-coded, << Al
@@ -2753,6 +2790,9 @@ def _jpeg_parse_progressive(
                 ac_t = huff[(1, ac_id)]
                 p1, m1 = 1 << al, -1 << al
                 for b in range(nbx * nby):
+                    if restart_interval and b and b % restart_interval == 0:
+                        br.restart()  # byte-align + consume RSTn
+                        eobrun = 0  # an EOB run never crosses a restart
                     if ah == 0:  # ---- first pass (G.2.2) ----
                         if eobrun:
                             eobrun -= 1
@@ -2826,7 +2866,7 @@ def _jpeg_parse_progressive(
             i = br.pos
             while i < len(payload) and payload[i] != 0xFF:
                 i += 1
-        else:  # APPn / COM / DRI(ignored: fixture emits no restarts)
+        else:  # APPn / COM (skipped)
             pass
     if not coefs or w is None:
         raise ValueError("JPEG missing SOS/SOF")
@@ -2853,7 +2893,7 @@ def _jpeg_progressive_payload(
 ) -> pd.Series:
     return pd.Series(
         [
-            encode_jpeg_progressive(int(d), int(n))
+            encode_jpeg_progressive(int(d), int(n), restart_interval=2)
             for d, n in zip(doc_id, n_chars)
         ]
     )
@@ -2918,8 +2958,10 @@ def q_multimodal_jpeg_progressive_decode(
     every surviving coefficient consumes a correction bit — so the
     oracle hash (identical to multimodal_jpeg_ac_decode's closed form)
     is load-bearing for the whole G.2 successive-approximation
-    procedure, not just the happy path.  Same narrow two-Arrow-stage
-    plan as the other codec tiers."""
+    procedure, not just the happy path.  The fixture carries
+    ``DRI=2`` restart markers, so every scan also exercises per-RST
+    byte realignment, DC-predictor reset and EOB-run termination.
+    Same narrow two-Arrow-stage plan as the other codec tiers."""
     docs = table(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id", _jpeg_progressive_payload("doc_id", "n_chars").alias("payload")

@@ -812,6 +812,42 @@ def test_jpeg_progressive_parser_rejection_is_mutual():
         _jpeg_parse_progressive(encode_jpeg(5, 9))
 
 
+@pytest.mark.parametrize("restart_interval", [1, 2, 3, 5, 100])
+def test_jpeg_progressive_restart_roundtrip(restart_interval):
+    """DRI/RSTn streams must reconstruct the exact no-restart raster:
+    every scan byte-realigns at the marker, DC scans reset the
+    predictor, AC scans terminate any pending EOB run."""
+    import numpy as np
+
+    for doc_id, n_chars in [(1, 7), (42, 500), (999, 63), (123456, 4096)]:
+        base = _jpeg_parse_progressive(encode_jpeg_progressive(doc_id, n_chars))
+        rst = _jpeg_parse_progressive(
+            encode_jpeg_progressive(
+                doc_id, n_chars, restart_interval=restart_interval
+            )
+        )
+        assert (base[0], base[1]) == (rst[0], rst[1])
+        assert np.array_equal(base[2][0][1], rst[2][0][1]), (
+            doc_id,
+            n_chars,
+            restart_interval,
+        )
+
+
+def test_jpeg_progressive_restart_requires_dri():
+    """Stripping the DRI segment from a restart-carrying stream must
+    fail loudly (RSTn inside entropy data with no interval declared),
+    not silently decode garbage."""
+    import struct
+
+    p = encode_jpeg_progressive(7, 500, restart_interval=2)
+    i = p.index(b"\xff\xdd")
+    (seglen,) = struct.unpack(">H", p[i + 2 : i + 4])
+    stripped = p[:i] + p[i + 2 + seglen :]
+    with pytest.raises(ValueError):
+        _jpeg_parse_progressive(stripped)
+
+
 def test_jpeg_progressive_real_decode_dispatch():
     """real_decode must route SOF2 to the builtin progressive parser
     (no PIL in this container)."""
