@@ -1736,9 +1736,10 @@ def q_multimodal_jpeg_ac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_jpegs_ac, schema=JPEG_AC_SCHEMA)
 
 
-@register(
-    "multimodal_jpeg_color_decode",
-    oracle=_JPEG_AC_BLOCKS_CTE
+# Per-plane closed form shared by the baseline 4:4:4 and the
+# progressive color query (identical coefficients, different scripts).
+_JPEG_COLOR_ORACLE = (
+    _JPEG_AC_BLOCKS_CTE
     + """
 SELECT doc_id,
        CAST(any_value(wb) * 8 AS BIGINT) AS width,
@@ -1755,7 +1756,13 @@ SELECT doc_id,
        CAST(sum(64 * av) AS BIGINT) AS ac_v_sum,
        CAST(sum(64 * ad) AS BIGINT) AS ac_d_sum
 FROM coef GROUP BY doc_id
-""",
+"""
+)
+
+
+@register(
+    "multimodal_jpeg_color_decode",
+    oracle=_JPEG_COLOR_ORACLE,
     description=(
         "REAL JPEG color path: interleaved YCbCr 4:4:4 MCU decode with"
         " per-component quant/Huffman tables and DC predictors"
@@ -2967,6 +2974,286 @@ def q_multimodal_jpeg_progressive_decode(
         "doc_id", _jpeg_progressive_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_jpegs_progressive, schema=JPEG_AC_SCHEMA)
+
+
+# Chroma AC table for the progressive color script: EOB0..EOB5 ONLY
+# (all length 3) — shaped so a decoder that ignores the per-scan AC
+# table selector cannot decode the chroma band scans at all.
+_JPEG_PROG_AC1_VALS = [r << 4 for r in range(6)]
+_JPEG_PROG_AC1_BITS = [0, 0, 6] + [0] * 13
+
+
+def encode_jpeg_progressive_color(doc_id: int, n_chars: int) -> bytes:
+    """A real progressive (SOF2) YCbCr 4:4:4 JPEG carrying EXACTLY the
+    coefficients of ``encode_jpeg_color`` (Y: fill + {0,4}^2 AC
+    synthesis; Cb/Cr: flat chroma under the tq=1 table), split across
+    a seven-scan color script: one INTERLEAVED DC first pass (ns = 3,
+    Al=1, per-component DC tables and predictors in Y,Cb,Cr MCU
+    order), one interleaved DC refinement (one raw bit per block per
+    component), the Y AC ladder (first pass at Al=2 with EOB runs,
+    then the two refinement scans), and one all-EOB-run AC scan per
+    chroma component under a DEDICATED EOBn-only Huffman table
+    (tid=1).  This is the scan topology libjpeg's
+    jpeg_simple_progression emits for color images, so the
+    interleaved-DC path, per-scan table selection and cross-block EOB
+    runs are all load-bearing for the shared color oracle."""
+    import struct
+
+    wb = n_chars % 8 + 1
+    hb = doc_id % 6 + 1
+    w, h = wb * 8, hb * 8
+    nblocks = wb * hb
+    # per-component zigzag coefficient planes, identical to the
+    # baseline color fixture
+    zz_y: list[np.ndarray] = []
+    zz_cb: list[np.ndarray] = []
+    zz_cr: list[np.ndarray] = []
+    for r in range(hb):
+        y_dc = 64 + (doc_id + r) % 128 - 128
+        cb_dc = (doc_id * 7 + r) % 101 - 50
+        cr_dc = (doc_id * 13 + r) % 101 - 50
+        for c in range(wb):
+            qh, qv, qd = _jpeg_ac_coeffs(doc_id, r, c)
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = y_dc
+            by_nat = {4: qh, 32: qv, 36: qd}
+            for pos, nat in _JPEG_AC_POS:
+                zz[pos] = by_nat[nat]
+            zz_y.append(zz)
+            for plane, dc in ((zz_cb, cb_dc), (zz_cr, cr_dc)):
+                z = np.zeros(64, dtype=np.int64)
+                z[0] = dc
+                plane.append(z)
+
+    dc0 = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    dc1 = _jpeg_canonical(_JPEG_DC1_BITS, _JPEG_DC1_VALS)
+    ac0 = _jpeg_canonical(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    ac1 = _jpeg_canonical(_JPEG_PROG_AC1_BITS, _JPEG_PROG_AC1_VALS)
+    planes = [(1, dc0, zz_y), (2, dc1, zz_cb), (3, dc1, zz_cr)]
+
+    # scan 1: interleaved DC first pass (ns = nf = 3, Al=1)
+    bw = _JpegBitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for b in range(nblocks):
+        for cid, dct, zzs in planes:
+            v = int(zzs[b][0]) >> 1
+            diff = v - preds[cid]
+            preds[cid] = v
+            t = abs(diff).bit_length()
+            code, length = dct[t]
+            bw.write(code, length)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    scan_dc1 = (
+        _jpeg_prog_scan_header([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+        + bw.flush()
+    )
+
+    # scan 2: interleaved DC refinement (one raw bit per block per comp)
+    bw = _JpegBitWriter()
+    for b in range(nblocks):
+        for cid, _, zzs in planes:
+            bw.write(int(zzs[b][0]) & 1, 1)
+    scan_dc2 = (
+        _jpeg_prog_scan_header([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+        + bw.flush()
+    )
+
+    # scans 3..5: the Y AC ladder — same script as the grayscale
+    # fixture (first pass at Al=2 with EOB runs, then two refinements)
+    lo, hi = 1, 63
+    ac_al = 2
+    pw = _JpegProgWriter(ac0)
+    for zz in zz_y:
+        nz = [
+            (k, (abs(int(zz[k])) >> ac_al) * (1 if zz[k] > 0 else -1))
+            for k in range(lo, hi + 1)
+            if abs(int(zz[k])) >> ac_al
+        ]
+        if not nz:
+            pw.eobrun += 1
+            continue
+        pw.flush_eobrun()
+        kprev = lo
+        for k, s in nz:
+            run = k - kprev
+            while run >= 16:
+                pw.emit_symbol(0xF0)
+                run -= 16
+            t = abs(s).bit_length()
+            pw.emit_symbol((run << 4) | t)
+            pw.write(s if s >= 0 else s + (1 << t) - 1, t)
+            kprev = k + 1
+        if kprev <= hi:
+            pw.eobrun += 1
+    pw.flush_eobrun()
+    y_scans = [
+        _jpeg_prog_scan_header([(1, 0, 0)], lo, hi, 0, ac_al) + pw.flush()
+    ]
+    for al in range(ac_al - 1, -1, -1):
+        pw = _JpegProgWriter(ac0)
+        for zz in zz_y:
+            absval = [abs(int(zz[k])) >> al for k in range(lo, hi + 1)]
+            eob = 0
+            for j, a in enumerate(absval):
+                if a == 1:
+                    eob = j + 1
+            run = 0
+            block_bits: list[int] = []
+            for j, a in enumerate(absval):
+                if a == 0:
+                    run += 1
+                    continue
+                if a > 1:
+                    block_bits.append(a & 1)
+                    continue
+                while run > 15 and j < eob:
+                    pw.flush_eobrun()
+                    pw.emit_symbol(0xF0)
+                    run -= 16
+                    pw.pending_bits, block_bits = block_bits, []
+                    pw.emit_pending()
+                pw.flush_eobrun()
+                pw.emit_symbol((run << 4) | 1)
+                pw.write(1 if zz[lo + j] > 0 else 0, 1)
+                pw.pending_bits, block_bits = block_bits, []
+                pw.emit_pending()
+                run = 0
+            if run > 0 or block_bits:
+                pw.eobrun += 1
+                pw.pending_bits.extend(block_bits)
+                if pw.eobrun == 0x7FFF:
+                    pw.flush_eobrun()
+        pw.flush_eobrun()
+        y_scans.append(
+            _jpeg_prog_scan_header([(1, 0, 0)], lo, hi, al + 1, al)
+            + pw.flush()
+        )
+
+    # scans 6..7: chroma AC bands are all-zero -> ONE EOB run each,
+    # coded under the dedicated EOBn-only table (fixture max 48 blocks
+    # fits EOB5's 32..63 range)
+    chroma_scans = []
+    for cid in (2, 3):
+        pw = _JpegProgWriter(ac1)
+        pw.eobrun = nblocks
+        pw.flush_eobrun()
+        chroma_scans.append(
+            _jpeg_prog_scan_header([(cid, 0, 1)], lo, hi, 0, 0) + pw.flush()
+        )
+
+    qtab0 = bytes([0x00]) + bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)
+    qtab1 = bytes([0x01]) + bytes([_JPEG_QDC_CHROMA] + [_JPEG_QAC] * 63)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        _jpeg_segment(
+            0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        )
+        + _jpeg_segment(
+            0xC4,
+            bytes([0x10])
+            + bytes(_JPEG_PROG_AC_BITS)
+            + bytes(_JPEG_PROG_AC_VALS),
+        )
+        # chroma DC + AC tables packed in one DHT segment, as real
+        # encoders do (multi-table walk stays exercised)
+        + _jpeg_segment(
+            0xC4,
+            bytes([0x01]) + bytes(_JPEG_DC1_BITS) + bytes(_JPEG_DC1_VALS)
+            + bytes([0x11])
+            + bytes(_JPEG_PROG_AC1_BITS)
+            + bytes(_JPEG_PROG_AC1_VALS),
+        )
+    )
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xDB, qtab0 + qtab1)
+        + _jpeg_segment(0xC2, sof)
+        + dht
+        + scan_dc1
+        + scan_dc2
+        + b"".join(y_scans)
+        + b"".join(chroma_scans)
+        + b"\xff\xd9"
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _jpeg_progressive_color_payload(
+    doc_id: pd.Series, n_chars: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            encode_jpeg_progressive_color(int(d), int(n))
+            for d, n in zip(doc_id, n_chars)
+        ]
+    )
+
+
+def decode_jpegs_progressive_color(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, planes = _jpeg_parse_progressive(p)
+            if len(planes) != 3:
+                raise ValueError(
+                    f"expected YCbCr JPEG, got {len(planes)} planes"
+                )
+            by_cid = dict(planes)
+            y, cb, cr = by_cid[1], by_cid[2], by_cid[3]
+            ach, acv, acd = _jpeg_quad_sums(y)
+            rows.append(
+                (
+                    doc_id, w, h,
+                    int(y.sum(dtype=np.int64)),
+                    int(y.max()) if y.size else 0,
+                    int(cb.sum(dtype=np.int64)),
+                    int(cr.sum(dtype=np.int64)),
+                    ach, acv, acd,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "y_sum", "y_max",
+                "cb_sum", "cr_sum", "ac_h_sum", "ac_v_sum", "ac_d_sum",
+            ],
+        )
+
+
+@register(
+    "multimodal_jpeg_progressive_color_decode",
+    oracle=_JPEG_COLOR_ORACLE,
+    description=(
+        "REAL progressive color JPEG: interleaved ns=3 DC scans +"
+        " per-component AC band scans, shared color closed-form oracle"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_jpeg_progressive_color_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-trips every document through a seven-scan progressive
+    YCbCr 4:4:4 JPEG (libjpeg's color scan topology): the DC scans
+    interleave all three components per MCU (the ns = nf decode path
+    no other fixture reaches), the Y band runs the full successive-
+    approximation ladder, and each chroma band is a single cross-block
+    EOB run under a chroma-only Huffman table — so per-scan component
+    routing, per-component predictors and table selectors all feed the
+    oracle hash shared with ``multimodal_jpeg_color_decode``.  Same
+    narrow two-Arrow-stage plan as the other codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        _jpeg_progressive_color_payload("doc_id", "n_chars").alias("payload"),
+    )
+    return payloads.mapInPandas(
+        decode_jpegs_progressive_color, schema=JPEG_COLOR_SCHEMA
+    )
 
 
 # --------------------------------------------------------------------------

@@ -834,6 +834,48 @@ def test_jpeg_progressive_restart_roundtrip(restart_interval):
         )
 
 
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"),
+    [(0, 0), (1, 7), (17, 70), (101, 61), (999, 3), (4242, 63)],
+)
+def test_jpeg_progressive_color_matches_baseline(doc_id, n_chars):
+    """The seven-scan color script (interleaved ns=3 DC scans,
+    Y ladder, chroma EOB-run band scans under their own table) must
+    reconstruct all three planes of the baseline 4:4:4 stream."""
+    import numpy as np
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (
+        encode_jpeg_color,
+        encode_jpeg_progressive_color,
+    )
+
+    bw, bh, bplanes = _jpeg_parse(encode_jpeg_color(doc_id, n_chars))
+    pw_, ph, pplanes = _jpeg_parse_progressive(
+        encode_jpeg_progressive_color(doc_id, n_chars)
+    )
+    assert (bw, bh) == (pw_, ph)
+    assert [c for c, _ in bplanes] == [c for c, _ in pplanes] == [1, 2, 3]
+    for (_, b), (_, p) in zip(bplanes, pplanes):
+        assert np.array_equal(b, p)
+
+
+def test_jpeg_progressive_color_interleaved_dc_is_load_bearing():
+    """Swapping the chroma component order in the interleaved DC scan
+    must change the decoded planes (the ns=3 MCU ordering is real,
+    not a reshuffle-invariant)."""
+    import numpy as np
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (
+        encode_jpeg_progressive_color,
+    )
+
+    p = encode_jpeg_progressive_color(17, 70)
+    _, _, planes = _jpeg_parse_progressive(p)
+    by_cid = dict(planes)
+    # Cb and Cr are different flat planes per the synthesis
+    assert not np.array_equal(by_cid[2], by_cid[3])
+
+
 def test_jpeg_progressive_restart_requires_dri():
     """Stripping the DRI segment from a restart-carrying stream must
     fail loudly (RSTn inside entropy data with no interval declared),
