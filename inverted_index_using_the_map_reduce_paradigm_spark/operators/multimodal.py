@@ -40,8 +40,11 @@ Codec tiers (r7, PNG promoted r8):
   streams builtin: five-scan spectral-selection + successive-
   approximation (DC first/refine, AC first pass with EOB runs, a
   two-step AC refinement ladder) with DRI/RSTn restart intervals
-  in every scan, oracle-checked bit for bit.
-* Remaining codec variants (subsampled-progressive JPEG, arithmetic
+  in every scan, oracle-checked bit for bit.  The color variant
+  (interleaved ns=3 DC scans, per-component band scans) and the
+  subsampled 4:2:0 variant (MCU-interleaved DC vs raster-order AC
+  walks over an MCU-padded coefficient buffer) decode builtin too.
+* Remaining codec variants (arithmetic
   coding, WebP, ...) stay import-gated behind PIL (absent in this
   container): ``real_decode`` dispatches P6/PNG/JPEG to the builtin
   parsers and everything else to PIL or a ``NotImplementedError`` —
@@ -111,7 +114,7 @@ def real_decode(payload: bytes) -> tuple[int, int]:
                 w, h, _planes = _jpeg_parse_progressive(payload)
                 return w, h
             except (NotImplementedError, ValueError):
-                # subsampled-progressive/arithmetic -> PIL if present
+                # arithmetic-coded / >2x factors -> PIL if present
                 if not HAVE_PIL:
                     raise
     if not HAVE_PIL:  # pragma: no cover - PIL absent in this env
@@ -1793,12 +1796,11 @@ def _jpeg_420_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
     )
 
 
-@register(
-    "multimodal_jpeg_420_decode",
-    # Y stats over the 2*hm x 2*wm block grid (same closed form as the
-    # AC query on a finer grid); chroma sums over the half-resolution
-    # planes (one block per MCU, fill indexed by MCU row)
-    oracle="""
+# Y stats over the 2*hm x 2*wm block grid (same closed form as the
+# AC query on a finer grid); chroma sums over the half-resolution
+# planes (one block per MCU, fill indexed by MCU row).  Shared by the
+# baseline and progressive 4:2:0 queries (identical coefficients).
+_JPEG_420_ORACLE = """
 WITH dims AS (
   SELECT doc_id, n_chars % 4 + 1 AS wm, doc_id % 3 + 1 AS hm FROM documents
 ), yrows AS (
@@ -1845,7 +1847,12 @@ WITH dims AS (
 SELECT y.doc_id, width, height, y_sum, y_max, cb_sum, cr_sum,
        ac_h_sum, ac_v_sum, ac_d_sum
 FROM ystats y JOIN cstats c ON y.doc_id = c.doc_id
-""",
+"""
+
+
+@register(
+    "multimodal_jpeg_420_decode",
+    oracle=_JPEG_420_ORACLE,
     description=(
         "REAL JPEG 4:2:0 path: 16x16 MCUs with four Y blocks + half-res"
         " chroma, the sampling most camera JPEGs ship"
@@ -2685,7 +2692,11 @@ def _jpeg_parse_progressive(
     already-nonzero coefficient including inside ZRL skips and EOB
     runs) — then one dezigzag + dequantize + orthonormal IDCT at EOI,
     exactly the T.81 G.2 procedure.  DC scans may be interleaved
-    (ns = nf); AC scans are single-component per the spec.  Returns
+    (ns = nf, with h_i x v_i blocks per component per MCU for
+    subsampled streams); AC scans are single-component per the spec
+    and walk the component's OWN block grid (A.2.2 non-interleaved
+    order) mapped into the MCU-padded coefficient buffer.  Sampling
+    factors 1-2 are supported (4:4:4, 4:2:2, 4:2:0).  Returns
     (w, h, [(component_id, raster)]) like ``_jpeg_parse``; reference
     parity: byte stuffing, marker walk and multi-table DQT/DHT
     segments behave identically to the baseline parser."""
@@ -2697,10 +2708,12 @@ def _jpeg_parse_progressive(
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comps: list[tuple[int, int]] = []  # (cid, tq), SOF order
-    coefs: dict[int, np.ndarray] = {}  # cid -> (nblocks, 64) zigzag
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    coefs: dict[int, np.ndarray] = {}  # cid -> (gh*gw, 64) zigzag, padded
+    # cid -> (gw, gh, nbx_c, nby_c): MCU-padded grid vs actual blocks
+    geom: dict[int, tuple[int, int, int, int]] = {}
     preds: dict[int, int] = {}
-    nbx = nby = 0
+    mcux = mcuy = 0
     eobrun = 0
     restart_interval = 0
     while i < len(payload):
@@ -2730,16 +2743,27 @@ def _jpeg_parse_progressive(
             comps = []
             for k in range(nf):
                 cid, hv, tq = data[6 + 3 * k : 9 + 3 * k]
-                if hv != 0x11:
+                hi_f, vi_f = hv >> 4, hv & 15
+                if hi_f not in (1, 2) or vi_f not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled progressive JPEG unsupported (1x1 only)"
+                        f"sampling factors {hi_f}x{vi_f} unsupported"
+                        " (1-2 only)"
                     )
-                comps.append((cid, tq))
-            nbx, nby = (w + 7) // 8, (h + 7) // 8
-            coefs = {
-                cid: np.zeros((nbx * nby, 64), dtype=np.int64)
-                for cid, _ in comps
-            }
+                comps.append((cid, hi_f, vi_f, tq))
+            # a single-component frame is never MCU-interleaved (T.81
+            # A.2.2): its declared factors don't shape the block walk
+            if nf == 1:
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hi_f, vi_f, _ in comps:
+                gw, gh = mcux * hi_f, mcuy * vi_f  # MCU-padded grid
+                nbx_c = (-(-w * hi_f // hmax) + 7) // 8  # actual blocks
+                nby_c = (-(-h * vi_f // vmax) + 7) // 8
+                geom[cid] = (gw, gh, nbx_c, nby_c)
+                coefs[cid] = np.zeros((gw * gh, 64), dtype=np.int64)
         elif marker in (0xC0, 0xC1, 0xC3):
             raise ValueError(
                 f"SOF{marker - 0xC0} stream given to the progressive parser"
@@ -2773,16 +2797,49 @@ def _jpeg_parse_progressive(
             ah, al = ahal >> 4, ahal & 15
             br = _JpegBitReader(payload, i)
             eobrun = 0
+            samp = {c[0]: (c[1], c[2]) for c in comps}
             if ss == 0:  # DC scan (se must be 0): may interleave
                 if se != 0:
                     raise ValueError("progressive DC scan with Se != 0")
                 preds = {cid: 0 for cid, _, _ in scan}
-                for b in range(nbx * nby):
-                    if restart_interval and b and b % restart_interval == 0:
-                        br.restart()  # byte-align + consume RSTn
-                        preds = dict.fromkeys(preds, 0)
-                    for cid, dc_id, _ in scan:
-                        cf = coefs[cid]
+                if ns > 1:  # MCU-interleaved: h_i x v_i blocks per comp
+                    for mcu in range(mcux * mcuy):
+                        if (
+                            restart_interval
+                            and mcu
+                            and mcu % restart_interval == 0
+                        ):
+                            br.restart()  # byte-align + consume RSTn
+                            preds = dict.fromkeys(preds, 0)
+                        my, mx = divmod(mcu, mcux)
+                        for cid, dc_id, _ in scan:
+                            hi_f, vi_f = samp[cid]
+                            gw = geom[cid][0]
+                            cf = coefs[cid]
+                            for v in range(vi_f):  # MCU-local scan order
+                                for u in range(hi_f):
+                                    b = (my * vi_f + v) * gw + mx * hi_f + u
+                                    if ah == 0:  # first: diff-coded, << Al
+                                        t = br.decode(huff[(0, dc_id)])
+                                        preds[cid] += _jpeg_extend(
+                                            br.receive(t), t
+                                        )
+                                        cf[b, 0] = preds[cid] << al
+                                    elif br.bit():  # refine: raw bit at Al
+                                        cf[b, 0] |= 1 << al
+                else:  # single-component DC scan: component block order
+                    cid, dc_id, _ = scan[0]
+                    gw, _, nbx_c, nby_c = geom[cid]
+                    cf = coefs[cid]
+                    for bb in range(nbx_c * nby_c):
+                        if (
+                            restart_interval
+                            and bb
+                            and bb % restart_interval == 0
+                        ):
+                            br.restart()  # byte-align + consume RSTn
+                            preds = dict.fromkeys(preds, 0)
+                        b = (bb // nbx_c) * gw + bb % nbx_c
                         if ah == 0:  # first pass: diff-coded, << Al
                             t = br.decode(huff[(0, dc_id)])
                             preds[cid] += _jpeg_extend(br.receive(t), t)
@@ -2793,11 +2850,13 @@ def _jpeg_parse_progressive(
                 if ns != 1:
                     raise ValueError("interleaved progressive AC scan")
                 cid, _, ac_id = scan[0]
+                gw, _, nbx_c, nby_c = geom[cid]
                 cf = coefs[cid]
                 ac_t = huff[(1, ac_id)]
                 p1, m1 = 1 << al, -1 << al
-                for b in range(nbx * nby):
-                    if restart_interval and b and b % restart_interval == 0:
+                for bb in range(nbx_c * nby_c):
+                    b = (bb // nbx_c) * gw + bb % nbx_c
+                    if restart_interval and bb and bb % restart_interval == 0:
                         br.restart()  # byte-align + consume RSTn
                         eobrun = 0  # an EOB run never crosses a restart
                     if ah == 0:  # ---- first pass (G.2.2) ----
@@ -2877,20 +2936,25 @@ def _jpeg_parse_progressive(
             pass
     if not coefs or w is None:
         raise ValueError("JPEG missing SOS/SOF")
-    tq_of = dict(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out: list[tuple[int, np.ndarray]] = []
-    for cid, _ in comps:
-        q = qtabs[tq_of[cid]]
-        raster = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
-        for b in range(nbx * nby):
+    for cid, hi_f, vi_f, tq in comps:
+        q = qtabs[tq]
+        gw, gh, _, _ = geom[cid]
+        raster = np.zeros((gh * 8, gw * 8), dtype=np.uint8)
+        for b in range(gw * gh):
             nat = np.zeros(64)
             nat[_JPEG_ZIGZAG] = coefs[cid][b] * q
             spatial = _IDCT_M @ nat.reshape(8, 8) @ _IDCT_M.T
-            by, bx = divmod(b, nbx)
+            by, bx = divmod(b, gw)
             raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
                 np.round(spatial + 128), 0, 255
             ).astype(np.uint8)
-        out.append((cid, raster[:h, :w]))
+        # crop MCU padding to this component's own sampled dims
+        wi = -(-w * hi_f // hmax)
+        hi_dim = -(-h * vi_f // vmax)
+        out.append((cid, raster[:hi_dim, :wi]))
     return int(w), int(h), out
 
 
@@ -3180,6 +3244,197 @@ def encode_jpeg_progressive_color(doc_id: int, n_chars: int) -> bytes:
     )
 
 
+def encode_jpeg_progressive_420(doc_id: int, n_chars: int) -> bytes:
+    """A real progressive (SOF2) YCbCr 4:2:0 JPEG — the subsampled-
+    progressive combination most web JPEGs ship — carrying EXACTLY the
+    coefficients of ``encode_jpeg_420``.  The interleaved DC scans
+    walk 16x16 MCUs with FOUR Y blocks each (2x2 MCU-local order, one
+    predictor chaining across them) plus one half-resolution Cb and Cr
+    block; the Y AC ladder then walks the Y grid in COMPONENT raster
+    order (T.81 A.2.2 non-interleaved), which differs from the MCU
+    order precisely when sampling is 2x2 — so the decoder's
+    dual-ordering geometry (MCU-padded buffer + per-scan block
+    mapping) is load-bearing for the shared 4:2:0 oracle.  Chroma
+    bands are single cross-block EOB runs under the EOBn-only chroma
+    table."""
+    import struct
+
+    wm = n_chars % 4 + 1  # MCU columns
+    hm = doc_id % 3 + 1  # MCU rows
+    w, h = wm * 16, hm * 16
+    yw, yh = 2 * wm, 2 * hm  # Y block grid
+
+    def y_zz(R: int, C: int) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = 64 + (doc_id + R) % 128 - 128
+        qh, qv, qd = _jpeg_ac_coeffs(doc_id, R, C)
+        by_nat = {4: qh, 32: qv, 36: qd}
+        for pos, nat in _JPEG_AC_POS:
+            zz[pos] = by_nat[nat]
+        return zz
+
+    dc0 = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    dc1 = _jpeg_canonical(_JPEG_DC1_BITS, _JPEG_DC1_VALS)
+    ac0 = _jpeg_canonical(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    ac1 = _jpeg_canonical(_JPEG_PROG_AC1_BITS, _JPEG_PROG_AC1_VALS)
+
+    def chroma_dc(cid: int, my: int) -> int:
+        k = 7 if cid == 2 else 13
+        return (doc_id * k + my) % 101 - 50
+
+    # scans 1-2: interleaved DC first pass (Al=1) + refinement — MCU
+    # order, four Y data units then Cb then Cr per MCU
+    dc_scans = []
+    for ah, al in ((0, 1), (1, 0)):
+        bw = _JpegBitWriter()
+        preds = {1: 0, 2: 0, 3: 0}
+        for my in range(hm):
+            for mx in range(wm):
+                units = [
+                    (1, dc0, int(y_zz(2 * my + r, 2 * mx + c)[0]))
+                    for r in range(2)
+                    for c in range(2)
+                ] + [
+                    (2, dc1, chroma_dc(2, my)),
+                    (3, dc1, chroma_dc(3, my)),
+                ]
+                for cid, dct, dc in units:
+                    if ah == 0:
+                        v = dc >> 1
+                        diff = v - preds[cid]
+                        preds[cid] = v
+                        t = abs(diff).bit_length()
+                        code, length = dct[t]
+                        bw.write(code, length)
+                        if t:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+                    else:
+                        bw.write(dc & 1, 1)
+        dc_scans.append(
+            _jpeg_prog_scan_header(
+                [(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, ah, al
+            )
+            + bw.flush()
+        )
+
+    # scans 3-5: Y AC ladder in COMPONENT raster order (not MCU order)
+    lo, hi = 1, 63
+    ac_al = 2
+    zz_y = [y_zz(R, C) for R in range(yh) for C in range(yw)]
+    pw = _JpegProgWriter(ac0)
+    for zz in zz_y:
+        nz = [
+            (k, (abs(int(zz[k])) >> ac_al) * (1 if zz[k] > 0 else -1))
+            for k in range(lo, hi + 1)
+            if abs(int(zz[k])) >> ac_al
+        ]
+        if not nz:
+            pw.eobrun += 1
+            continue
+        pw.flush_eobrun()
+        kprev = lo
+        for k, s in nz:
+            run = k - kprev
+            while run >= 16:
+                pw.emit_symbol(0xF0)
+                run -= 16
+            t = abs(s).bit_length()
+            pw.emit_symbol((run << 4) | t)
+            pw.write(s if s >= 0 else s + (1 << t) - 1, t)
+            kprev = k + 1
+        if kprev <= hi:
+            pw.eobrun += 1
+    pw.flush_eobrun()
+    y_scans = [
+        _jpeg_prog_scan_header([(1, 0, 0)], lo, hi, 0, ac_al) + pw.flush()
+    ]
+    for al in range(ac_al - 1, -1, -1):
+        pw = _JpegProgWriter(ac0)
+        for zz in zz_y:
+            absval = [abs(int(zz[k])) >> al for k in range(lo, hi + 1)]
+            eob = 0
+            for j, a in enumerate(absval):
+                if a == 1:
+                    eob = j + 1
+            run = 0
+            block_bits: list[int] = []
+            for j, a in enumerate(absval):
+                if a == 0:
+                    run += 1
+                    continue
+                if a > 1:
+                    block_bits.append(a & 1)
+                    continue
+                while run > 15 and j < eob:
+                    pw.flush_eobrun()
+                    pw.emit_symbol(0xF0)
+                    run -= 16
+                    pw.pending_bits, block_bits = block_bits, []
+                    pw.emit_pending()
+                pw.flush_eobrun()
+                pw.emit_symbol((run << 4) | 1)
+                pw.write(1 if zz[lo + j] > 0 else 0, 1)
+                pw.pending_bits, block_bits = block_bits, []
+                pw.emit_pending()
+                run = 0
+            if run > 0 or block_bits:
+                pw.eobrun += 1
+                pw.pending_bits.extend(block_bits)
+                if pw.eobrun == 0x7FFF:
+                    pw.flush_eobrun()
+        pw.flush_eobrun()
+        y_scans.append(
+            _jpeg_prog_scan_header([(1, 0, 0)], lo, hi, al + 1, al)
+            + pw.flush()
+        )
+
+    # scans 6-7: chroma bands — one EOB run over the hm*wm half-res grid
+    chroma_scans = []
+    for cid in (2, 3):
+        pw = _JpegProgWriter(ac1)
+        pw.eobrun = hm * wm
+        pw.flush_eobrun()
+        chroma_scans.append(
+            _jpeg_prog_scan_header([(cid, 0, 1)], lo, hi, 0, 0) + pw.flush()
+        )
+
+    qtab0 = bytes([0x00]) + bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)
+    qtab1 = bytes([0x01]) + bytes([_JPEG_QDC_CHROMA] + [_JPEG_QAC] * 63)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        _jpeg_segment(
+            0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        )
+        + _jpeg_segment(
+            0xC4,
+            bytes([0x10])
+            + bytes(_JPEG_PROG_AC_BITS)
+            + bytes(_JPEG_PROG_AC_VALS),
+        )
+        + _jpeg_segment(
+            0xC4,
+            bytes([0x01]) + bytes(_JPEG_DC1_BITS) + bytes(_JPEG_DC1_VALS)
+            + bytes([0x11])
+            + bytes(_JPEG_PROG_AC1_BITS)
+            + bytes(_JPEG_PROG_AC1_VALS),
+        )
+    )
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xDB, qtab0 + qtab1)
+        + _jpeg_segment(0xC2, sof)
+        + dht
+        + b"".join(dc_scans)
+        + b"".join(y_scans)
+        + b"".join(chroma_scans)
+        + b"\xff\xd9"
+    )
+
+
 @F.pandas_udf(T.BinaryType())
 def _jpeg_progressive_color_payload(
     doc_id: pd.Series, n_chars: pd.Series
@@ -3250,6 +3505,51 @@ def q_multimodal_jpeg_progressive_color_decode(
     payloads = docs.select(
         "doc_id",
         _jpeg_progressive_color_payload("doc_id", "n_chars").alias("payload"),
+    )
+    return payloads.mapInPandas(
+        decode_jpegs_progressive_color, schema=JPEG_COLOR_SCHEMA
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _jpeg_progressive_420_payload(
+    doc_id: pd.Series, n_chars: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            encode_jpeg_progressive_420(int(d), int(n))
+            for d, n in zip(doc_id, n_chars)
+        ]
+    )
+
+
+@register(
+    "multimodal_jpeg_progressive_420_decode",
+    oracle=_JPEG_420_ORACLE,
+    description=(
+        "REAL subsampled-progressive JPEG (SOF2 4:2:0): MCU-interleaved"
+        " DC vs raster-order AC block walks, shared 4:2:0 oracle"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_jpeg_progressive_420_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-trips every document through a progressive YCbCr 4:2:0
+    JPEG — the subsampled-progressive combination most web JPEGs
+    actually ship (previously the one loudly-rejected variant).  The
+    interleaved DC scans walk 16x16 MCUs with four Y blocks each
+    (2x2 MCU-local order chained by one predictor), while the Y AC
+    ladder walks the SAME blocks in component raster order — the two
+    orders differ exactly when sampling is 2x2, so the decoder's
+    MCU-padded coefficient buffer and per-scan block mapping are both
+    load-bearing for the oracle hash shared with
+    ``multimodal_jpeg_420_decode``.  Same narrow two-Arrow-stage plan
+    as the other codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        _jpeg_progressive_420_payload("doc_id", "n_chars").alias("payload"),
     )
     return payloads.mapInPandas(
         decode_jpegs_progressive_color, schema=JPEG_COLOR_SCHEMA

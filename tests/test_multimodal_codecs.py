@@ -876,6 +876,47 @@ def test_jpeg_progressive_color_interleaved_dc_is_load_bearing():
     assert not np.array_equal(by_cid[2], by_cid[3])
 
 
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"),
+    [(0, 0), (1, 7), (17, 70), (101, 61), (999, 3), (4242, 63)],
+)
+def test_jpeg_progressive_420_matches_baseline(doc_id, n_chars):
+    """The subsampled-progressive stream must reconstruct all three
+    planes (Y full-res, chroma half-res) of the baseline 4:2:0
+    stream.  The Y AC scans walk blocks in component raster order
+    while the DC scans walked them in MCU order — a decoder that
+    confuses the two orders misplaces every Y block of every
+    multi-MCU-column image."""
+    import numpy as np
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (
+        encode_jpeg_420,
+        encode_jpeg_progressive_420,
+    )
+
+    bw, bh, bplanes = _jpeg_parse(encode_jpeg_420(doc_id, n_chars))
+    pw_, ph, pplanes = _jpeg_parse_progressive(
+        encode_jpeg_progressive_420(doc_id, n_chars)
+    )
+    assert (bw, bh) == (pw_, ph)
+    for (cb_, b), (cp, p) in zip(bplanes, pplanes):
+        assert cb_ == cp
+        assert b.shape == p.shape  # chroma planes at half resolution
+        assert np.array_equal(b, p)
+
+
+def test_jpeg_progressive_420_chroma_half_resolution():
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (
+        encode_jpeg_progressive_420,
+    )
+
+    w, h, planes = _jpeg_parse_progressive(encode_jpeg_progressive_420(17, 70))
+    by_cid = dict(planes)
+    assert by_cid[1].shape == (h, w)
+    assert by_cid[2].shape == (h // 2, w // 2)
+    assert by_cid[3].shape == (h // 2, w // 2)
+
+
 def test_jpeg_progressive_restart_requires_dri():
     """Stripping the DRI segment from a restart-carrying stream must
     fail loudly (RSTn inside entropy data with no interval declared),
