@@ -127,6 +127,22 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _events_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of EXACTLY the file set `_event_stream` streams (same
+    glob, same ts normalization) — for post-run scalars like the
+    watermark cutoff that a streaming plan cannot compute itself."""
+    raw = (
+        spark.read.schema(_events_schema(spark, sf_dir))
+        .option("pathGlobFilter", _EVENTS_GLOB)
+        .parquet(sf_dir)
+    )
+    if raw.schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     """Drive the stream over all available input synchronously and
     return the in-memory sink as a DataFrame.
@@ -305,6 +321,115 @@ def q_stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_timestamp("s_ts").alias("signup_ts"),
     )
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_purchase_attribution_outer",
+    # batch LEFT JOIN restricted to the watermark-stable region: a
+    # matched pair emits in the batch it joins, but an UNMATCHED
+    # purchase only emits once the global watermark (min over both
+    # sides of max-ts - 2h) proves no future signup can match.  Rows
+    # within 30 min of that cutoff are excluded on BOTH sides so the
+    # engine-internal eviction boundary (strict vs non-strict, ms
+    # truncation) can't flip a row across the hash.
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT event_id AS signup_id, user_id AS s_user_id, ts
+  FROM events WHERE event_type = 'signup'
+), wm AS (
+  SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM s))
+         - INTERVAL 2 HOUR - INTERVAL 30 MINUTE AS stable
+)
+SELECT p.purchase_id, p.user_id,
+       coalesce(s.signup_id, -1) AS signup_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+       coalesce(CAST(floor(epoch(s.ts)) AS BIGINT), -1) AS signup_ts
+FROM p LEFT JOIN s
+  ON p.user_id = s.s_user_id
+ AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+WHERE s.signup_id IS NOT NULL OR p.ts < (SELECT stable FROM wm)
+""",
+    description=(
+        "stream-stream LEFT OUTER interval join: watermark-driven"
+        " null emission for unattributed purchases"
+    ),
+    bench=False,
+    tags=("streaming", "join", "outer"),
+)
+def q_stream_purchase_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The outer flavor of the stream-stream join — the semantics the
+    inner variant cannot show: an unmatched purchase is HELD IN STATE
+    until the watermark proves no in-interval signup can still arrive,
+    then emits with nulls (here coalesced to -1 sentinels).  Spark
+    advances the watermark in a trailing no-data micro-batch, so the
+    flush genuinely exercises state eviction, not batch-end cleanup.
+    Purchases inside the watermark horizon at stream end never emit —
+    the query post-filters its sink (and the oracle its join) to the
+    stable region, purchase_ts < min-side max-ts - 2h - 30min margin,
+    making the contract deterministic.  At 100 TB the state store
+    holds only the 2-hour horizon per side — bounded by arrival rate,
+    not corpus size."""
+    ev = _event_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("signup_id", F.lit(-1)).alias("signup_id"),
+        F.unix_timestamp("p_ts").alias("purchase_ts"),
+        F.coalesce(F.unix_timestamp("s_ts"), F.lit(-1)).alias("signup_ts"),
+    )
+    sink = _run_to_memory(joined, "append")
+    stable = _events_static(spark, sf_dir).agg(
+        (
+            F.unix_timestamp(
+                F.least(
+                    F.max(
+                        F.when(F.col("event_type") == "purchase", F.col("ts"))
+                    ),
+                    F.max(
+                        F.when(F.col("event_type") == "signup", F.col("ts"))
+                    ),
+                )
+            )
+            - F.lit(2 * 3600 + 1800)
+        ).alias("stable_ts")
+    )
+    return (
+        sink.crossJoin(F.broadcast(stable))
+        .filter(
+            (F.col("signup_id") != -1)
+            | (F.col("purchase_ts") < F.col("stable_ts"))
+        )
+        .drop("stable_ts")
+    )
 
 
 # --------------------------------------------------------------------------
