@@ -1101,6 +1101,54 @@ def test_ivfpq_stored_prunes_to_probed_cells_one_python_pass(spark):
     assert "ArrowEvalPython" not in final, final  # no encode at query time
 
 
+def test_runtime_bloom_filter_fires_on_the_fact_join_shape(spark):
+    """The 100 TB replacement for the dropped compile-time broadcasts
+    (r10): when a selective predicate sits on one side of a SHUFFLE
+    join, Spark's InjectRuntimeFilter builds a bloom filter from that
+    side and pushes might_contain(xxhash64(key)) into the fact scan —
+    semi-join reduction without shipping the build side anywhere.  The
+    feature is ON in our session (Spark default); it stays dormant at
+    bench scale only because the application side must exceed 10 GiB
+    to be worth filtering.  This test emulates scale by lowering the
+    thresholds and pins that the canonical orders->lineitem shape
+    actually receives the filter — so at 100 TB, where AQE declines
+    the broadcast, the scan is still key-pruned."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        # force the shuffle-join regime AQE would pick at 100x scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("q"))
+        plan = audit.final_adaptive_plan(j)
+        assert "might_contain" in plan, plan[:2000]
+        assert "xxhash64(l_orderkey" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_codec_decode_queries_have_no_semantic_shuffle(spark):
     """The media-decode paths (PPM/WAV/PNG/JPEG round-trips) are two
     narrow Arrow stages over the corpus — encode pandas_udf feeding a
@@ -1122,6 +1170,11 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "multimodal_jpeg_420_decode",
         "multimodal_png16_decode",
         "multimodal_ulaw_decode",
+        "multimodal_jpeg_progressive_decode",
+        "multimodal_jpeg_progressive_color_decode",
+        "multimodal_jpeg_progressive_420_decode",
+        "multimodal_wav_stereo_decode",
+        "multimodal_ima_adpcm_decode",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
