@@ -1149,6 +1149,60 @@ def test_runtime_bloom_filter_fires_on_the_fact_join_shape(spark):
             spark.conf.set(k, v)
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The other compensating mechanism for the de-hinted joins: when
+    a shuffle-join key is hot (one key carrying ~90% of rows — the
+    100 TB skew profile salting would otherwise target), AQE must
+    split the oversized partition and replicate the matching side —
+    ``SortMergeJoin(skew=true)`` with an ``AQEShuffleRead ... skewed``
+    leg — instead of serializing the whole hot key through one task.
+    The session enables skewJoin; thresholds are lowered here because
+    the fixture tables are too small to trip the 256 MiB default (the
+    documents 'en' partition is KB-scale), so the skew is synthesized
+    at a size the lowered thresholds classify exactly like 100 TB
+    classifies a hot key."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "100KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        right = spark.range(97).select(
+            F.col("id").alias("k"), (F.col("id") + 100).alias("attr")
+        )
+        j = left.join(right, "k").agg(
+            F.sum(F.col("payload") + F.col("attr")).alias("s")
+        )
+        plan = audit.final_adaptive_plan(j)
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # the AQEShuffleRead leg
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_codec_decode_queries_have_no_semantic_shuffle(spark):
     """The media-decode paths (PPM/WAV/PNG/JPEG round-trips) are two
     narrow Arrow stages over the corpus — encode pandas_udf feeding a
