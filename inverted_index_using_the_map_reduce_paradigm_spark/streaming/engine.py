@@ -432,6 +432,122 @@ def q_stream_purchase_attribution_outer(
     )
 
 
+@register(
+    "stream_attribution_full_outer",
+    # two-sided stable-region contract: an unmatched PURCHASE can
+    # still match signups up to its own ts, so it evicts when the
+    # watermark passes p_ts; an unmatched SIGNUP can match purchases
+    # up to s_ts + 1h, so it evicts an hour later.  Each side's
+    # unmatched rows are restricted to its own stable region (30 min
+    # margin) on BOTH the sink and the oracle.
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT event_id AS signup_id, user_id AS s_user_id, ts AS s_ts
+  FROM events WHERE event_type = 'signup'
+), wm AS (
+  SELECT least((SELECT max(ts) FROM p), (SELECT max(s_ts) FROM s))
+         - INTERVAL 2 HOUR - INTERVAL 30 MINUTE AS p_stable
+)
+SELECT coalesce(p.purchase_id, -1) AS purchase_id,
+       coalesce(p.user_id, s.s_user_id) AS user_id,
+       coalesce(s.signup_id, -1) AS signup_id,
+       coalesce(CAST(floor(epoch(p.ts)) AS BIGINT), -1) AS purchase_ts,
+       coalesce(CAST(floor(epoch(s.s_ts)) AS BIGINT), -1) AS signup_ts
+FROM p FULL OUTER JOIN s
+  ON p.user_id = s.s_user_id
+ AND s.s_ts <= p.ts AND s.s_ts >= p.ts - INTERVAL 1 HOUR
+WHERE (p.purchase_id IS NOT NULL AND s.signup_id IS NOT NULL)
+   OR (s.signup_id IS NULL AND p.ts < (SELECT p_stable FROM wm))
+   OR (p.purchase_id IS NULL
+       AND s.s_ts < (SELECT p_stable FROM wm) - INTERVAL 1 HOUR)
+""",
+    description=(
+        "stream-stream FULL OUTER interval join: both sides'"
+        " unmatched rows flush on watermark, two-sided stable region"
+    ),
+    bench=False,
+    tags=("streaming", "join", "outer"),
+)
+def q_stream_attribution_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Completes the stream-stream join-mode matrix: BOTH sides hold
+    unmatched rows in state and flush them with null partners once
+    the watermark proves no in-interval partner can arrive — and the
+    two sides evict at DIFFERENT event times (a purchase once wm
+    passes p_ts; a signup an hour later, since purchases up to
+    s_ts + 1h could still match it).  The post-filter applies each
+    side's own stable-region bound, making the asymmetry part of the
+    tested contract rather than a flakiness source.  State remains
+    horizon-bounded per side."""
+    ev = _event_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce("user_id", "s_user_id").alias("user_id"),
+        F.coalesce("signup_id", F.lit(-1)).alias("signup_id"),
+        F.coalesce(F.unix_timestamp("p_ts"), F.lit(-1)).alias("purchase_ts"),
+        F.coalesce(F.unix_timestamp("s_ts"), F.lit(-1)).alias("signup_ts"),
+    )
+    sink = _run_to_memory(joined, "append")
+    stable = _events_static(spark, sf_dir).agg(
+        (
+            F.unix_timestamp(
+                F.least(
+                    F.max(
+                        F.when(F.col("event_type") == "purchase", F.col("ts"))
+                    ),
+                    F.max(
+                        F.when(F.col("event_type") == "signup", F.col("ts"))
+                    ),
+                )
+            )
+            - F.lit(2 * 3600 + 1800)
+        ).alias("p_stable")
+    )
+    return (
+        sink.crossJoin(F.broadcast(stable))
+        .filter(
+            ((F.col("purchase_id") != -1) & (F.col("signup_id") != -1))
+            | (
+                (F.col("signup_id") == -1)
+                & (F.col("purchase_ts") < F.col("p_stable"))
+            )
+            | (
+                (F.col("purchase_id") == -1)
+                & (F.col("signup_ts") < F.col("p_stable") - 3600)
+            )
+        )
+        .drop("p_stable")
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming exact dedup
 # --------------------------------------------------------------------------

@@ -553,6 +553,79 @@ def test_multibatch_stream_purchase_attribution_outer_equals_batch(
     assert got == batch
 
 
+def test_multibatch_stream_attribution_full_outer_equals_batch(
+    spark, tmp_path
+):
+    """FULL OUTER stream-stream join under a forced 4-file ts-ordered
+    split: both sides' unmatched rows must flush as the per-trigger
+    watermark passes their (asymmetric) eviction points, and the
+    stable-region union must equal the batch full join there."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    qs = load_all()
+    ev = table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    p_stable = (
+        ev.agg(
+            F.unix_timestamp(
+                F.least(
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "signup", F.col("ts"))),
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+        - 2 * 3600
+        - 1800
+    )
+    batch = as_set(
+        p.join(
+            s,
+            (F.col("user_id") == F.col("s_user_id"))
+            & (F.col("s_ts") <= F.col("p_ts"))
+            & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "fullOuter",
+        )
+        .select(
+            F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+            F.coalesce("user_id", "s_user_id").alias("user_id"),
+            F.coalesce("signup_id", F.lit(-1)).alias("signup_id"),
+            F.coalesce(F.unix_timestamp("p_ts"), F.lit(-1)).alias(
+                "purchase_ts"
+            ),
+            F.coalesce(F.unix_timestamp("s_ts"), F.lit(-1)).alias(
+                "signup_ts"
+            ),
+        )
+        .filter(
+            ((F.col("purchase_id") != -1) & (F.col("signup_id") != -1))
+            | ((F.col("signup_id") == -1) & (F.col("purchase_ts") < p_stable))
+            | (
+                (F.col("purchase_id") == -1)
+                & (F.col("signup_ts") < p_stable - 3600)
+            )
+        )
+    )
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    with _force_multi_batch():
+        got = as_set(qs["stream_attribution_full_outer"].fn(spark, src))
+        assert _engine._LAST_FED_BATCHES >= 3
+    # both unmatched directions genuinely present
+    assert any(row[0] == -1 for row in batch)
+    assert any(row[2] == -1 for row in batch)
+    assert got == batch
+
+
 def test_multibatch_stream_events_window_equals_batch(spark, tmp_path):
     """Tumbling-window aggregation under a forced 4-file ts-ordered
     split (r9 VERDICT item 6): windows spanning a trigger boundary
