@@ -35,7 +35,10 @@ from pyspark.sql.types import StructType
 # probe's message instead of failing mid-plan.  On a real deployment
 # add org.apache.spark:spark-avro_2.13:<spark-version> to
 # spark.jars.packages and everything here works unchanged.
-FORMATS = ("parquet", "orc", "csv", "json", "text", "avro")
+# "xml" is BUILT IN since Spark 4.0 (spark-xml was upstreamed); it is
+# schema-required here like csv/json (inference is an extra pass) and
+# needs a rowTag option on both read and write.
+FORMATS = ("parquet", "orc", "csv", "json", "text", "avro", "xml")
 _SELF_DESCRIBING = ("parquet", "orc", "avro")
 
 
