@@ -3953,3 +3953,176 @@ def q_multimodal_ima_adpcm_decode(
         "doc_id", _ima_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_wavs_ima, schema=IMA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio codec ladder, rung 3 (r10): G.711 A-law (WAVE format 6) — the
+# OTHER half of the international telephony pair (A-law is the E1/
+# European PSTN companded format; mu-law above is the T1/NA one).  The
+# two expansions look deceptively similar but differ in every detail
+# that matters: A-law XORs 0x55 (vs mu-law's complement), its sign bit
+# SET means POSITIVE (mu-law's means negative), segment 1 adds the
+# 0x108 bias WITHOUT shifting, and the peak is +/-32256 (vs 32124).  A
+# decoder that reuses the mu-law table logic fails on every one of
+# those, so the pair pins both G.711 halves independently.
+# --------------------------------------------------------------------------
+
+WAV_ALAW_FORMAT = 6  # WAVE_FORMAT_ALAW
+
+
+def _alaw_expand(b: int) -> int:
+    """ITU-T G.711 A-law byte -> linear PCM (16-bit domain), the Sun
+    ``alaw2linear`` reference expansion: XOR 0x55, 4-bit mantissa
+    shifted to bits 4-7, 3-bit segment with the 0x108 bias applied
+    unshifted at segment 1 and shifted by seg-1 above, sign bit 0x80
+    set = positive (the A-law/mu-law polarity inversion)."""
+    b ^= 0x55
+    t = (b & 0x0F) << 4
+    seg = (b & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if b & 0x80 else -t
+
+
+def encode_wav_alaw(doc_id: int, n_chars: int) -> bytes:
+    """A real RIFF WAV with format tag 6 (A-law), mono 8-bit, 8 kHz.
+    The byte stream ``(doc_id * 11 + 5 * i) % 256`` (stride-5, coprime
+    with 256) walks residues across all eight segments and both signs,
+    so the whole expansion table is load-bearing."""
+    import struct
+
+    n = n_chars % 800 + 50
+    data = bytes((doc_id * 11 + 5 * i) % 256 for i in range(n))
+    fmt = struct.pack("<HHIIHH", WAV_ALAW_FORMAT, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF word padding
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_alaw(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(n_samples, sample_rate, sample_sum, sample_max, sample_min)
+    from a bound-checked RIFF chunk walk (same loud-failure contract
+    as ``decode_wav_ulaw``) + per-byte G.711 A-law expansion."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt_tag = rate = None
+    data: bytes | None = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if i + 8 + clen > len(payload):
+            raise ValueError(
+                f"WAV chunk {cid!r} at {i} claims {clen} bytes but only "
+                f"{len(payload) - i - 8} remain"
+            )
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, nch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if nch != 1 or bits != 8:
+                raise NotImplementedError("only mono 8-bit A-law WAV")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if fmt_tag is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag != WAV_ALAW_FORMAT:
+        raise NotImplementedError(f"format tag {fmt_tag}, expected A-law (6)")
+    samples = np.array([_alaw_expand(b) for b in data], dtype=np.int64)
+    return (
+        int(samples.size),
+        int(rate),
+        int(samples.sum()),
+        int(samples.max()) if samples.size else 0,
+        int(samples.min()) if samples.size else 0,
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _alaw_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_wav_alaw(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+def decode_wavs_alaw(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_wav_alaw(p))
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "sample_rate", "sample_sum",
+                "sample_max", "sample_min",
+            ],
+        )
+
+
+@register(
+    "multimodal_alaw_decode",
+    # the A-law expansion in SQL: x = byte XOR 0x55, mantissa<<4,
+    # segment dispatch with the unshifted seg-1 bias case, sign bit
+    # set = positive — each recomputed independently over the
+    # synthesized byte stream
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 800 + 50 AS n FROM documents
+), bytes_ AS (
+  SELECT doc_id, n,
+         xor((doc_id * 11 + 5 * unnest(generate_series(0, n - 1))) % 256,
+             85) AS x
+  FROM dims
+), expanded AS (
+  SELECT doc_id, n,
+         CASE WHEN x % 256 >= 128 THEN 1 ELSE -1 END
+         * CASE (x // 16) % 8
+             WHEN 0 THEN (x % 16) * 16 + 8
+             WHEN 1 THEN (x % 16) * 16 + 264
+             ELSE ((x % 16) * 16 + 264) * (1 << ((x // 16) % 8 - 1))
+           END AS s
+  FROM bytes_
+)
+SELECT doc_id,
+       CAST(any_value(n) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(sum(s) AS BIGINT) AS sample_sum,
+       CAST(max(s) AS BIGINT) AS sample_max,
+       CAST(min(s) AS BIGINT) AS sample_min
+FROM expanded GROUP BY doc_id
+""",
+    description=(
+        "REAL compressed-audio decode: G.711 A-law WAV (format tag 6)"
+        " completing the international telephony pair with mu-law"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through an A-law (G.711) WAV — the
+    European-PSTN companded codec, completing the telephony pair with
+    ``multimodal_ulaw_decode``.  The oracle recomputes the expansion
+    in closed form (XOR-0x55, segment dispatch, inverted sign
+    polarity), so a decoder that borrowed any mu-law detail — the
+    complement, the shifted seg-1 bias, the sign convention — breaks
+    the driver hash.  Same narrow two-Arrow-stage plan as the other
+    codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _alaw_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_wavs_alaw, schema=ULAW_SCHEMA)

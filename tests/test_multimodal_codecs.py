@@ -1040,3 +1040,60 @@ def test_ima_adpcm_loud_failures():
 
     with pytest.raises(NotImplementedError):
         decode_wav_ima_adpcm(encode_wav_ulaw(5, 9))
+
+
+# --------------------------------------------------------------------------
+# r10: G.711 A-law WAV
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _alaw_expand,
+    decode_wav_alaw,
+    encode_wav_alaw,
+)
+
+
+def test_alaw_expansion_matches_canonical_anchors():
+    """Sun alaw2linear's published anchors: the quietest codes decode
+    to +/-8 (A-law has NO zero code — mid-rise quantizer), the extreme
+    codes to +/-32256, and sign bit SET means POSITIVE (the inverse of
+    mu-law's polarity)."""
+    assert _alaw_expand(0x55) == -8 and _alaw_expand(0xD5) == 8
+    assert _alaw_expand(0x2A) == -32256 and _alaw_expand(0xAA) == 32256
+    for b in range(128):
+        assert _alaw_expand(b) == -_alaw_expand(b | 0x80)
+
+
+def test_alaw_differs_from_ulaw_everywhere_it_should():
+    """The two G.711 halves must not be interchangeable: their decoded
+    peaks differ (32256 vs 32124) and the byte->sample maps disagree on
+    most codes — a decoder that routed A-law bytes through the mu-law
+    expansion would agree nowhere near this little."""
+    agree = sum(1 for b in range(256) if _alaw_expand(b) == _ulaw_expand(b))
+    assert agree < 16
+    assert max(_alaw_expand(b) for b in range(256)) == 32256
+    assert max(_ulaw_expand(b) for b in range(256)) == 32124
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"), [(0, 0), (1, 3), (5, 70), (123, 255), (999, 799)]
+)
+def test_alaw_wav_roundtrip(doc_id, n_chars):
+    n = n_chars % 800 + 50
+    exp = [_alaw_expand((doc_id * 11 + 5 * i) % 256) for i in range(n)]
+    got = decode_wav_alaw(encode_wav_alaw(doc_id, n_chars))
+    assert got == (n, 8000, sum(exp), max(exp), min(exp))
+
+
+def test_alaw_rejects_ulaw_and_truncated_chunks():
+    """A mu-law-tagged stream is a loud NotImplementedError (format
+    tags 7 vs 6 must not cross-decode), and a corrupt chunk length
+    fails loud per the codec-tier contract."""
+    import struct
+
+    with pytest.raises(NotImplementedError):
+        decode_wav_alaw(encode_wav_ulaw(5, 70))
+    p = encode_wav_alaw(7, 20)
+    bad = p[:16] + struct.pack("<I", 10_000) + p[20:]  # fmt claims 10kB
+    with pytest.raises(ValueError):
+        decode_wav_alaw(bad)
