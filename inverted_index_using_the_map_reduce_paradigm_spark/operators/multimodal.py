@@ -4126,3 +4126,298 @@ def q_multimodal_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _alaw_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_wavs_alaw, schema=ULAW_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Image codec ladder (r10): GIF — the remaining ubiquitous legacy image
+# format, and the only mainstream one built on LZW.  The encoder emits
+# a real GIF89a stream (logical screen descriptor, global color table,
+# a Graphic Control Extension the decoder must skip, image descriptor,
+# variable-width LSB-first LZW in 255-byte sub-blocks, trailer); the
+# decoder is a full spec-shaped parser whose LZW side handles the
+# clear/EOI codes, code-width growth at table-size boundaries and the
+# KwKwK deferred-code case.  The oracle recomputes pixel indices and
+# palette in closed form, so the whole bit-packing + string-table walk
+# is driver-hash load-bearing.
+# --------------------------------------------------------------------------
+
+_GIF_MIN_CODE_SIZE = 4  # 16-color palette
+
+
+def _gif_palette(doc_id: int, j: int) -> tuple[int, int, int]:
+    """Global-color-table entry j (doc-keyed so palette application —
+    not just index decode — lands in the oracle hash)."""
+    return ((17 * j + doc_id) % 256, (29 * j) % 256, (41 * j + 7) % 256)
+
+
+def _lzw_compress(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-flavor LZW: emit CLEAR first, grow the code width AFTER the
+    insert that fills the current width (no TIFF early-change), cap at
+    12 bits, finish with EOI; bits packed LSB-first."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = n_acc = 0
+    out = bytearray()
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += w
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset (not hit by the fixture dims, but real)
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = (px,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
+    """The decoder half: variable-width LSB-first codes, CLEAR resets,
+    the KwKwK case (code == next free slot decodes prev + prev[0]),
+    width growth when the NEXT insert would overflow the current
+    width — the exact mirror of ``_lzw_compress``'s post-insert rule."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = n_acc = pos = 0
+
+    def read(w: int) -> int:
+        nonlocal acc, n_acc, pos
+        while n_acc < w:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << n_acc
+            pos += 1
+            n_acc += 8
+        code = acc & ((1 << w) - 1)
+        acc >>= w
+        n_acc -= w
+        return code
+
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    while True:
+        code = read(width)
+        if code == eoi:
+            return out
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range at width {width}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(doc_id: int, n_chars: int) -> bytes:
+    """A real GIF89a: header, logical screen descriptor with a 16-entry
+    global color table, a Graphic Control Extension (the decoder must
+    sub-block-skip it), one image descriptor, LZW pixel data split into
+    255-byte sub-blocks, trailer.  Pixel (x, y) has palette index
+    ``(doc_id + 3x + 5y) % 16``."""
+    import struct
+
+    w = n_chars % 40 + 5
+    h = doc_id % 30 + 5
+    indices = [
+        (doc_id + 3 * x + 5 * y) % 16 for y in range(h) for x in range(w)
+    ]
+    out = bytearray(b"GIF89a")
+    # packed: GCT present, color resolution 7, GCT size 3 -> 2^4 entries
+    out += struct.pack("<HHBBB", w, h, 0b1_111_0_011, 0, 0)
+    for j in range(16):
+        out += bytes(_gif_palette(doc_id, j))
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # GCE: 4-byte block + term
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(_GIF_MIN_CODE_SIZE)
+    z = _lzw_compress(indices, _GIF_MIN_CODE_SIZE)
+    for i in range(0, len(z), 255):
+        blk = z[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"  # data terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int, int]:
+    """(width, height, n_pixels, idx_checksum, sum_r, sum_g, sum_b)
+    via a full GIF block walk: screen descriptor, global color table,
+    extension skipping, image descriptor, sub-block reassembly, LZW
+    decode, palette application.  idx_checksum is position-weighted
+    (``sum((1 + x + 7y) * idx)``) so a raster transpose or scan-order
+    slip breaks the hash even when the index multiset is unchanged."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    palette: list[tuple[int, int, int]] | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        palette = [
+            tuple(payload[i + 3 * j : i + 3 * j + 3]) for j in range(n)
+        ]
+        i += 3 * n
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image descriptor")
+        if b == 0x21:  # extension: label, then sub-blocks to a 0 byte
+            i += 2
+            while payload[i]:
+                i += 1 + payload[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x} at {i}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
+        i += 10
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 7)
+            palette = [
+                tuple(payload[i + 3 * j : i + 3 * j + 3]) for j in range(n)
+            ]
+            i += 3 * n
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        min_code = payload[i]
+        i += 1
+        z = bytearray()
+        while payload[i]:
+            ln = payload[i]
+            z += payload[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        i += 1
+        if palette is None:
+            raise ValueError("GIF image with no color table")
+        idx = _lzw_decompress(bytes(z), min_code)
+        if len(idx) != w * h:
+            raise ValueError(f"LZW decoded {len(idx)} pixels, want {w * h}")
+        a = np.asarray(idx, dtype=np.int64).reshape(h, w)
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        pal = np.asarray(palette, dtype=np.int64)
+        return (
+            int(w),
+            int(h),
+            int(w * h),
+            int(((1 + xs + 7 * ys) * a).sum()),
+            int(pal[a, 0].sum()),
+            int(pal[a, 1].sum()),
+            int(pal[a, 2].sum()),
+        )
+    raise ValueError("GIF ended without an image descriptor")
+
+
+@F.pandas_udf(T.BinaryType())
+def _gif_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_gif(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+GIF_SCHEMA = (
+    "doc_id long, width long, height long, n_pixels long,"
+    " idx_checksum long, sum_r long, sum_g long, sum_b long"
+)
+
+
+def decode_gifs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_gif(p))
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_pixels", "idx_checksum",
+                "sum_r", "sum_g", "sum_b",
+            ],
+        )
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 40 + 5 AS w, doc_id % 30 + 5 AS h FROM documents
+), ps AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM dims
+), px AS (
+  SELECT doc_id, w, h, p % w AS x, p // w AS y FROM ps
+), ix AS (
+  SELECT doc_id, w, h, x, y, (doc_id + 3 * x + 5 * y) % 16 AS idx FROM px
+)
+SELECT doc_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum((1 + x + 7 * y) * idx) AS BIGINT) AS idx_checksum,
+       CAST(sum((17 * idx + doc_id) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((29 * idx) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((41 * idx + 7) % 256) AS BIGINT) AS sum_b
+FROM ix GROUP BY doc_id
+""",
+    description=(
+        "REAL GIF decode: variable-width LZW (clear/EOI, KwKwK,"
+        " 255-byte sub-blocks) + palette, oracle-predicted per-pixel"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through a real GIF89a — the one
+    mainstream image format built on LZW.  The decoder walks the block
+    structure (screen descriptor, global color table, extension
+    sub-block skipping, image descriptor), reassembles the 255-byte
+    data sub-blocks and runs a full variable-width LZW expansion
+    (clear-code resets, post-insert width growth, the KwKwK
+    deferred-code case); the oracle recomputes every pixel index and
+    palette channel in closed form.  Same narrow two-Arrow-stage plan
+    as the other codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _gif_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_gifs, schema=GIF_SCHEMA)

@@ -6,6 +6,8 @@ plumbing; these pin the parsers on adversarial payloads directly."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (
     HAVE_PIL,
@@ -1097,3 +1099,70 @@ def test_alaw_rejects_ulaw_and_truncated_chunks():
     bad = p[:16] + struct.pack("<I", 10_000) + p[20:]  # fmt claims 10kB
     with pytest.raises(ValueError):
         decode_wav_alaw(bad)
+
+
+# --------------------------------------------------------------------------
+# r10: GIF (variable-width LZW)
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _lzw_compress,
+    _lzw_decompress,
+    decode_gif,
+    encode_gif,
+)
+
+
+def test_lzw_kwkwk_case():
+    """A run of identical symbols forces the encoder to emit a code in
+    the same step it defines it — the decoder's code==len(table)
+    branch (prev + prev[0]) is the only correct read."""
+    assert _lzw_decompress(_lzw_compress([1, 1, 1, 1], 4), 4) == [1, 1, 1, 1]
+    seq = [3] * 100
+    assert _lzw_decompress(_lzw_compress(seq, 4), 4) == seq
+
+
+@given(st.lists(st.integers(0, 15), min_size=1, max_size=4000))
+@settings(max_examples=40, deadline=None)
+def test_lzw_roundtrip_through_width_growth(seq):
+    """Random 4-bit streams long enough to push the code width from 5
+    bits through 12 roundtrip exactly — the post-insert width-growth
+    rule on both sides must agree at every power-of-two boundary."""
+    assert _lzw_decompress(_lzw_compress(seq, 4), 4) == seq
+
+
+def test_lzw_truncated_stream_fails_loud():
+    z = _lzw_compress([1, 2, 3, 4, 5, 6, 7], 4)
+    with pytest.raises(ValueError):
+        _lzw_decompress(z[: len(z) // 2], 4)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"), [(0, 0), (1, 3), (5, 70), (123, 255), (999, 799)]
+)
+def test_gif_roundtrip_matches_synthesis(doc_id, n_chars):
+    w = n_chars % 40 + 5
+    h = doc_id % 30 + 5
+    idx = [(doc_id + 3 * x + 5 * y) % 16 for y in range(h) for x in range(w)]
+    got = decode_gif(encode_gif(doc_id, n_chars))
+    assert got == (
+        w, h, w * h,
+        sum((1 + p % w + 7 * (p // w)) * v for p, v in enumerate(idx)),
+        sum((17 * v + doc_id) % 256 for v in idx),
+        sum((29 * v) % 256 for v in idx),
+        sum((41 * v + 7) % 256 for v in idx),
+    )
+
+
+def test_gif_decoder_walks_extensions_and_rejects_junk():
+    """The GCE the encoder emits must be sub-block-skipped (that path
+    is on every real GIF89a), an extra spliced comment extension must
+    not change the decode, and non-GIF bytes fail loud."""
+    p = encode_gif(9, 33)
+    base = decode_gif(p)
+    # splice a comment extension (0x21 0xFE) right after the GCT ends
+    gct_end = 13 + 48
+    comment = bytes([0x21, 0xFE, 5]) + b"hello" + bytes([0])
+    assert decode_gif(p[:gct_end] + comment + p[gct_end:]) == base
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + p[6:])

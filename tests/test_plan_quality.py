@@ -1230,6 +1230,7 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "multimodal_wav_stereo_decode",
         "multimodal_ima_adpcm_decode",
         "multimodal_alaw_decode",
+        "multimodal_gif_decode",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
