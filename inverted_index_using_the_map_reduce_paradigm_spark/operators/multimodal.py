@@ -4421,3 +4421,235 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _gif_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_gifs, schema=GIF_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video container tier (r10): MJPEG-in-AVI — the first REAL video path
+# (the generic frame_sample query treats payloads as opaque bytes; this
+# one parses an actual container and entropy-decodes every frame).  AVI
+# is the RIFF video container: nested LIST chunks (hdrl with the main +
+# stream headers, movi with per-frame '00dc' chunks), word-aligned
+# lengths, and an idx1 index the decoder must skip.  Each frame is a
+# real baseline JPEG decoded by the existing marker-walk/Huffman/IDCT
+# machinery, so the video tier composes the image tier instead of
+# faking it.  Frame content varies per frame with the frame ORDER
+# pinned by a position-weighted checksum — a container walk that
+# reorders, drops or double-reads a frame breaks the driver hash.
+# --------------------------------------------------------------------------
+
+_AVI_US_PER_FRAME = 40_000  # 25 fps
+
+
+def encode_avi_mjpeg(doc_id: int, n_chars: int) -> bytes:
+    """A real AVI: RIFF('AVI ') > LIST(hdrl)[avih + LIST(strl)[strh
+    'vids'/'MJPG' + strf BITMAPINFOHEADER]] + LIST(movi)['00dc'
+    frames] + idx1.  Frame f is ``encode_jpeg(doc_id + 186*(f+1),
+    n_chars)`` — the stride is a multiple of 6 so every frame keeps
+    the doc's block-row count (constant dims, like a real camera
+    stream) while the fill value changes per frame."""
+    import struct
+
+    nf = n_chars % 6 + 2
+    frames = [
+        encode_jpeg(doc_id + 186 * (f + 1), n_chars) for f in range(nf)
+    ]
+    w = (n_chars % 8 + 1) * 8
+    h = (doc_id % 6 + 1) * 8
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<14I", _AVI_US_PER_FRAME, 0, 0, 0x10, nf, 0, 1,
+        max(len(fr) for fr in frames), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, nf, 0, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = chunk(
+        b"LIST",
+        b"hdrl" + chunk(b"avih", avih)
+        + chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for fr in frames:
+        offsets.append(len(movi_body))
+        movi_body += chunk(b"00dc", fr)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, len(fr))
+            for off, fr in zip(offsets, frames)
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_len) over a word-aligned RIFF
+    chunk range, failing loud on a length that overruns the range
+    (the codec tiers' corrupt-container contract)."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if i + 8 + clen > end:
+            raise ValueError(
+                f"RIFF chunk {cid!r} at {i} claims {clen} bytes but only "
+                f"{end - i - 8} remain"
+            )
+        yield cid, i + 8, clen
+        i += 8 + clen + (clen % 2)
+
+
+def decode_avi_mjpeg(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int, int]:
+    """(n_frames, width, height, fps, luma_sum, luma_max,
+    frame_checksum) from a full AVI walk: verify the RIFF('AVI ')
+    envelope, find avih inside LIST(hdrl) (dims, frame timing, declared
+    frame count), entropy-decode every '00dc' frame in LIST(movi) with
+    the baseline-JPEG machinery, skip idx1/junk.  frame_checksum
+    weights frame f's pixel sum by (f+1), so frame order is hashed,
+    and the declared-vs-decoded frame count and per-frame dims are
+    cross-checked loudly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    avih = None
+    frames: list[bytes] = []
+    for cid, off, ln in _riff_chunks(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue  # idx1 / JUNK
+        ltyp = payload[off : off + 4]
+        if ltyp == b"hdrl":
+            for c2, o2, l2 in _riff_chunks(payload, off + 4, off + ln):
+                if c2 == b"avih":
+                    import struct
+
+                    avih = struct.unpack("<14I", payload[o2 : o2 + 56])
+        elif ltyp == b"movi":
+            for c2, o2, l2 in _riff_chunks(payload, off + 4, off + ln):
+                if c2[2:] == b"dc":  # '00dc' video frame
+                    frames.append(payload[o2 : o2 + l2])
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    us_per_frame, _, _, _, total_frames, _, _streams = avih[:7]
+    w, h = avih[8], avih[9]
+    if len(frames) != total_frames:
+        raise ValueError(
+            f"avih declares {total_frames} frames, movi has {len(frames)}"
+        )
+    luma_sum = checksum = 0
+    luma_max = 0
+    for f, fr in enumerate(frames):
+        fw, fh, _mean, fmax, fsum = decode_jpeg(fr)
+        if (fw, fh) != (w, h):
+            raise ValueError(
+                f"frame {f} is {fw}x{fh}, header says {w}x{h}"
+            )
+        luma_sum += fsum
+        luma_max = max(luma_max, fmax)
+        checksum += (f + 1) * fsum
+    return (
+        len(frames),
+        int(w),
+        int(h),
+        round(1_000_000 / us_per_frame),
+        luma_sum,
+        luma_max,
+        checksum,
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _avi_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_avi_mjpeg(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+AVI_SCHEMA = (
+    "doc_id long, n_frames long, width long, height long, fps long,"
+    " luma_sum long, luma_max long, frame_checksum long"
+)
+
+
+def decode_avis(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_avi_mjpeg(p))
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "width", "height", "fps",
+                "luma_sum", "luma_max", "frame_checksum",
+            ],
+        )
+
+
+@register(
+    "multimodal_avi_mjpeg_decode",
+    # frame f, block-row r: fill (doc_id + 186(f+1) + r) % 256 over
+    # w x 8 pixels — the closed form of the per-frame JPEG synthesis,
+    # recomputed independently per frame and row
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 6 + 2 AS nf, (n_chars % 8 + 1) * 8 AS w,
+         doc_id % 6 + 1 AS hb
+  FROM documents
+), fr AS (
+  SELECT doc_id, nf, w, hb, unnest(generate_series(0, nf - 1)) AS f
+  FROM dims
+), rows_ AS (
+  SELECT doc_id, nf, w, hb, f, unnest(generate_series(0, hb - 1)) AS r
+  FROM fr
+), px AS (
+  SELECT doc_id, nf, w, hb, f,
+         (doc_id + 186 * (f + 1) + r) % 256 AS v
+  FROM rows_
+)
+SELECT doc_id,
+       CAST(any_value(nf) AS BIGINT) AS n_frames,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(hb) * 8 AS BIGINT) AS height,
+       CAST(25 AS BIGINT) AS fps,
+       CAST(sum(v * w * 8) AS BIGINT) AS luma_sum,
+       CAST(max(v) AS BIGINT) AS luma_max,
+       CAST(sum((f + 1) * v * w * 8) AS BIGINT) AS frame_checksum
+FROM px GROUP BY doc_id
+""",
+    description=(
+        "REAL video decode: MJPEG-in-AVI container walk (nested RIFF"
+        " LISTs, idx1 skip) + per-frame baseline-JPEG entropy decode"
+    ),
+    tags=("multimodal", "udf", "codec", "video"),
+)
+def q_multimodal_avi_mjpeg_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-trips every document through a real MJPEG AVI (2-7 frames,
+    25 fps): the decoder walks the nested RIFF structure, cross-checks
+    the avih frame count and dims against what it actually decodes,
+    and runs the full baseline-JPEG pipeline on every frame.  The
+    oracle predicts per-frame rasters in closed form; the
+    (f+1)-weighted checksum pins frame ORDER, not just content.  Same
+    narrow two-Arrow-stage plan as the image tiers — per-payload frame
+    decode is embarrassingly parallel, the 100 TB video-ingest shape."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _avi_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_avis, schema=AVI_SCHEMA)

@@ -1166,3 +1166,73 @@ def test_gif_decoder_walks_extensions_and_rejects_junk():
     assert decode_gif(p[:gct_end] + comment + p[gct_end:]) == base
     with pytest.raises(ValueError):
         decode_gif(b"NOTGIF" + p[6:])
+
+
+# --------------------------------------------------------------------------
+# r10: MJPEG-in-AVI video container
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    decode_avi_mjpeg,
+    encode_avi_mjpeg,
+)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"), [(0, 0), (1, 3), (5, 70), (123, 255), (999, 799)]
+)
+def test_avi_mjpeg_roundtrip_matches_synthesis(doc_id, n_chars):
+    nf = n_chars % 6 + 2
+    w = (n_chars % 8 + 1) * 8
+    hb = doc_id % 6 + 1
+    vals = [
+        (f, (doc_id + 186 * (f + 1) + r) % 256)
+        for f in range(nf)
+        for r in range(hb)
+    ]
+    got = decode_avi_mjpeg(encode_avi_mjpeg(doc_id, n_chars))
+    assert got == (
+        nf, w, hb * 8, 25,
+        sum(v * w * 8 for _, v in vals),
+        max(v for _, v in vals),
+        sum((f + 1) * v * w * 8 for f, v in vals),
+    )
+
+
+def test_avi_frame_order_is_load_bearing():
+    """Swapping two movi frames keeps every per-frame stat but must
+    change frame_checksum — the container walk's ORDER is hashed."""
+    import struct
+
+    p = bytearray(encode_avi_mjpeg(7, 10))
+    base = decode_avi_mjpeg(bytes(p))
+    # find the two 00dc chunks and swap their bodies
+    i = p.find(b"00dc")
+    (l1,) = struct.unpack("<I", p[i + 4 : i + 8])
+    j = p.find(b"00dc", i + 8 + l1)
+    (l2,) = struct.unpack("<I", p[j + 4 : j + 8])
+    assert l1 == l2  # same dims, same flat-fill structure
+    f1, f2 = bytes(p[i + 8 : i + 8 + l1]), bytes(p[j + 8 : j + 8 + l2])
+    p[i + 8 : i + 8 + l1], p[j + 8 : j + 8 + l2] = f2, f1
+    swapped = decode_avi_mjpeg(bytes(p))
+    assert swapped[:6] == base[:6]  # count/dims/fps/sums unchanged
+    assert swapped[6] != base[6]  # checksum moved
+
+
+def test_avi_loud_failures():
+    """Frame-count mismatch vs avih, dim mismatch vs header, and a
+    corrupt chunk length all fail loud."""
+    import struct
+
+    p = encode_avi_mjpeg(3, 20)
+    # patch avih dwTotalFrames (offset: RIFF(12) + LIST hdr(12) + avih hdr(8) + 16)
+    i = p.find(b"avih") + 8 + 16
+    bad = p[:i] + struct.pack("<I", 99) + p[i + 4 :]
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(bad)
+    k = p.find(b"00dc")
+    bad2 = p[:k + 4] + struct.pack("<I", 1 << 30) + p[k + 8 :]
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(bad2)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x10\x00\x00\x00WAVE")
