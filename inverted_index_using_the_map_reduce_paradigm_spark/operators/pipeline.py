@@ -1230,3 +1230,89 @@ def q_mad_by_lang_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .applyInPandas(_mad_group, schema=MAD_SCHEMA)
     )
+
+
+# --------------------------------------------------------------------------
+# rag_chunking — overlapping sliding-window chunks via a Python UDTF
+# (r10, Spark 4).  RAG ingestion chunks with OVERLAP (window 30, stride
+# 20) so no retrieval-relevant span is cut at a hard boundary — the
+# complement of doc_chunking's disjoint packing.  The generator is a
+# genuine table function (one input row -> variable rows with
+# per-chunk state), exercised through Spark 4's Arrow-batched UDTF
+# path (ArrowEvalPythonUDTF: vectorized transfer, plan-pinned) in a
+# LATERAL join.  Per-row fan-out is bounded (ceil(n_tok/stride)), no
+# shuffle — the same narrow 100 TB shape as the codec tiers.
+# --------------------------------------------------------------------------
+
+RAG_WINDOW = 30
+RAG_STRIDE = 20
+
+
+def _rag_chunk_rows(text: str):
+    """One doc's overlapping chunks: starts at 0, stride, 2*stride, …
+    while < n_tokens; each chunk is min(window, n - start) tokens."""
+    toks = text.split(" ")
+    n = len(toks)
+    for ci, start in enumerate(range(0, n, RAG_STRIDE)):
+        ln = min(RAG_WINDOW, n - start)
+        yield ci, start, ln, toks[start], toks[start + ln - 1]
+
+
+@register(
+    "rag_chunking",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), dims AS (
+  SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0
+), chunks AS (
+  SELECT doc_id, ts, n,
+         unnest(generate_series(0, (n - 1) // {RAG_STRIDE})) AS ci
+  FROM dims
+)
+SELECT doc_id,
+       CAST(ci AS INT) AS chunk_idx,
+       CAST(ci * {RAG_STRIDE} AS INT) AS start_tok,
+       CAST(least({RAG_WINDOW}, n - ci * {RAG_STRIDE}) AS INT) AS n_tokens,
+       ts[ci * {RAG_STRIDE} + 1] AS first_word,
+       ts[ci * {RAG_STRIDE} + least({RAG_WINDOW}, n - ci * {RAG_STRIDE})]
+         AS last_word
+FROM chunks
+""",
+    description=(
+        f"overlapping RAG chunks (window {RAG_WINDOW}, stride"
+        f" {RAG_STRIDE}) via an Arrow-batched Python UDTF in a LATERAL"
+        " join"
+    ),
+    tags=("pipeline", "text", "udtf"),
+)
+def q_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG-ingest shape where
+    consecutive chunks share window-stride tokens — as a Spark 4
+    Python UDTF: a true table function (variable rows per input, the
+    chunk counter is per-row generator state) applied with LATERAL.
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` keeps the
+    transfer Arrow-batched (the plan shows ArrowEvalPythonUDTF, pinned
+    in tests); the scan is pruned to (doc_id, text) and the fan-out is
+    bounded by ceil(n_tokens/stride), so the stage stays narrow.  The
+    DuckDB oracle recomputes every chunk boundary, width and edge word
+    in closed form over the same split."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(
+        returnType=(
+            "chunk_idx: int, start_tok: int, n_tokens: int,"
+            " first_word: string, last_word: string"
+        )
+    )
+    class RagChunks:
+        def eval(self, text: str):
+            yield from _rag_chunk_rows(text)
+
+    spark.udtf.register("rag_chunks", RagChunks)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_rag")
+    return spark.sql(
+        "SELECT v.doc_id, f.* FROM docs_rag v, LATERAL rag_chunks(v.text) f"
+    )

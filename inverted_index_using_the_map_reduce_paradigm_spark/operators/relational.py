@@ -1946,3 +1946,75 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (r10, Spark 4): hierarchical subtree rollup.  The parts
+# catalog is given a deterministic 10-ary containment hierarchy
+# (parent(p) = p div 10, roots 0..9, the key-0 self-loop excluded by the
+# recursive leg's p >= 10 guard — the BOM shape every ERP query pack has), and the query answers "total descendant count and catalog
+# value under each root" by genuine WITH RECURSIVE iteration.  Depth is
+# log10(|part|): 4 levels at sf0.01, ~11 at the 20 B-part 100
+# TB-equivalent — the iteration count grows with log of data size, not
+# data size, and each step is one hash join Spark distributes normally.
+# DuckDB runs the IDENTICAL recursion, so the fixpoint semantics
+# (UNION ALL accumulation, termination on empty delta) are what the
+# driver hash checks.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "parts_hierarchy_rollup",
+    oracle="""
+WITH RECURSIVE sub AS (
+  SELECT p_partkey AS root, p_partkey AS node,
+         p_retailprice AS price, 0 AS depth
+  FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT s.root, p.p_partkey, p.p_retailprice, s.depth + 1
+  FROM sub s JOIN part p ON p.p_partkey // 10 = s.node
+  WHERE p.p_partkey >= 10
+)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS subtree_parts,
+       round(sum(price), 2) + 0 AS subtree_value,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM sub GROUP BY root
+""",
+    description=(
+        "WITH RECURSIVE subtree rollup over the p_partkey div-10"
+        " hierarchy: per-root descendant count, value, depth"
+    ),
+    tags=("relational", "recursive"),
+)
+def q_parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``WITH RECURSIVE``: seeds the ten single-digit root
+    parts, then repeatedly joins ``part`` on ``p_partkey div 10 =
+    node`` until the frontier empties (no child row joins), rolling up
+    per-root descendant counts, catalog value and depth.  Termination
+    is structural — the recursive leg's ``p >= 10`` guard makes the
+    key space acyclic (``p div 10 < p`` for p >= 10; key 0 would
+    otherwise self-loop, which Spark surfaces as a recursion-limit
+    error rather than silently truncating) — and the recursion depth is ``log10(|part|)``,
+    so the plan is a logarithmic chain of ordinary distributed hash
+    joins; no driver-side loop, no collect.  The DuckDB oracle runs
+    the same recursion, pinning fixpoint semantics end-to-end."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_rec")
+    return spark.sql(
+        """
+WITH RECURSIVE sub AS (
+  SELECT p_partkey AS root, p_partkey AS node,
+         p_retailprice AS price, 0 AS depth
+  FROM part_rec WHERE p_partkey < 10
+  UNION ALL
+  SELECT s.root, p.p_partkey, p.p_retailprice, s.depth + 1
+  FROM sub s JOIN part_rec p ON p.p_partkey div 10 = s.node
+  WHERE p.p_partkey >= 10
+)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS subtree_parts,
+       round(sum(price), 2) + 0.0 AS subtree_value,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM sub GROUP BY root
+"""
+    )

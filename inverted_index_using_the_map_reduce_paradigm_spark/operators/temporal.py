@@ -1086,3 +1086,68 @@ def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("daily_users").alias("sum_daily"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured path (r10, Spark 4): raw JSON log lines ->
+# parse_json -> typed variant_get extraction.  At 100 TB the VARIANT
+# binary encoding is the semi-structured fast path: one parse per row
+# into a shreddable binary column instead of N string re-parses per
+# extracted field (get_json_object re-walks the text per call).  The
+# synthesized line nests the real ``props`` JSON verbatim, so the
+# extraction exercises genuine nested-path traversal — and the oracle
+# recomputes every aggregate from the TYPED source columns, making the
+# whole stringify -> parse -> variant -> extract loop hash-pinned.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "variant_shred",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+    description=(
+        "VARIANT ingestion: raw JSON log lines parse_json'd once, typed"
+        " variant_get extraction incl. a nested path, agg per type"
+    ),
+    tags=("temporal", "json", "variant"),
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuilds each event as the raw JSON log line an ingest pipeline
+    would receive (``{"user":…,"type":…,"value":…,"payload":{…}}``
+    with the real ``props`` object spliced in verbatim), parses it
+    ONCE into a Spark 4 ``VARIANT`` column, then extracts four typed
+    fields via ``variant_get`` paths — including the nested
+    ``$.payload.k`` — and aggregates per event type.  The oracle
+    recomputes everything from the typed source columns, so a defect
+    anywhere in the stringify/parse/shred/extract loop (quoting, path
+    traversal, type coercion) breaks the driver hash.  All expressions
+    are JVM-side Catalyst — no Python in the plan; VARIANT parse cost
+    is one pass per row vs one pass per FIELD for repeated
+    get_json_object, the difference that matters on 100 TB of logs."""
+    ev = table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit('{"user":'), F.col("user_id").cast("string"),
+        F.lit(',"type":"'), F.col("event_type"),
+        F.lit('","value":'), F.col("value").cast("string"),
+        F.lit(',"payload":'), F.col("props"), F.lit("}"),
+    )
+    v = ev.select(F.parse_json(line).alias("v"))
+    typed = v.select(
+        F.variant_get("v", "$.type", "string").alias("event_type"),
+        F.variant_get("v", "$.user", "bigint").alias("user_id"),
+        F.variant_get("v", "$.payload.k", "bigint").alias("k"),
+        F.variant_get("v", "$.value", "double").alias("value"),
+    )
+    return typed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("k_sum"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

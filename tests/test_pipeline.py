@@ -193,3 +193,29 @@ def test_stored_index_caches_rebuild_on_corpus_mutation(spark, tmp_path):
         for r in spark.read.parquet(idx2).filter("letter = 'z'").collect()
     }
     assert "zmutant" in words
+
+
+# --------------------------------------------------------------------------
+# r10: rag_chunking's window/stride generator
+# --------------------------------------------------------------------------
+
+
+def test_rag_chunk_rows_overlap_and_tail():
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.pipeline import (
+        RAG_STRIDE,
+        RAG_WINDOW,
+        _rag_chunk_rows,
+    )
+
+    toks = [f"w{i}" for i in range(45)]
+    rows = list(_rag_chunk_rows(" ".join(toks)))
+    # starts 0/20/40: every stride boundary below n opens a chunk,
+    # tail chunks truncate to the remaining tokens
+    assert [(r[0], r[1], r[2]) for r in rows] == [
+        (0, 0, 30), (1, 20, 25), (2, 40, 5),
+    ]
+    # consecutive chunks overlap by window - stride tokens
+    assert rows[0][4] == "w29" and rows[1][3] == "w20"
+    assert RAG_WINDOW - RAG_STRIDE == 10
+    # a short doc yields exactly one whole-doc chunk
+    assert list(_rag_chunk_rows("a b c")) == [(0, 0, 3, "a", "c")]

@@ -1240,3 +1240,44 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         assert "hashpartitioning" not in plan, name
         assert "rangepartitioning" not in plan, name
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+
+
+def test_variant_shred_stays_jvm_side_and_prunes(spark):
+    """The VARIANT path must be Catalyst expressions end-to-end: one
+    parse_json per row (static_invoke), typed variant_get extraction,
+    partial aggregation below the single hash exchange pair, and a
+    4-column pruned scan — no Python eval node anywhere (a UDF-based
+    JSON hop would put an Arrow stage in the hot path of a 100 TB log
+    ingest)."""
+    plan = physical_plan(spark, "variant_shred")
+    assert "parseJson" in plan
+    assert "variant_get" in plan
+    assert "partial_count" in plan  # map-side combine before shuffle
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "ReadSchema: struct<user_id:bigint,event_type:string" in plan
+    assert "props:string>" in plan and "event_id" not in plan
+
+
+def test_parts_hierarchy_rollup_is_a_union_loop(spark):
+    """WITH RECURSIVE must reach the executor as Spark 4's UnionLoop
+    operator (distributed per-step joins, log10(|part|) iterations) —
+    not a driver-side collect loop — with the seed's key filter and
+    the recursive leg's acyclicity guard both sitting on the scans
+    (each loop step re-reads only qualifying parts)."""
+    plan = physical_plan(spark, "parts_hierarchy_rollup")
+    assert "UnionLoop" in plan and "UnionLoopRef" in plan
+    assert "(p_partkey#" in plan and "< 10)" in plan  # seed filter at scan
+    assert ">= 10)" in plan  # recursive-leg guard at scan
+    assert "EvalPython" not in plan
+
+
+def test_rag_chunking_udtf_is_arrow_batched_and_pruned(spark):
+    """The UDTF hot path must be the Arrow-vectorized evaluator
+    (ArrowEvalPythonUDTF), not row-pickling BatchEvalPythonUDTF; the
+    documents scan prunes to (doc_id, text); and the whole stage is
+    narrow — no exchange between scan and generator."""
+    plan = physical_plan(spark, "rag_chunking")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
