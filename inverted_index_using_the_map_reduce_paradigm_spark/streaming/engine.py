@@ -878,3 +878,37 @@ def q_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("mass"))
         .orderBy("seed")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    # single-batch emission of first-seen keys == the distinct key set
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    description=(
+        "bounded-state streaming dedup: dropDuplicatesWithinWatermark"
+        " evicts keys after the 1h delay"
+    ),
+    bench=False,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: the dedup whose state is
+    BOUNDED — each key's entry is evicted once the watermark passes
+    its event time + delay, so state size tracks the 1-hour traffic
+    window, not the all-time key count.  Plain ``dropDuplicates``
+    (``stream_exact_dedup``) keeps every key forever: correct only
+    when the key space is small; at 100 TB/day of events it OOMs the
+    state store, and THIS operator is the production form (dedup
+    guarantee scoped to the delay window — re-arrivals later than 1h
+    re-emit, the documented trade).  Single-batch contract for the
+    oracle; the re-emission-after-eviction semantics are pinned by the
+    forced multi-batch TTL test in tests/test_streaming.py."""
+    ev = _event_stream(spark, sf_dir)
+    deduped = (
+        ev.select("ts", "user_id", "event_type")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    return _run_to_memory(deduped, "append").select("user_id", "event_type")

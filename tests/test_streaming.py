@@ -883,3 +883,72 @@ def test_late_rows_counted_by_cms_sketch_no_watermark(spark, tmp_path):
         rolled = qs["stream_cms_sketch"].fn(spark, src).collect()
         assert _engine._LAST_FED_BATCHES >= 3
     assert sorted((r.seed, r.mass) for r in rolled) == [(s, 4) for s in range(4)]
+
+
+def test_dedup_within_watermark_ttl_reemits_after_eviction(spark, tmp_path):
+    """The semantics that make dropDuplicatesWithinWatermark the
+    bounded-state production dedup: (a) a duplicate arriving WITHIN
+    the 1h delay of its first occurrence is dropped, (b) a key whose
+    state the advancing watermark has evicted IS RE-EMITTED on
+    re-arrival — the trade plain dropDuplicates (which would dedup
+    both but grow state forever) never makes."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def arrive(name, rows):
+        df = spark.createDataFrame(rows, ["ts_s", "k"]).select(
+            F.timestamp_seconds("ts_s").alias("ts"), "k"
+        )
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", str(src / f"{name}.parquet"))
+
+    H = 3600
+    # batch 1: 'a' at 10s (expires at 1h10s), 'b' at 2h58m (expires at
+    # 3h58m), watermark-pusher 'w' at 3h -> watermark after b1 = 2h.
+    arrive("b1", [(10, "a"), (2 * H + 58 * 60, "b"), (3 * H, "w")])
+    # batch 2: watermark-advancer only.  Eviction (like the late-row
+    # filter, see test_multi_batch_window_agg_with_late_data) applies
+    # the b1-computed 2h watermark DURING this batch: 'a' (expiry
+    # 1h10s < 2h) leaves the state store here.
+    arrive("b2", [(3 * H + 60, "x")])
+    # batch 3: 'a' re-arrives at 3h+10 — its state is gone, so it
+    # re-emits; 'b' re-arrives at 3h+5 — still within its 1h window
+    # (expiry 3h58m > the governing watermark), so it is dropped.
+    arrive("b3", [(3 * H + 10, "a"), (3 * H + 5, "b")])
+
+    dd = (
+        spark.readStream.schema("ts TIMESTAMP, k STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k", F.unix_timestamp("ts").alias("ts_s"))
+    )
+    name = "dedup_ttl_test_sink"
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) == 3, "maxFilesPerTrigger=1 must yield 3 batches"
+    finally:
+        q.stop()
+    rows = sorted((r.k, r.ts_s) for r in spark.table(name).collect())
+    assert rows == [
+        ("a", 10),
+        ("a", 3 * H + 10),  # re-emitted after state eviction
+        ("b", 2 * H + 58 * 60),  # second arrival deduped in-window
+        ("w", 3 * H),
+        ("x", 3 * H + 60),
+    ]
