@@ -4653,3 +4653,148 @@ def q_multimodal_avi_mjpeg_decode(
         "doc_id", _avi_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_avis, schema=AVI_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# BMP (r10): the uncompressed Windows bitmap — trivially simple on
+# paper, but every one of its quirks is a classic decode bug: 24-bit
+# pixels are stored B,G,R (not RGB), rows are padded to 4-byte
+# boundaries (so any odd width desyncs a naive reader), and a POSITIVE
+# biHeight means the raster is BOTTOM-UP.  The fixture forces all
+# three: odd widths, per-channel formulas that differ, and a
+# y-weighted checksum that breaks if the vertical flip is skipped.
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(doc_id: int, n_chars: int) -> bytes:
+    """A real BI_RGB 24-bit BMP (file header + BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding).  Pixel (x, y) in TOP-DOWN
+    image coordinates has r=(doc_id+2x+3y)%256, g=(5x+y)%256,
+    b=(doc_id+x+7y)%256."""
+    import struct
+
+    w = n_chars % 37 + 3
+    h = doc_id % 25 + 2
+    stride = (3 * w + 3) // 4 * 4
+    raster = bytearray()
+    for yy in range(h - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            row += bytes(
+                (
+                    (doc_id + x + 7 * yy) % 256,  # B first on disk
+                    (5 * x + yy) % 256,
+                    (doc_id + 2 * x + 3 * yy) % 256,
+                )
+            )
+        row += b"\x00" * (stride - 3 * w)
+        raster += row
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return hdr + info + bytes(raster)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """(width, height, sum_r, sum_g, sum_b, r_checksum) via the real
+    header walk: honor the pixel-data offset, the padded stride, the
+    BGR byte order and the bottom-up row order (positive biHeight).
+    r_checksum = sum((1 + x + 7y) * r) over TOP-DOWN coordinates, so
+    skipping the vertical flip (or transposing) breaks the hash even
+    though the channel sums wouldn't."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_sz, _r1, _r2, off) = struct.unpack("<IHHI", payload[2:14])
+    hsize, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only BI_RGB 24-bit BMP (got {bpp}/{comp})")
+    if h <= 0:
+        raise NotImplementedError("top-down (negative height) BMP")
+    stride = (3 * w + 3) // 4 * 4
+    if off + stride * h > len(payload):
+        raise ValueError("BMP pixel array truncated")
+    rows = np.frombuffer(
+        payload[off : off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : 3 * w].astype(np.int64)
+    px = rows.reshape(h, w, 3)[::-1]  # flip: disk is bottom-up
+    b, g, r = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    return (
+        int(w),
+        int(h),
+        int(r.sum()),
+        int(g.sum()),
+        int(b.sum()),
+        int(((1 + xs + 7 * ys) * r).sum()),
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _bmp_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_bmp(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+BMP_SCHEMA = (
+    "doc_id long, width long, height long, sum_r long, sum_g long,"
+    " sum_b long, r_checksum long"
+)
+
+
+def decode_bmps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_bmp(p))
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "r_checksum",
+            ],
+        )
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 37 + 3 AS w, doc_id % 25 + 2 AS h FROM documents
+), ps AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM dims
+), px AS (
+  SELECT doc_id, w, h, p % w AS x, p // w AS y FROM ps
+)
+SELECT doc_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       CAST(sum((doc_id + 2 * x + 3 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((5 * x + y) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id + x + 7 * y) % 256) AS BIGINT) AS sum_b,
+       CAST(sum((1 + x + 7 * y) * ((doc_id + 2 * x + 3 * y) % 256))
+            AS BIGINT) AS r_checksum
+FROM px GROUP BY doc_id
+""",
+    description=(
+        "REAL BMP decode: padded-stride BGR bottom-up raster with a"
+        " flip-pinning positional checksum"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through a real 24-bit BI_RGB BMP.
+    Odd widths force the 4-byte row padding, the per-channel formulas
+    differ (a BGR/RGB swap moves sums between channels), and the
+    y-weighted red checksum is computed in TOP-DOWN coordinates while
+    the file stores rows bottom-up — the three classic BMP decode bugs
+    each break the driver hash independently.  Same narrow
+    two-Arrow-stage plan as the other codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _bmp_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_bmps, schema=BMP_SCHEMA)

@@ -1236,3 +1236,54 @@ def test_avi_loud_failures():
         decode_avi_mjpeg(bad2)
     with pytest.raises(ValueError):
         decode_avi_mjpeg(b"RIFF\x10\x00\x00\x00WAVE")
+
+
+# --------------------------------------------------------------------------
+# r10: BMP
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    decode_bmp,
+    encode_bmp,
+)
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"), [(0, 0), (1, 3), (5, 70), (123, 255), (999, 799)]
+)
+def test_bmp_roundtrip_matches_synthesis(doc_id, n_chars):
+    w = n_chars % 37 + 3
+    h = doc_id % 25 + 2
+    pts = [(x, y) for y in range(h) for x in range(w)]
+    got = decode_bmp(encode_bmp(doc_id, n_chars))
+    assert got == (
+        w, h,
+        sum((doc_id + 2 * x + 3 * y) % 256 for x, y in pts),
+        sum((5 * x + y) % 256 for x, y in pts),
+        sum((doc_id + x + 7 * y) % 256 for x, y in pts),
+        sum((1 + x + 7 * y) * ((doc_id + 2 * x + 3 * y) % 256) for x, y in pts),
+    )
+
+
+def test_bmp_flip_and_padding_are_load_bearing():
+    """A doctored file with the raster stored TOP-DOWN (but positive
+    height) must decode to a DIFFERENT r_checksum — proving the
+    decoder really un-flips — and rejected variants fail loud."""
+    import struct
+
+    doc_id, n_chars = 9, 4  # w=7 (odd: stride padding), h=11
+    p = encode_bmp(doc_id, n_chars)
+    base = decode_bmp(p)
+    off = 54
+    w, h = base[0], base[1]
+    stride = (3 * w + 3) // 4 * 4
+    rows = [p[off + i * stride : off + (i + 1) * stride] for i in range(h)]
+    flipped = p[:off] + b"".join(reversed(rows))
+    got = decode_bmp(flipped)
+    assert got[:5] == base[:5]  # channel sums orientation-blind
+    assert got[5] != base[5]  # y-weighted checksum catches the flip
+    with pytest.raises(NotImplementedError):
+        bad = p[:28] + struct.pack("<H", 32) + p[30:]  # 32bpp
+        decode_bmp(bad)
+    with pytest.raises(ValueError):
+        decode_bmp(p[: off + 10])  # truncated pixel array
