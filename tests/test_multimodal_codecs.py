@@ -1287,3 +1287,64 @@ def test_bmp_flip_and_padding_are_load_bearing():
         decode_bmp(bad)
     with pytest.raises(ValueError):
         decode_bmp(p[: off + 10])  # truncated pixel array
+
+
+# --------------------------------------------------------------------------
+# r10: hand-rolled RFC 1950/1951 inflate
+# --------------------------------------------------------------------------
+
+import zlib as _zlib  # noqa: E402
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _adler32,
+    decode_zlib_doc,
+    encode_zlib_doc,
+    inflate,
+)
+
+
+def test_adler32_matches_published_anchor():
+    assert _adler32(b"Wikipedia") == 0x11E60398
+    assert _adler32(b"") == 1
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_inflate_inverts_every_zlib_strategy(mode):
+    """level-0 (stored), Z_FIXED (fixed Huffman) and default (dynamic
+    Huffman) streams from the real zlib library must all invert, and
+    the block-type mask must prove the intended type actually ran."""
+    data = (b"the quick brown fox jumps over the lazy dog " * 300)[:9001]
+    if mode == 0:
+        z = _zlib.compress(data, 0)
+    else:
+        st = _zlib.Z_FIXED if mode == 1 else _zlib.Z_DEFAULT_STRATEGY
+        co = _zlib.compressobj(6, _zlib.DEFLATED, 15, 8, st)
+        z = co.compress(data) + co.flush()
+    out, seen = inflate(z)
+    assert out == data
+    want_bit = {0: 1, 1: 2, 2: 4}[mode]
+    assert seen & want_bit and not (mode and seen & 1)
+
+
+@given(st.binary(min_size=0, max_size=40000))
+@settings(max_examples=30, deadline=None)
+def test_inflate_roundtrips_arbitrary_bytes(data):
+    """Random binary through default zlib: the dynamic-Huffman and
+    LZ77 paths (incl. overlapping copies on repetitive inputs) must
+    byte-exactly invert."""
+    out, _ = inflate(_zlib.compress(data, 6))
+    assert out == data
+
+
+def test_inflate_loud_failures():
+    z = _zlib.compress(b"hello world, hello world, hello")
+    with pytest.raises(ValueError, match="Adler-32"):
+        inflate(z[:-1] + bytes([z[-1] ^ 1]))
+    with pytest.raises(ValueError):
+        inflate(z[: len(z) // 2])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        inflate(b"\x00" + z[1:])  # CM nibble corrupted
+    # decode_zlib_doc's block-type contract: a stored-mode doc_id fed a
+    # huffman stream is rejected (no silent library fallback possible)
+    with pytest.raises(ValueError, match="mask"):
+        decode_zlib_doc(3, encode_zlib_doc(1, "x " * 50))  # 3%3==0 wants stored

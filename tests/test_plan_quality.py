@@ -1233,6 +1233,7 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "multimodal_gif_decode",
         "multimodal_avi_mjpeg_decode",
         "multimodal_bmp_decode",
+        "inflate_roundtrip",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
