@@ -4914,23 +4914,14 @@ def _adler32(data: bytes) -> int:
     return (b << 16) | a
 
 
-def inflate(payload: bytes) -> tuple[bytes, int]:
-    """Decompress a zlib (RFC 1950) stream with a from-scratch RFC 1951
-    INFLATE.  Returns (data, block_type_mask) where the mask ORs
-    1 << BTYPE for every block seen (so tests can prove all three
-    block types really executed).  Verifies the zlib header, rejects
-    preset dictionaries, and checks the Adler-32 trailer against a
-    hand-rolled implementation."""
-    if len(payload) < 6:
-        raise ValueError("zlib stream too short")
-    cmf, flg = payload[0], payload[1]
-    if cmf & 0x0F != 8:
-        raise ValueError(f"zlib CM {cmf & 0x0F}, expected deflate (8)")
-    if (cmf << 8 | flg) % 31:
-        raise ValueError("zlib header check bits invalid")
-    if flg & 0x20:
-        raise NotImplementedError("preset dictionary (FDICT) unsupported")
-    br = _InflateBits(payload[2:-4])
+def _inflate_raw(data: bytes, start: int = 0) -> tuple[bytes, int, int]:
+    """RFC 1951 block loop over ``data[start:]``.  Returns
+    (decompressed, block_type_mask, end_offset) where end_offset is
+    the byte index just past the final block (bit stream re-aligned)
+    — the hook that lets the gzip walker find the next member in a
+    concatenated multi-member file."""
+    br = _InflateBits(data)
+    br.pos = start
     out = bytearray()
     seen = 0
     while True:
@@ -5001,13 +4992,34 @@ def inflate(payload: bytes) -> tuple[bytes, int]:
             raise ValueError("reserved deflate block type 3")
         if bfinal:
             break
+    br.align()
+    return bytes(out), seen, br.pos
+
+
+def inflate(payload: bytes) -> tuple[bytes, int]:
+    """Decompress a zlib (RFC 1950) stream with a from-scratch RFC 1951
+    INFLATE.  Returns (data, block_type_mask) where the mask ORs
+    1 << BTYPE for every block seen (so tests can prove all three
+    block types really executed).  Verifies the zlib header, rejects
+    preset dictionaries, and checks the Adler-32 trailer against a
+    hand-rolled implementation."""
     import struct
 
+    if len(payload) < 6:
+        raise ValueError("zlib stream too short")
+    cmf, flg = payload[0], payload[1]
+    if cmf & 0x0F != 8:
+        raise ValueError(f"zlib CM {cmf & 0x0F}, expected deflate (8)")
+    if (cmf << 8 | flg) % 31:
+        raise ValueError("zlib header check bits invalid")
+    if flg & 0x20:
+        raise NotImplementedError("preset dictionary (FDICT) unsupported")
+    out, seen, _end = _inflate_raw(payload[2:-4])
     (want,) = struct.unpack(">I", payload[-4:])
-    got = _adler32(bytes(out))
+    got = _adler32(out)
     if got != want:
         raise ValueError(f"Adler-32 mismatch: {got:#x} != {want:#x}")
-    return bytes(out), seen
+    return out, seen
 
 
 def encode_zlib_doc(doc_id: int, text: str) -> bytes:
@@ -5091,3 +5103,211 @@ def q_inflate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _zlib_payload("doc_id", "text").alias("payload")
     )
     return payloads.mapInPandas(decode_zlibs, schema=INFLATE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WARC.gz (r10): the format web-scale training corpora actually arrive
+# in.  Common Crawl ships WARC files as MULTI-MEMBER gzip — one gzip
+# member per WARC record, concatenated — so a reader can seek to a
+# record boundary and inflate one member without touching the rest.
+# The extractor below walks that exact structure with no decompression
+# library: per-member RFC 1952 header (FLG bit handling for
+# EXTRA/NAME/COMMENT/HCRC), the hand-rolled `_inflate_raw` core (which
+# reports where the member's deflate stream ENDS — the key to finding
+# the next member), a hand-rolled table-driven CRC-32 checked against
+# each member's trailer, then WARC/1.0 header parsing (version line,
+# header fields, Content-Length-delimited payload) on the inflated
+# bytes.  The oracle pins the extracted URI, payload hash and length
+# in closed form over `documents`.
+# --------------------------------------------------------------------------
+
+_CRC_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0xEDB88320 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+
+
+def _crc32(data: bytes) -> int:
+    """Hand-rolled reflected CRC-32 (poly 0xEDB88320), RFC 1952."""
+    c = 0xFFFFFFFF
+    for b in data:
+        c = _CRC_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def _gzip_members(payload: bytes) -> list[bytes]:
+    """Split a multi-member gzip file into the decompressed bytes of
+    each member: full RFC 1952 header walk (magic, CM=8, FLG bits
+    FEXTRA/FNAME/FCOMMENT/FHCRC each consumed when set), hand-rolled
+    inflate, CRC-32 + ISIZE trailer verification per member."""
+    import struct
+
+    members: list[bytes] = []
+    i = 0
+    while i < len(payload):
+        if payload[i : i + 2] != b"\x1f\x8b":
+            raise ValueError(f"bad gzip magic at member offset {i}")
+        if payload[i + 2] != 8:
+            raise ValueError(f"gzip CM {payload[i + 2]}, expected deflate")
+        flg = payload[i + 3]
+        j = i + 10  # fixed header: magic, CM, FLG, MTIME(4), XFL, OS
+        if flg & 0x04:  # FEXTRA
+            (xlen,) = struct.unpack("<H", payload[j : j + 2])
+            j += 2 + xlen
+        if flg & 0x08:  # FNAME: zero-terminated
+            j = payload.index(b"\x00", j) + 1
+        if flg & 0x10:  # FCOMMENT
+            j = payload.index(b"\x00", j) + 1
+        if flg & 0x02:  # FHCRC
+            j += 2
+        data, _seen, end = _inflate_raw(payload, j)
+        crc, isize = struct.unpack("<II", payload[end : end + 8])
+        if _crc32(data) != crc:
+            raise ValueError(f"gzip member at {i}: CRC-32 mismatch")
+        if len(data) % (1 << 32) != isize:
+            raise ValueError(f"gzip member at {i}: ISIZE mismatch")
+        members.append(data)
+        i = end + 8
+    return members
+
+
+def _parse_warc_record(raw: bytes) -> tuple[dict[str, str], bytes]:
+    """(headers, payload) from one WARC record: version line, CRLF
+    header block, Content-Length-delimited payload, trailing CRLFCRLF."""
+    if not raw.startswith(b"WARC/1.0\r\n"):
+        raise ValueError("WARC record missing WARC/1.0 version line")
+    head_end = raw.index(b"\r\n\r\n")
+    headers: dict[str, str] = {}
+    for line in raw[10:head_end].split(b"\r\n"):
+        k, _, v = line.partition(b": ")
+        headers[k.decode()] = v.decode()
+    n = int(headers["Content-Length"])
+    payload = raw[head_end + 4 : head_end + 4 + n]
+    if len(payload) != n:
+        raise ValueError("WARC payload shorter than Content-Length")
+    if raw[head_end + 4 + n :] != b"\r\n\r\n":
+        raise ValueError("WARC record missing trailing CRLFCRLF")
+    return headers, payload
+
+
+def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in headers
+    )
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def encode_warc_gz(doc_id: int, text: str) -> bytes:
+    """A real two-record WARC.gz for one document: a warcinfo record
+    then a response record carrying the text, EACH gzipped as its own
+    member (gzip module = real RFC 1952 output) and concatenated — the
+    Common Crawl layout."""
+    import gzip
+
+    body = text.encode()
+    info = _warc_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", f"<urn:uuid:info-{doc_id}>"),
+            ("Content-Type", "application/warc-fields"),
+            ("Content-Length", str(len(b"software: engine\r\n"))),
+        ],
+        b"software: engine\r\n",
+    )
+    resp = _warc_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", f"<urn:uuid:doc-{doc_id}>"),
+            ("WARC-Target-URI", f"http://corpus.example/doc/{doc_id}"),
+            ("Content-Type", "text/plain"),
+            ("Content-Length", str(len(body))),
+        ],
+        body,
+    )
+    return gzip.compress(info, 6, mtime=0) + gzip.compress(resp, 6, mtime=0)
+
+
+def decode_warc_gz(doc_id: int, payload: bytes) -> tuple[int, str, int, str]:
+    """(n_records, target_uri, payload_len, payload_sha) via the full
+    multi-member walk; cross-checks the response record's id against
+    the doc and requires exactly one warcinfo + one response."""
+    import hashlib
+
+    members = _gzip_members(payload)
+    records = [_parse_warc_record(m) for m in members]
+    types = [h["WARC-Type"] for h, _ in records]
+    if types != ["warcinfo", "response"]:
+        raise ValueError(f"unexpected WARC record sequence {types}")
+    h, body = records[1]
+    if h["WARC-Record-ID"] != f"<urn:uuid:doc-{doc_id}>":
+        raise ValueError("response record id does not match doc")
+    return (
+        len(records),
+        h["WARC-Target-URI"],
+        len(body),
+        hashlib.sha256(body).hexdigest(),
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _warc_payload(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_warc_gz(int(d), t) for d, t in zip(doc_id, text)]
+    )
+
+
+WARC_SCHEMA = (
+    "doc_id long, n_records long, target_uri string, payload_len long,"
+    " payload_sha string"
+)
+
+
+def decode_warcs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_warc_gz(doc_id, p))
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_records", "target_uri", "payload_len",
+                "payload_sha",
+            ],
+        )
+
+
+@register(
+    "warc_gz_extract",
+    oracle="""
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_records,
+       concat('http://corpus.example/doc/', doc_id) AS target_uri,
+       CAST(length(text) AS BIGINT) AS payload_len,
+       sha256(text) AS payload_sha
+FROM documents
+""",
+    description=(
+        "WARC.gz ingest: multi-member gzip walk (hand-rolled inflate +"
+        " CRC-32) + WARC/1.0 record parsing, Common Crawl layout"
+    ),
+    tags=("multimodal", "udf", "codec", "ingest"),
+)
+def q_warc_gz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through a real WARC.gz (warcinfo +
+    response records, one gzip member each, concatenated — exactly how
+    Common Crawl ships the web).  The extractor is dependency-free end
+    to end: RFC 1952 header walk with all FLG fields, the hand-rolled
+    RFC 1951 inflate reporting member end offsets, table-driven CRC-32
+    + ISIZE trailer checks, then WARC version/header/Content-Length
+    parsing.  The oracle pins the extracted URI, payload length and
+    sha256 in closed form.  Same narrow two-Arrow-stage plan as the
+    codec tiers — the member-per-record layout is precisely what makes
+    100 TB WARC ingest embarrassingly parallel."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _warc_payload("doc_id", "text").alias("payload")
+    )
+    return payloads.mapInPandas(decode_warcs, schema=WARC_SCHEMA)

@@ -1348,3 +1348,68 @@ def test_inflate_loud_failures():
     # huffman stream is rejected (no silent library fallback possible)
     with pytest.raises(ValueError, match="mask"):
         decode_zlib_doc(3, encode_zlib_doc(1, "x " * 50))  # 3%3==0 wants stored
+
+
+# --------------------------------------------------------------------------
+# r10: WARC.gz multi-member extraction
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _crc32,
+    _gzip_members,
+    _parse_warc_record,
+    decode_warc_gz,
+    encode_warc_gz,
+)
+
+
+def test_crc32_matches_canonical_check_value():
+    assert _crc32(b"123456789") == 0xCBF43926
+    assert _crc32(b"") == 0
+
+
+def test_gzip_member_walk_handles_flags_and_concatenation():
+    """Concatenated members split exactly; FNAME/FCOMMENT headers are
+    consumed; a flipped payload bit is a loud CRC error."""
+    import gzip
+    import io
+
+    a = gzip.compress(b"first", 6, mtime=0)
+    buf = io.BytesIO()
+    with gzip.GzipFile(filename="x.txt", fileobj=buf, mode="wb") as g:
+        g.write(b"second named")
+    combined = a + buf.getvalue() + gzip.compress(b"third" * 100, 0, mtime=0)
+    assert _gzip_members(combined) == [
+        b"first", b"second named", b"third" * 100,
+    ]
+    bad = bytearray(a)
+    bad[-6] ^= 0x40  # inside the deflate body / crc region
+    with pytest.raises(ValueError):
+        _gzip_members(bytes(bad))
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "text"), [(0, "hello"), (7, "a b " * 500), (123, "")]
+)
+def test_warc_roundtrip(doc_id, text):
+    import hashlib
+
+    assert decode_warc_gz(doc_id, encode_warc_gz(doc_id, text)) == (
+        2,
+        f"http://corpus.example/doc/{doc_id}",
+        len(text.encode()),
+        hashlib.sha256(text.encode()).hexdigest(),
+    )
+
+
+def test_warc_record_structure_is_enforced():
+    """Wrong record id, truncated payload, and a missing version line
+    all fail loud — the ingest tier's corrupt-input contract."""
+    p = encode_warc_gz(5, "some text")
+    with pytest.raises(ValueError, match="does not match"):
+        decode_warc_gz(6, p)
+    with pytest.raises(ValueError):
+        _parse_warc_record(b"HTTP/1.1 200 OK\r\n\r\n")
+    rec = _gzip_members(p)[1]
+    with pytest.raises(ValueError):
+        _parse_warc_record(rec[: len(rec) - 6])  # payload cut short

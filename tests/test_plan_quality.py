@@ -1234,6 +1234,7 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "multimodal_avi_mjpeg_decode",
         "multimodal_bmp_decode",
         "inflate_roundtrip",
+        "warc_gz_extract",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
