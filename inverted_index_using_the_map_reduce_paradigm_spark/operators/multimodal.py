@@ -5311,3 +5311,127 @@ def q_warc_gz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _warc_payload("doc_id", "text").alias("payload")
     )
     return payloads.mapInPandas(decode_warcs, schema=WARC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Snappy (r10): the codec under most parquet files in the wild (and
+# this engine's own default page compression) — an LZ77 family with no
+# entropy coder: a varint uncompressed-length preamble, then tagged
+# elements (2-bit tag: literal with 4 length encodings, and copies
+# with 1-, 2- or 4-byte offsets).  The ENCODER is the real snappy
+# library (via pyarrow, the same C++ codec parquet uses), so the
+# hand-rolled decoder must invert genuine production streams byte-
+# exactly; overlapping copies (offset < length, snappy's RLE idiom)
+# are the classic bug this format punishes.
+# --------------------------------------------------------------------------
+
+
+def snappy_decompress(payload: bytes) -> bytes:
+    """From-scratch raw-snappy-block decoder: varint preamble, the
+    60-63 extended literal lengths, copy-1/2/4 offsets, overlapping
+    copies, and loud failures on zero offsets, out-of-window
+    references and length mismatches."""
+    n = shift = i = 0
+    while True:
+        if i >= len(payload):
+            raise ValueError("snappy preamble truncated")
+        b = payload[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+    out = bytearray()
+    while i < len(payload):
+        tag = payload[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = (tag >> 2) + 1
+            if ln > 60:  # 61..64 -> 1..4 extra little-endian length bytes
+                nb = ln - 60
+                ln = int.from_bytes(payload[i : i + nb], "little") + 1
+                i += nb
+            if i + ln > len(payload):
+                raise ValueError("snappy literal overruns input")
+            out += payload[i : i + ln]
+            i += ln
+        else:
+            if kind == 1:  # copy, 3-bit length, 11-bit offset
+                ln = ((tag >> 2) & 7) + 4
+                off = ((tag >> 5) << 8) | payload[i]
+                i += 1
+            elif kind == 2:  # copy, 6-bit length, 2-byte offset
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(payload[i : i + 2], "little")
+                i += 2
+            else:  # copy, 4-byte offset
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(payload[i : i + 4], "little")
+                i += 4
+            if off == 0:
+                raise ValueError("snappy copy with zero offset")
+            if off > len(out):
+                raise ValueError("snappy copy before stream start")
+            for _ in range(ln):  # overlapping copies are the RLE idiom
+                out.append(out[-off])
+    if len(out) != n:
+        raise ValueError(
+            f"snappy decoded {len(out)} bytes, preamble declared {n}"
+        )
+    return bytes(out)
+
+
+def encode_snappy_doc(text: str) -> bytes:
+    """REAL snappy bytes from the production C++ codec (pyarrow)."""
+    import pyarrow as pa
+
+    return pa.compress(text.encode(), codec="snappy", asbytes=True)
+
+
+@F.pandas_udf(T.BinaryType())
+def _snappy_payload(text: pd.Series) -> pd.Series:
+    return pd.Series([encode_snappy_doc(t) for t in text])
+
+
+def decode_snappys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            data = snappy_decompress(p)
+            rows.append(
+                (doc_id, len(data), hashlib.sha256(data).hexdigest())
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "digest"])
+
+
+@register(
+    "snappy_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+""",
+    description=(
+        "hand-rolled snappy decode of real pyarrow/C++ streams: varint"
+        " preamble, 4 literal lengths, copy-1/2/4, overlapping copies"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compresses every document with the REAL snappy codec (pyarrow's
+    bundled C++ library — the same implementation under parquet page
+    compression) and decompresses with a from-scratch decoder: varint
+    preamble, all four literal-length encodings, the three copy
+    element kinds, and overlapping-copy semantics.  The oracle is
+    sha256(text) byte-exactness, so the decoder must invert genuine
+    production streams for every document.  Same narrow two-Arrow-
+    stage plan as the other codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _snappy_payload("text").alias("payload")
+    )
+    return payloads.mapInPandas(decode_snappys, schema=INFLATE_SCHEMA)

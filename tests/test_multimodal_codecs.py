@@ -1413,3 +1413,40 @@ def test_warc_record_structure_is_enforced():
     rec = _gzip_members(p)[1]
     with pytest.raises(ValueError):
         _parse_warc_record(rec[: len(rec) - 6])  # payload cut short
+
+
+# --------------------------------------------------------------------------
+# r10: snappy
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    snappy_decompress,
+)
+
+
+@given(st.binary(min_size=0, max_size=60000))
+@settings(max_examples=30, deadline=None)
+def test_snappy_inverts_real_pyarrow_streams(data):
+    import pyarrow as pa
+
+    z = pa.compress(data, codec="snappy", asbytes=True)
+    assert snappy_decompress(z) == data
+
+
+def test_snappy_overlapping_copy_and_loud_failures():
+    import pyarrow as pa
+
+    # pure RLE input: the codec emits overlapping copies (offset <
+    # length) — the idiom a memcpy-based decoder corrupts
+    data = b"z" * 5000
+    assert snappy_decompress(
+        pa.compress(data, codec="snappy", asbytes=True)
+    ) == data
+    z = bytearray(pa.compress(b"hello hello hello hello", codec="snappy", asbytes=True))
+    with pytest.raises(ValueError):
+        snappy_decompress(bytes(z[:-2]))  # truncated literal/copy
+    # declared length vs decoded length mismatch
+    z2 = bytearray(pa.compress(b"abcd", codec="snappy", asbytes=True))
+    z2[0] += 1  # bump the varint preamble
+    with pytest.raises(ValueError):
+        snappy_decompress(bytes(z2))

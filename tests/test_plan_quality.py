@@ -1235,6 +1235,7 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "multimodal_bmp_decode",
         "inflate_roundtrip",
         "warc_gz_extract",
+        "snappy_roundtrip",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
