@@ -1316,3 +1316,71 @@ def q_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT v.doc_id, f.* FROM docs_rag v, LATERAL rag_chunks(v.text) f"
     )
+
+
+# --------------------------------------------------------------------------
+# jsonl_corrupt_ingest (r10): error-tolerant raw ingestion.  Real
+# corpus feeds are JSONL with a percent-level tail of torn/truncated
+# lines, and the production posture is PERMISSIVE parsing: malformed
+# rows land in a corrupt-record column (with the raw line preserved
+# for quarantine) instead of failing the job or being silently
+# dropped.  The fixture corrupts a deterministic doc subset, so the
+# oracle predicts exactly which rows must come back null-parsed, and
+# the quarantine accounting (valid/corrupt counts, valid-only sums)
+# is driver-hash load-bearing.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_corrupt_ingest",
+    oracle="""
+SELECT lang,
+       CAST(count(*) FILTER (WHERE doc_id % 7 != 3) AS BIGINT) AS n_valid,
+       CAST(count(*) FILTER (WHERE doc_id % 7 = 3) AS BIGINT) AS n_corrupt,
+       CAST(sum(n_chars) FILTER (WHERE doc_id % 7 != 3) AS BIGINT)
+         AS chars_valid
+FROM documents GROUP BY lang
+""",
+    description=(
+        "PERMISSIVE JSONL ingest: corrupt lines quarantined into"
+        " _corrupt, per-lang valid/corrupt accounting"
+    ),
+    tags=("pipeline", "json", "ingest"),
+)
+def q_jsonl_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuilds each document as a raw JSONL line, TEARS the lines of a
+    deterministic subset (doc_id % 7 == 3 loses everything past the
+    second field — a torn write), and parses with ``from_json`` in
+    PERMISSIVE mode with ``columnNameOfCorruptRecord``: malformed rows
+    parse to null fields with the raw line captured in ``_corrupt``.
+    The aggregation counts valid vs quarantined rows per language and
+    sums an extracted field over valid rows only; the oracle knows
+    exactly which doc_ids were torn, so a parser that dropped corrupt
+    rows (DROPMALFORMED), failed the job (FAILFAST), or salvaged a
+    prefix of the torn line would each break the hash.  All JVM-side
+    Catalyst expressions — the scale shape for 100 TB of raw feed."""
+    docs = table(spark, sf_dir, "documents")
+    valid_line = F.concat(
+        F.lit('{"id":'), F.col("doc_id").cast("string"),
+        F.lit(',"lang":"'), F.col("lang"),
+        F.lit('","n":'), F.col("n_chars").cast("string"), F.lit("}"),
+    )
+    torn_line = F.concat(
+        F.lit('{"id":'), F.col("doc_id").cast("string"), F.lit(',"lang":"')
+    )
+    line = F.when(F.col("doc_id") % 7 == 3, torn_line).otherwise(valid_line)
+    parsed = docs.select(
+        "lang",
+        F.from_json(
+            line,
+            "id BIGINT, lang STRING, n BIGINT, _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.when(F.col("j._corrupt").isNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("j._corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("j._corrupt").isNull(), F.col("j.n"))).alias(
+            "chars_valid"
+        ),
+    )

@@ -1285,3 +1285,14 @@ def test_rag_chunking_udtf_is_arrow_batched_and_pruned(spark):
     assert "BatchEvalPythonUDTF" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_jsonl_corrupt_ingest_is_jvm_side_with_partial_agg(spark):
+    """PERMISSIVE from_json must stay a Catalyst expression (JsonToStructs)
+    with map-side partial aggregation — no Python eval in a raw-feed
+    ingest path — and the scan must prune to the three used columns."""
+    plan = physical_plan(spark, "jsonl_corrupt_ingest")
+    assert "from_json" in plan or "JsonToStructs" in plan.lower() or "jsontostructs" in plan.lower()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "partial_count" in plan
+    assert "text" not in plan.split("ReadSchema")[-1]
