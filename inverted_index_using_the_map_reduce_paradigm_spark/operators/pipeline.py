@@ -1384,3 +1384,79 @@ def q_jsonl_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_valid"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# udtf_budget_by_lang (r10, Spark 4): a POLYMORPHIC table-argument
+# UDTF — `f(TABLE(...) PARTITION BY lang ORDER BY (...))` — carrying
+# genuine cross-row state (a running budget) through each partition in
+# a guaranteed order.  This is the API for per-group sequential logic
+# that window functions can't express in general (the running value
+# here is windowable, which is exactly what lets DuckDB oracle it);
+# Spark plans one shuffle on the partition key + an in-partition sort,
+# then streams ordered Arrow batches through the Python generator —
+# the same topology a windowed agg would use, so it scales the same.
+# --------------------------------------------------------------------------
+
+LANG_BUDGET_CHARS = 5_000
+
+
+@register(
+    "udtf_budget_by_lang",
+    oracle=f"""
+SELECT lang, doc_id,
+       CAST(sum(n_chars) OVER w AS BIGINT) AS cum_chars,
+       sum(n_chars) OVER w <= {LANG_BUDGET_CHARS} AS kept
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+             ROWS UNBOUNDED PRECEDING)
+""",
+    description=(
+        "greedy per-lang doc selection into a char budget via a"
+        " PARTITION BY/ORDER BY table-argument Python UDTF"
+    ),
+    tags=("pipeline", "text", "udtf"),
+)
+def q_udtf_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered selection into a {LANG_BUDGET} per-language
+    character budget, implemented as a Spark 4 table-argument UDTF:
+    ``PARTITION BY lang ORDER BY (n_chars DESC, doc_id)`` hands the
+    generator each language's rows in deterministic order and the
+    instance accumulates the running total across rows — real
+    sequential state, the shape of any per-group streaming selector
+    (dedup-keep-first, quota sampling, rate caps).  The DuckDB oracle
+    expresses the same accumulation as a window cumsum, pinning both
+    the partition ordering and the state carry.  One shuffle on lang +
+    in-partition sort, Arrow-batched transfer."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(
+        returnType=(
+            "lang: string, doc_id: bigint, cum_chars: bigint,"
+            " kept: boolean"
+        )
+    )
+    class BudgetSelect:
+        def __init__(self) -> None:
+            self.cum = 0
+
+        def eval(self, row):
+            self.cum += row["n_chars"]
+            yield (
+                row["lang"],
+                row["doc_id"],
+                self.cum,
+                self.cum <= LANG_BUDGET_CHARS,
+            )
+
+    spark.udtf.register("budget_select_by_lang", BudgetSelect)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_budget")
+    return spark.sql(
+        """
+SELECT * FROM budget_select_by_lang(
+  TABLE(SELECT lang, doc_id, n_chars FROM docs_budget)
+  PARTITION BY lang ORDER BY (n_chars DESC, doc_id))
+"""
+    )

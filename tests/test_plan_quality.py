@@ -1296,3 +1296,17 @@ def test_jsonl_corrupt_ingest_is_jvm_side_with_partial_agg(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "partial_count" in plan
     assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_udtf_budget_partitions_once_and_sorts_in_partition(spark):
+    """The table-argument UDTF must plan exactly one hash exchange (the
+    PARTITION BY lang shuffle) with the ORDER BY as an in-partition
+    sort below the Arrow evaluator — the windowed-agg topology, no
+    global sort, no second exchange."""
+    plan = physical_plan(spark, "udtf_budget_by_lang")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    # the ORDER BY plans as an in-partition sort (global flag false)
+    sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert sort_lines and all("], false, 0" in ln for ln in sort_lines)
