@@ -2018,3 +2018,55 @@ SELECT root,
 FROM sub GROUP BY root
 """
     )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax (r10, Spark 4): the |> operator chain — FROM, WHERE,
+# EXTEND, AGGREGATE ... GROUP BY, post-aggregation WHERE (= HAVING),
+# ORDER BY — compiling to exactly the plan the nested-SQL form would.
+# Pipe syntax matters operationally (analysts compose pipelines top-
+# down without inside-out subquery nesting) and costs nothing: it is
+# parse-time sugar over the same logical plan, which the plan pin
+# asserts (filter pushed to the scan, partial aggregation, no extra
+# exchanges vs the classic form).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipe_sql_orders",
+    oracle="""
+SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderstatus, year(o_orderdate)
+HAVING count(*) >= 20
+""",
+    description=(
+        "SQL pipe syntax: FROM |> WHERE |> EXTEND |> AGGREGATE |>"
+        " HAVING-WHERE |> ORDER BY, same plan as nested SQL"
+    ),
+    tags=("relational", "sql", "pipe"),
+)
+def q_pipe_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax end-to-end: a five-stage |> chain
+    (row filter, computed column via EXTEND, grouped AGGREGATE,
+    post-aggregation WHERE — the pipe spelling of HAVING — and ORDER
+    BY).  The oracle is the classic nested form; values AND plan must
+    match (the pin asserts the status filter still reaches the scan
+    and partial aggregation still runs below the exchange — sugar
+    must cost zero at 100 TB)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+FROM orders_pipe
+|> WHERE o_orderstatus <> 'P'
+|> EXTEND year(o_orderdate) AS o_year
+|> AGGREGATE count(*) AS n_orders,
+            CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+   GROUP BY o_orderstatus, o_year
+|> WHERE n_orders >= 20
+|> SELECT o_orderstatus, CAST(o_year AS BIGINT) AS o_year, n_orders, revenue
+"""
+    )

@@ -1153,3 +1153,77 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_before") < TOKEN_BUDGET)
         .select("doc_id", "n_tokens", "quality", "cum_before")
     )
+
+
+# --------------------------------------------------------------------------
+# collated_word_count (r10, Spark 4): collation-aware grouping.  Real
+# corpora mix case ('The'/'THE'/'the'); pre-Spark-4 pipelines lower()
+# every string BEFORE the shuffle, which loses the original forms and
+# bakes one normalization into the data.  Spark 4 string collation
+# (COLLATE UTF8_LCASE) makes case-insensitivity a property of the
+# COMPARISON instead: grouping, joins and distinct all honor it while
+# the original bytes survive to the aggregate.  The fixture re-cases a
+# deterministic doc subset so every group really contains multiple
+# binary-distinct forms, and the oracle (DuckDB lower()-keyed) pins
+# both the grouping and the surviving min-form bytes.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "collated_word_count",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cased AS (
+  SELECT CASE WHEN doc_id % 3 = 1 THEN upper(w)
+              WHEN doc_id % 3 = 2 THEN concat(upper(w[1:1]), w[2:])
+              ELSE w END AS w
+  FROM toks
+)
+SELECT lower(w) AS key_lc,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_forms,
+       min(w) AS min_form
+FROM cased GROUP BY lower(w)
+""",
+    description=(
+        "case-insensitive word counts via COLLATE UTF8_LCASE grouping"
+        " (originals survive to the aggregate)"
+    ),
+    tags=("text", "collation"),
+)
+def q_collated_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-cases a deterministic third of the corpus to UPPER and
+    another third to Initcap, then groups tokens under the Spark 4
+    ``UTF8_LCASE`` collation: 'THE'/'The'/'the' land in one group
+    WITHOUT a pre-shuffle lower() rewrite, so the aggregate still sees
+    the original bytes (n_forms counts the binary-distinct case
+    variants that coexist in each group; min_form proves they
+    survived).  The oracle keys on lower(w) — identical grouping — so
+    a collation that under- or over-merges breaks the hash.  Plan
+    shape is an ordinary two-phase hash aggregate; collation changes
+    the comparator, not the topology."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w0")
+    )
+    cased = toks.select(
+        F.when(F.col("doc_id") % 3 == 1, F.upper("w0"))
+        .when(F.col("doc_id") % 3 == 2, F.initcap("w0"))
+        .otherwise(F.col("w0"))
+        .alias("w")
+    )
+    return (
+        cased.groupBy(F.expr("w COLLATE UTF8_LCASE").alias("wc"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("w").alias("n_forms"),
+            F.min("w").alias("min_form"),
+        )
+        .select(
+            F.lower(F.col("wc")).cast("string").alias("key_lc"),
+            "n_tokens",
+            "n_forms",
+            "min_form",
+        )
+    )

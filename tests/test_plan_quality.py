@@ -1310,3 +1310,26 @@ def test_udtf_budget_partitions_once_and_sorts_in_partition(spark):
     # the ORDER BY plans as an in-partition sort (global flag false)
     sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
     assert sort_lines and all("], false, 0" in ln for ln in sort_lines)
+
+
+def test_pipe_sql_compiles_to_the_classic_plan(spark):
+    """Pipe syntax is parse-time sugar: the |> chain must still push
+    the status filter into the scan, prune to the three used columns,
+    and run partial aggregation below one exchange — zero plan cost
+    for the ergonomic form."""
+    plan = physical_plan(spark, "pipe_sql_orders")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,P))" in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "o_comment" not in plan and "o_custkey" not in plan
+
+
+def test_collated_word_count_keeps_two_phase_agg(spark):
+    """UTF8_LCASE grouping must change the comparator, not the
+    topology: two-phase hash aggregate (map-side partials on the
+    collated key), no Python eval, pruned (doc_id, text) scan."""
+    plan = physical_plan(spark, "collated_word_count")
+    assert "partial_count" in plan
+    assert "collate" in plan.lower()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
