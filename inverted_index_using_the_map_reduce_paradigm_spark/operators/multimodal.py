@@ -5435,3 +5435,221 @@ def q_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _snappy_payload("text").alias("payload")
     )
     return payloads.mapInPandas(decode_snappys, schema=INFLATE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# LZ4 frame (r10): the third parquet codec family (snappy above,
+# DEFLATE under gzip/zlib) — LZ4 is the throughput-king LZ77 variant:
+# token nibbles with 255-continuation length extension, 2-byte match
+# offsets, and a minimum match of 4.  The FRAME format (RFC-less but
+# spec'd at lz4.github.io/lz4/lz4_Frame_format.html knowledge) wraps
+# raw blocks with a FLG/BD descriptor whose HEADER CHECKSUM byte is
+# (xxHash32 >> 8) & 0xFF — so the decoder hand-rolls xxHash32 too and
+# every real pyarrow frame exercises it.  Blocks may be stored
+# uncompressed (high bit of the size word), per-block and content
+# checksums are honored when the encoder sets them.
+# --------------------------------------------------------------------------
+
+_XXH_P1, _XXH_P2, _XXH_P3, _XXH_P4, _XXH_P5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393,
+)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxhash32(data: bytes, seed: int = 0) -> int:
+    """Hand-rolled xxHash32 (the LZ4 frame checksum)."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M32
+        v2 = (seed + _XXH_P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXH_P1) & _M32
+        while i + 16 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 4 * j : i + 4 * j + 4], "little")
+                v = (v + lane * _XXH_P2) & _M32
+                v = (_rotl32(v, 13) * _XXH_P1) & _M32
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (
+            _rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)
+        ) & _M32
+    else:
+        h = (seed + _XXH_P5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        h = (h + int.from_bytes(data[i : i + 4], "little") * _XXH_P3) & _M32
+        h = (_rotl32(h, 17) * _XXH_P4) & _M32
+        i += 4
+    while i < n:
+        h = (h + data[i] * _XXH_P5) & _M32
+        h = (_rotl32(h, 11) * _XXH_P1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXH_P2) & _M32
+    h ^= h >> 13
+    h = (h * _XXH_P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _lz4_block(data: bytes, out: bytearray) -> None:
+    """Raw LZ4 block decode appended to ``out``: token nibbles,
+    255-continuation lengths, 2-byte little-endian offsets, minmatch 4,
+    last sequence ends at the literals."""
+    i = 0
+    n = len(data)
+    while i < n:
+        token = data[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("LZ4 literals overrun block")
+        out += data[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # last sequence: literals only
+        off = int.from_bytes(data[i : i + 2], "little")
+        i += 2
+        if off == 0:
+            raise ValueError("LZ4 match offset zero")
+        if off > len(out):
+            raise ValueError("LZ4 match before stream start")
+        ml = (token & 15) + 4
+        if token & 15 == 15:
+            while True:
+                b = data[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        for _ in range(ml):  # overlapping copies are the RLE idiom
+            out.append(out[-off])
+
+
+def lz4_frame_decompress(payload: bytes) -> bytes:
+    """From-scratch LZ4 FRAME decoder: magic, FLG/BD descriptor with
+    the hand-rolled-xxHash32 header-checksum byte verified, optional
+    content-size field, block stream (high bit = stored), optional
+    per-block and content xxHash32 checksums, 0 end mark."""
+    if payload[:4] != b"\x04\x22\x4d\x18":
+        raise ValueError("bad LZ4 frame magic")
+    flg, bd = payload[4], payload[5]
+    if flg >> 6 != 1:
+        raise ValueError(f"LZ4 frame version {flg >> 6}, expected 1")
+    has_bsum = bool(flg & 0x10)
+    has_csize = bool(flg & 0x08)
+    has_csum = bool(flg & 0x04)
+    if flg & 0x01:
+        raise NotImplementedError("LZ4 dictionary frames unsupported")
+    i = 6
+    desc = payload[4:6]
+    csize = None
+    if has_csize:
+        csize = int.from_bytes(payload[i : i + 8], "little")
+        desc = payload[4:14]
+        i += 8
+    hc = payload[i]
+    i += 1
+    if (xxhash32(desc) >> 8) & 0xFF != hc:
+        raise ValueError("LZ4 frame header checksum mismatch")
+    out = bytearray()
+    while True:
+        word = int.from_bytes(payload[i : i + 4], "little")
+        i += 4
+        if word == 0:
+            break  # EndMark
+        stored = bool(word & 0x80000000)
+        bsz = word & 0x7FFFFFFF
+        block = payload[i : i + bsz]
+        if len(block) != bsz:
+            raise ValueError("LZ4 block truncated")
+        i += bsz
+        if has_bsum:
+            (bx,) = (int.from_bytes(payload[i : i + 4], "little"),)
+            i += 4
+            if xxhash32(block) != bx:
+                raise ValueError("LZ4 block checksum mismatch")
+        if stored:
+            out += block
+        else:
+            _lz4_block(block, out)
+    if has_csum:
+        cx = int.from_bytes(payload[i : i + 4], "little")
+        if xxhash32(bytes(out)) != cx:
+            raise ValueError("LZ4 content checksum mismatch")
+    if csize is not None and len(out) != csize:
+        raise ValueError(
+            f"LZ4 content size {len(out)} != declared {csize}"
+        )
+    return bytes(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def _lz4_payload(text: pd.Series) -> pd.Series:
+    import pyarrow as pa
+
+    return pd.Series(
+        [pa.compress(t.encode(), codec="lz4", asbytes=True) for t in text]
+    )
+
+
+def decode_lz4s(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            data = lz4_frame_decompress(p)
+            rows.append((doc_id, len(data), hashlib.sha256(data).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "digest"])
+
+
+@register(
+    "lz4_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+""",
+    description=(
+        "hand-rolled LZ4 frame decode of real pyarrow streams: token"
+        " nibbles, 255-continuations, xxHash32 header checksum"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_lz4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compresses every document with the REAL LZ4 frame codec
+    (pyarrow's bundled C library) and decompresses from scratch:
+    frame descriptor walk with the xxHash32 header-checksum byte
+    verified by a hand-rolled xxHash32, stored-vs-compressed block
+    dispatch, and the raw-block token grammar (nibble lengths,
+    255-continuations, 2-byte offsets, minmatch 4, overlapping
+    copies).  Completes the parquet codec trio with snappy and
+    DEFLATE.  Oracle: sha256(text) byte-exactness; same narrow
+    two-Arrow-stage plan as the codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _lz4_payload("text").alias("payload")
+    )
+    return payloads.mapInPandas(decode_lz4s, schema=INFLATE_SCHEMA)

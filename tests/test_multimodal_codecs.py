@@ -1450,3 +1450,44 @@ def test_snappy_overlapping_copy_and_loud_failures():
     z2[0] += 1  # bump the varint preamble
     with pytest.raises(ValueError):
         snappy_decompress(bytes(z2))
+
+
+# --------------------------------------------------------------------------
+# r10: LZ4 frame + xxHash32
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    lz4_frame_decompress,
+    xxhash32,
+)
+
+
+def test_xxhash32_published_vectors():
+    """The xxHash reference test vectors (seed 0 and a nonzero seed)."""
+    assert xxhash32(b"") == 0x02CC5D05
+    assert xxhash32(b"", seed=0x9E3779B1) == 0x36B78AE7
+    # >=16-byte path exercises the 4-lane stripe loop
+    assert xxhash32(b"xxhash32 is a fast non-cryptographic hash") != 0
+
+
+@given(st.binary(min_size=0, max_size=60000))
+@settings(max_examples=30, deadline=None)
+def test_lz4_inverts_real_pyarrow_frames(data):
+    import pyarrow as pa
+
+    z = pa.compress(data, codec="lz4", asbytes=True)
+    assert lz4_frame_decompress(z) == data
+
+
+def test_lz4_frame_failures_are_loud():
+    import pyarrow as pa
+
+    z = bytearray(pa.compress(b"hello hello hello hello hello", codec="lz4", asbytes=True))
+    with pytest.raises(ValueError, match="magic"):
+        lz4_frame_decompress(b"\x00" + bytes(z[1:]))
+    bad = bytearray(z)
+    bad[4] ^= 0x08  # flip a FLG bit: header checksum must catch it
+    with pytest.raises(ValueError, match="header checksum"):
+        lz4_frame_decompress(bytes(bad))
+    with pytest.raises((ValueError, IndexError)):
+        lz4_frame_decompress(bytes(z[: len(z) - 5]))  # truncated

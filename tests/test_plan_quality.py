@@ -1236,6 +1236,7 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "inflate_roundtrip",
         "warc_gz_extract",
         "snappy_roundtrip",
+        "lz4_roundtrip",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
