@@ -5653,3 +5653,75 @@ def q_lz4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _lz4_payload("text").alias("payload")
     )
     return payloads.mapInPandas(decode_lz4s, schema=INFLATE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# zstandard (r10): see functions/zstd.py — the from-scratch RFC 8878
+# decoder (FSE, Huffman literals incl. 4-stream + FSE-compressed
+# weights, predefined/RLE/FSE/repeat sequence tables, repcode history,
+# hand-rolled xxHash64).  zstd is the codec LLM training corpora ship
+# in (.jsonl.zst), so the ingest engine owns its critical path.
+# --------------------------------------------------------------------------
+
+from ..functions.zstd import zstd_decompress  # noqa: E402
+
+
+@F.pandas_udf(T.BinaryType())
+def _zstd_payload(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+    from pyarrow import Codec
+
+    # level rotation: 1 favors fixed/fast paths, 19 maximizes FSE-
+    # described tables and multi-stream Huffman — breadth per corpus
+    levels = {0: 1, 1: 3, 2: 19}
+    return pd.Series(
+        [
+            Codec("zstd", compression_level=levels[int(d) % 3]).compress(
+                t.encode(), asbytes=True
+            )
+            for d, t in zip(doc_id, text)
+        ]
+    )
+
+
+def decode_zstds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            data = zstd_decompress(p)
+            rows.append((doc_id, len(data), hashlib.sha256(data).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "digest"])
+
+
+@register(
+    "zstd_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+""",
+    description=(
+        "from-scratch RFC 8878 zstd decode of real libzstd streams:"
+        " FSE + Huffman literals + sequences/repcodes + xxHash64"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compresses every document with REAL libzstd (pyarrow's bundled
+    C library, level rotated 1/3/19 per doc) and decodes with the
+    from-scratch RFC 8878 implementation in functions/zstd.py: frame
+    header, FSE probability headers with the small-value cutoff,
+    table spread + state machines, Huffman literals (direct and
+    FSE-compressed weights, 1- and 4-stream), the four sequence-table
+    modes, repeated-offset history with the ll==0 shift, and backward
+    bitstreams throughout.  zstd is what .jsonl.zst training corpora
+    arrive in; the oracle (sha256 of the text) requires byte-exact
+    inversion of production streams for every document.  Same narrow
+    two-Arrow-stage plan as the codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _zstd_payload("doc_id", "text").alias("payload")
+    )
+    return payloads.mapInPandas(decode_zstds, schema=INFLATE_SCHEMA)

@@ -1237,6 +1237,7 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "warc_gz_extract",
         "snappy_roundtrip",
         "lz4_roundtrip",
+        "zstd_roundtrip",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
