@@ -1460,3 +1460,52 @@ SELECT * FROM budget_select_by_lang(
   PARTITION BY lang ORDER BY (n_chars DESC, doc_id))
 """
     )
+
+
+# --------------------------------------------------------------------------
+# warc_source_scan (r10, Spark 4): the custom Python DataSource —
+# `spark.read.format("warc")` over a directory of .warc.gz shards.
+# See sources/warc_source.py for the source; the registered query
+# builds the deterministic shard fixture (scaffolding), scans it
+# through the DataSource API (one InputPartition per archive), and the
+# oracle predicts every row from the documents table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "warc_source_scan",
+    oracle=f"""
+SELECT concat('shard-', doc_id % 8, '.warc.gz') AS shard,
+       doc_id,
+       concat('http://corpus.example/doc/', doc_id) AS target_uri,
+       CAST(length(text) AS BIGINT) AS payload_len,
+       sha256(text) AS payload_sha
+FROM documents
+""",
+    description=(
+        "custom Python DataSource: format('warc') scan of .warc.gz"
+        " shards, one InputPartition per archive"
+    ),
+    tags=("pipeline", "source", "ingest", "udf"),
+)
+def q_warc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registers the WARC Python DataSource and scans a sharded
+    .warc.gz fixture with `spark.read.format("warc")`: partition
+    planning yields one split per archive file (the FileScan model —
+    a 100 TB crawl is thousands of shards fanning out across
+    executors with zero coordination, enabled by WARC's
+    member-per-record gzip framing), and each split decodes through
+    the dependency-free gzip/WARC stack.  The oracle predicts every
+    (shard, doc, uri, length, sha) row from the documents table, so
+    partition planning, record parsing and doc-id recovery are all
+    driver-hash load-bearing.  The shard build is deterministic
+    driver-side scaffolding; the operator under test is the scan."""
+    import hashlib as _h
+
+    from ..sources.warc_source import WarcDataSource, build_warc_shards
+
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/spark_graft_warc_{tag}"
+    build_warc_shards(sf_dir, out_dir)
+    spark.dataSource.register(WarcDataSource)
+    return spark.read.format("warc").option("path", out_dir).load()

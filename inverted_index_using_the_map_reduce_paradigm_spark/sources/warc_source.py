@@ -1,0 +1,123 @@
+"""A custom Spark 4 Python DataSource for WARC.gz archives.
+
+`spark.read.format("warc").option("path", dir)` scans a directory of
+`.warc.gz` files (the Common Crawl layout: one gzip member per WARC
+record, concatenated) as a DataFrame.  The split model mirrors
+FileScan: ONE InputPartition PER ARCHIVE FILE, so a directory of
+thousands of shards fans out across executors with no coordination —
+the member-per-record gzip framing means a reader never needs bytes
+from another file, which is exactly why the format scales to 100 TB
+crawls.  Record parsing rides the dependency-free multi-member gzip
+walk + WARC/1.0 parser in operators/multimodal.py (hand-rolled
+inflate, CRC-32, header fields).
+
+The fixture builder (`build_warc_shards`) writes deterministic shards
+from the documents parquet — driver-side scaffolding for tests and
+oracles, not part of the operator; in production the archives already
+exist on distributed storage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark import cloudpickle
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.types import StructType
+
+# Python data sources are pickled to executors; ship by value like the
+# other UDF-bearing modules so workers need no package install.
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+WARC_SCHEMA_DDL = (
+    "shard string, doc_id bigint, target_uri string,"
+    " payload_len bigint, payload_sha string"
+)
+N_SHARDS = 8
+
+
+class WarcShardPartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc source requires .option('path', dir)")
+        self.dir = path
+
+    def partitions(self):  # one split per archive — the FileScan model
+        files = sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".warc.gz")
+        )
+        if not files:
+            raise ValueError(f"no .warc.gz files under {self.dir}")
+        return [WarcShardPartition(os.path.join(self.dir, f)) for f in files]
+
+    def read(self, partition: WarcShardPartition):
+        from ..operators.multimodal import _gzip_members, _parse_warc_record
+
+        with open(partition.path, "rb") as f:
+            payload = f.read()
+        shard = os.path.basename(partition.path)
+        for member in _gzip_members(payload):
+            headers, body = _parse_warc_record(member)
+            if headers.get("WARC-Type") != "response":
+                continue  # warcinfo and request records carry no doc
+            rid = headers["WARC-Record-ID"]
+            doc_id = int(rid.rsplit("-", 1)[1].rstrip(">"))
+            yield (
+                shard,
+                doc_id,
+                headers.get("WARC-Target-URI", ""),
+                len(body),
+                hashlib.sha256(body).hexdigest(),
+            )
+
+
+class WarcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return WARC_SCHEMA_DDL
+
+    def reader(self, schema: "StructType") -> WarcReader:
+        return WarcReader(self.options)
+
+
+def build_warc_shards(sf_dir: str, out_dir: str) -> str:
+    """Deterministic test scaffolding: shard the documents table into
+    N_SHARDS `.warc.gz` files (shard = doc_id % N_SHARDS, records in
+    doc_id order, one warcinfo + one response member per doc group,
+    mtime pinned to 0).  Idempotent: each file is written to a temp
+    name and atomically renamed."""
+    import pyarrow.parquet as pq
+
+    from ..operators.multimodal import encode_warc_gz
+
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    shards: dict[int, bytearray] = {k: bytearray() for k in range(N_SHARDS)}
+    for doc_id, text in docs:
+        shards[doc_id % N_SHARDS] += encode_warc_gz(doc_id, text)
+    for k, buf in shards.items():
+        final = os.path.join(out_dir, f"shard-{k}.warc.gz")
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(bytes(buf))
+        os.replace(tmp, final)
+    return out_dir

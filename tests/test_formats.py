@@ -210,3 +210,51 @@ def test_avro_roundtrip_or_documented_absence(spark, tmp_path):
     want = {tuple(r) for r in docs.collect()}
     got = {tuple(r) for r in back.select("doc_id", "source", "n_chars", "lang").collect()}
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# r10: the WARC Python DataSource
+# --------------------------------------------------------------------------
+
+
+def test_warc_datasource_partitions_per_archive(spark, tmp_path):
+    """The source must plan ONE InputPartition per .warc.gz shard (the
+    FileScan split model) and recover every record; a shard with a
+    corrupted member fails loud through the CRC walk."""
+    import glob
+    import os
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.warc_source import (
+        N_SHARDS,
+        WarcDataSource,
+        WarcReader,
+        build_warc_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = build_warc_shards(sf, str(tmp_path / "warc"))
+    files = sorted(glob.glob(os.path.join(out, "*.warc.gz")))
+    assert len(files) == N_SHARDS
+    reader = WarcReader({"path": out})
+    parts = reader.partitions()
+    assert len(parts) == N_SHARDS  # one split per archive
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 500  # one response record per document
+    assert all(r[1] % N_SHARDS == int(r[0].split("-")[1].split(".")[0]) for r in rows)
+
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").option("path", out).load()
+    assert df.rdd.getNumPartitions() == N_SHARDS
+    assert df.count() == 500
+
+    # corrupt one member's body: the hand-rolled CRC-32 must object
+    p0 = files[0]
+    blob = bytearray(open(p0, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    open(os.path.join(bad, "shard-0.warc.gz"), "wb").write(bytes(blob))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        list(WarcReader({"path": bad}).read(WarcReader({"path": bad}).partitions()[0]))
