@@ -416,10 +416,21 @@ _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 def zstd_decompress(payload: bytes) -> bytes:
     """Decode one zstandard frame (RFC 8878) from scratch."""
-    if payload[:4] != _ZSTD_MAGIC:
+    out, used = _decompress_frame(payload, 0)
+    if used != len(payload):
+        raise ZstdError(
+            f"trailing bytes after frame ({len(payload) - used}); "
+            "use zstd_decompress_multi for concatenated frames"
+        )
+    return out
+
+
+def _decompress_frame(payload: bytes, start: int) -> tuple[bytes, int]:
+    """One frame starting at ``start`` -> (data, bytes consumed)."""
+    if payload[start : start + 4] != _ZSTD_MAGIC:
         raise ZstdError("bad zstd frame magic")
-    fhd = payload[4]
-    i = 5
+    fhd = payload[start + 4]
+    i = start + 5
     single_segment = bool(fhd & 0x20)
     has_checksum = bool(fhd & 0x04)
     dict_flag = fhd & 0x03
@@ -475,7 +486,7 @@ def zstd_decompress(payload: bytes) -> bytes:
             raise ZstdError("content checksum (xxHash64) mismatch")
     if fcs is not None and len(out) != fcs:
         raise ZstdError(f"decoded {len(out)} bytes, frame declared {fcs}")
-    return bytes(out)
+    return bytes(out), i - start
 
 
 def _decode_literals(
@@ -618,3 +629,27 @@ def _decode_compressed_block(
             of_s = of_t.baseline[of_s] + bits.read(of_t.nb_bits[of_s])
     out += literals[lit_pos:]
     return huff
+
+
+_SKIPPABLE_LO, _SKIPPABLE_HI = 0x184D2A50, 0x184D2A5F
+
+
+def zstd_decompress_multi(payload: bytes) -> bytes:
+    """Decode a CONCATENATION of zstd frames (the `.zst` file shape:
+    `zstd --rm a b && cat a.zst b.zst` or shard-appended corpora are
+    multi-frame), skipping skippable frames (magic 0x184D2A5x, used
+    for seek tables and padding) per RFC 8878 §3.1.2."""
+    out = bytearray()
+    i = 0
+    if not payload:
+        raise ZstdError("empty zstd payload")
+    while i < len(payload):
+        magic = int.from_bytes(payload[i : i + 4], "little")
+        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+            size = int.from_bytes(payload[i + 4 : i + 8], "little")
+            i += 8 + size
+            continue
+        frame, used = _decompress_frame(payload, i)
+        out += frame
+        i += used
+    return bytes(out)

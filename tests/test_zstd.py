@@ -102,3 +102,22 @@ def test_zstd_loud_failures():
         zstd_decompress(bytes(bad))
     with pytest.raises((ZstdError, IndexError)):
         zstd_decompress(z[: len(z) // 2])
+
+
+def test_zstd_multi_frame_and_skippable():
+    """.zst files are legally CONCATENATIONS of frames, optionally with
+    skippable frames (seek tables, padding) between them; the multi
+    decoder must splice data frames and skip the 0x184D2A5x ones, and
+    the single-frame decoder must refuse trailing bytes loudly."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.functions.zstd import (
+        zstd_decompress_multi,
+    )
+
+    a, b, c = b"first " * 40, b"", b"third frame content " * 25
+    skip = (0x184D2A53).to_bytes(4, "little") + (9).to_bytes(4, "little") + b"seektable"
+    blob = _z(a) + skip + _z(b) + _z(c, level=19)
+    assert zstd_decompress_multi(blob) == a + b + c
+    with pytest.raises(ZstdError, match="trailing"):
+        zstd_decompress(_z(a) + _z(c))
+    with pytest.raises(ZstdError):
+        zstd_decompress_multi(b"")
