@@ -25,7 +25,20 @@ import sys
 from typing import TYPE_CHECKING, Iterator
 
 from pyspark import cloudpickle
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+# module-level so cloudpickle ships these by value with the reader
+# (workers import nothing package-relative at read time)
+from ..operators.multimodal import (  # noqa: E402
+    _gzip_members,
+    _parse_warc_record,
+    encode_warc_gz,
+)
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.types import StructType
@@ -62,8 +75,6 @@ class WarcReader(DataSourceReader):
         return [WarcShardPartition(os.path.join(self.dir, f)) for f in files]
 
     def read(self, partition: WarcShardPartition):
-        from ..operators.multimodal import _gzip_members, _parse_warc_record
-
         with open(partition.path, "rb") as f:
             payload = f.read()
         shard = os.path.basename(partition.path)
@@ -93,6 +104,9 @@ class WarcDataSource(DataSource):
     def reader(self, schema: "StructType") -> WarcReader:
         return WarcReader(self.options)
 
+    def streamReader(self, schema: "StructType") -> "WarcStreamReader":
+        return WarcStreamReader(self.options)
+
 
 def build_warc_shards(sf_dir: str, out_dir: str) -> str:
     """Deterministic test scaffolding: shard the documents table into
@@ -101,8 +115,6 @@ def build_warc_shards(sf_dir: str, out_dir: str) -> str:
     mtime pinned to 0).  Idempotent: each file is written to a temp
     name and atomically renamed."""
     import pyarrow.parquet as pq
-
-    from ..operators.multimodal import encode_warc_gz
 
     os.makedirs(out_dir, exist_ok=True)
     tbl = pq.read_table(
@@ -121,3 +133,46 @@ def build_warc_shards(sf_dir: str, out_dir: str) -> str:
             f.write(bytes(buf))
         os.replace(tmp, final)
     return out_dir
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Streaming form — the FileStreamSource model: the OFFSET is the
+    count of (sorted) archive files ingested so far; each micro-batch
+    plans one InputPartition per newly arrived shard, so record decode
+    runs on executors and a batch's work fans out across new files.
+    Exactly-once is offset-based: a shard is in precisely one batch's
+    [start, end) file range, and replays after failure re-plan the
+    same range from the checkpointed offset."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc stream source requires .option('path', dir)")
+        self.dir = path
+
+    def _files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".warc.gz")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n_files": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()
+        return [
+            WarcShardPartition(os.path.join(self.dir, f))
+            for f in files[start["n_files"] : end["n_files"]]
+        ]
+
+    def read(self, partition: WarcShardPartition):
+        yield from WarcReader({"path": self.dir}).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # source files are immutable; nothing to clean up
+
+    def stop(self) -> None:
+        pass

@@ -1005,3 +1005,43 @@ FROM events GROUP BY user_id
         bench=False,
         tags=("streaming", "stateful", "udf"),
     )(user_stats_tws)
+
+
+@register(
+    "stream_warc_source",
+    # one micro-batch over all shards == the batch DataSource scan
+    oracle="""
+SELECT concat('shard-', doc_id % 8, '.warc.gz') AS shard,
+       doc_id,
+       concat('http://corpus.example/doc/', doc_id) AS target_uri,
+       CAST(length(text) AS BIGINT) AS payload_len,
+       sha256(text) AS payload_sha
+FROM documents
+""",
+    description=(
+        "custom Python STREAMING DataSource: readStream.format('warc'),"
+        " file-count offsets, one partition per new shard"
+    ),
+    bench=False,
+    tags=("streaming", "source", "ingest", "udf"),
+)
+def q_stream_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of the WARC Python DataSource
+    (sources/warc_source.py): `readStream.format("warc")` with
+    file-count offsets — each micro-batch plans one InputPartition per
+    NEWLY ARRIVED shard and decodes on executors, the FileStreamSource
+    model for a crawl directory that grows forever.  Offset-range
+    planning gives exactly-once per shard (pinned by the incremental-
+    arrival test); state is one integer, not a seen-files set, because
+    shard names are append-ordered.  Single-batch contract for the
+    oracle: all shards present up front equal the batch scan."""
+    import hashlib as _h
+
+    from ..sources.warc_source import WarcDataSource, build_warc_shards
+
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/spark_graft_warc_{tag}"
+    build_warc_shards(sf_dir, out_dir)
+    spark.dataSource.register(WarcDataSource)
+    stream = spark.readStream.format("warc").option("path", out_dir).load()
+    return _run_to_memory(stream, "append")

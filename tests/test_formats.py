@@ -258,3 +258,45 @@ def test_warc_datasource_partitions_per_archive(spark, tmp_path):
 
     with _pytest.raises(Exception):
         list(WarcReader({"path": bad}).read(WarcReader({"path": bad}).partitions()[0]))
+
+
+def test_warc_stream_source_is_exactly_once_across_arrivals(spark, tmp_path):
+    """The streaming WARC source must ingest each shard exactly once as
+    files arrive: 3 shards in batch 1, the remaining 5 in batch 2, no
+    replays, and the union equals the batch scan."""
+    import glob
+    import os
+    import shutil
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.warc_source import (
+        WarcDataSource,
+        build_warc_shards,
+    )
+
+    staged = build_warc_shards("/root/testdata/sf0.001", str(tmp_path / "staged"))
+    src = tmp_path / "arriving"
+    src.mkdir()
+    files = sorted(glob.glob(os.path.join(staged, "*.warc.gz")))
+    for f in files[:3]:
+        shutil.copy(f, src)
+    spark.dataSource.register(WarcDataSource)
+    stream = spark.readStream.format("warc").option("path", str(src)).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_arrivals")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.table("warc_arrivals").count()
+        for f in files[3:]:
+            shutil.copy(f, src)
+        q.processAllAvailable()
+        rows = spark.table("warc_arrivals").collect()
+        batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert n1 < 500 and len(rows) == 500
+    assert sum(batches) == 500 and len(batches) == 2
+    assert len({r.doc_id for r in rows}) == 500  # no shard replayed
