@@ -29,7 +29,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 # module-level so cloudpickle ships these by value with the reader
@@ -107,6 +109,9 @@ class WarcDataSource(DataSource):
     def streamReader(self, schema: "StructType") -> "WarcStreamReader":
         return WarcStreamReader(self.options)
 
+    def streamWriter(self, schema: "StructType", overwrite: bool):
+        return WarcStreamWriter(self.options)
+
 
 def build_warc_shards(sf_dir: str, out_dir: str) -> str:
     """Deterministic test scaffolding: shard the documents table into
@@ -176,3 +181,61 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+class WarcCommitMessage(WriterCommitMessage):
+    def __init__(self, files: list[str]) -> None:
+        self.files = files
+
+
+class WarcStreamWriter(DataSourceStreamWriter):
+    """Streaming WARC sink: each task writes its partition's documents
+    as one `.warc.gz` shard named `part-<pid>-<min_doc_id>.warc.gz`
+    (content-derived, so a replayed task atomically re-renames over
+    ITS OWN shard — idempotent under retries), and `commit` records
+    the batch's shard list in a `_manifest-<batchId>` marker, the
+    two-phase layout that keeps partial batches invisible to readers
+    that honor manifests.  Input schema: (doc_id bigint, text
+    string)."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc sink requires .option('path', dir)")
+        self.dir = path
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator: "Iterator") -> WarcCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        buf = bytearray()
+        n = 0
+        min_doc = None
+        for row in iterator:
+            buf += encode_warc_gz(row.doc_id, row.text)
+            n += 1
+            if min_doc is None or row.doc_id < min_doc:
+                min_doc = row.doc_id
+        if n == 0:
+            return WarcCommitMessage([])
+        name = f"part-{pid}-{min_doc}.warc.gz"
+        final = os.path.join(self.dir, name)
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(bytes(buf))
+        os.replace(tmp, final)
+        return WarcCommitMessage([name])
+
+    def commit(self, messages, batchId=None) -> None:
+        files = sorted(f for m in messages if m for f in m.files)
+        bid = batchId if batchId is not None else "x"
+        marker = os.path.join(self.dir, f"_manifest-{bid}")
+        tmp = marker + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("\n".join(files))
+        os.replace(tmp, marker)
+
+    def abort(self, messages, batchId=None) -> None:
+        pass  # un-manifested shards are invisible to manifest readers

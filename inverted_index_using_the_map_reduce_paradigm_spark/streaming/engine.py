@@ -1045,3 +1045,70 @@ def q_stream_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(WarcDataSource)
     stream = spark.readStream.format("warc").option("path", out_dir).load()
     return _run_to_memory(stream, "append")
+
+
+@register(
+    "stream_warc_sink_roundtrip",
+    oracle="""
+SELECT doc_id,
+       concat('http://corpus.example/doc/', doc_id) AS target_uri,
+       CAST(length(text) AS BIGINT) AS payload_len,
+       sha256(text) AS payload_sha
+FROM documents
+""",
+    description=(
+        "custom Python STREAMING SINK: writeStream.format('warc') ->"
+        " manifest-committed shards -> batch reader recovers all docs"
+    ),
+    bench=False,
+    tags=("streaming", "sink", "ingest", "udf"),
+)
+def q_stream_warc_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WRITE half of the WARC Python DataSource: streams the
+    documents table into `writeStream.format("warc")` — each task
+    emits one content-named `.warc.gz` shard via atomic rename
+    (idempotent under task retries) and `commit` manifests the batch —
+    then reads the sink directory back with the batch reader.  The
+    oracle predicts every recovered (doc, uri, length, sha) row from
+    the source table, so the encoder, the two-phase commit layout and
+    the reader all sit in one driver hash.  Uses a per-call scratch
+    dir; production would point at distributed storage."""
+    import shutil
+    import tempfile
+
+    from ..sources.warc_source import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    out = tempfile.mkdtemp(prefix="warc_sink_")
+    ck = tempfile.mkdtemp(prefix="warc_sink_ck_")
+    try:
+        docs = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("pathGlobFilter", _DOCS_GLOB)
+            .parquet(sf_dir)
+            .select("doc_id", "text")
+        )
+        q = (
+            docs.writeStream.format("warc")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = (
+            spark.read.format("warc")
+            .option("path", out)
+            .load()
+            .select("doc_id", "target_uri", "payload_len", "payload_sha")
+        )
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

@@ -300,3 +300,53 @@ def test_warc_stream_source_is_exactly_once_across_arrivals(spark, tmp_path):
     assert n1 < 500 and len(rows) == 500
     assert sum(batches) == 500 and len(batches) == 2
     assert len({r.doc_id for r in rows}) == 500  # no shard replayed
+
+
+def test_warc_stream_writer_roundtrips_through_the_reader(spark, tmp_path):
+    """writeStream.format('warc') must produce shards + a per-batch
+    manifest that the batch reader recovers byte-exactly: every doc_id
+    once, payload hashes matching sha256(text)."""
+    import hashlib
+    import os
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.warc_source import (
+        WarcDataSource,
+    )
+
+    spark.dataSource.register(WarcDataSource)
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.001")
+        .select("doc_id", "text")
+    )
+    q = (
+        docs.writeStream.format("warc")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    files = sorted(os.listdir(out))
+    shards = [f for f in files if f.endswith(".warc.gz")]
+    manifests = [f for f in files if f.startswith("_manifest-")]
+    assert shards and manifests == ["_manifest-0"]
+    # the manifest lists exactly the committed shards
+    listed = sorted(open(os.path.join(out, "_manifest-0")).read().split())
+    assert listed == shards
+    back = spark.read.format("warc").option("path", out).load().collect()
+    assert len(back) == 500
+    src = {
+        r.doc_id: r.text
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in back:
+        assert r.payload_sha == hashlib.sha256(src[r.doc_id].encode()).hexdigest()
