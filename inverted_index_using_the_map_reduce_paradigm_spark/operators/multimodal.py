@@ -5725,3 +5725,110 @@ def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _zstd_payload("doc_id", "text").alias("payload")
     )
     return payloads.mapInPandas(decode_zstds, schema=INFLATE_SCHEMA)
+
+
+def decode_avi_sampled(
+    doc_id: int, payload: bytes, stride: int
+) -> tuple[int, int, int, int]:
+    """(n_frames_total, n_decoded, luma_sum_sampled, checksum_sampled)
+    decoding ONLY every ``stride``-th frame: the container walk indexes
+    all '00dc' chunks (cheap — header arithmetic, no entropy work) and
+    runs the JPEG pipeline just on the sampled ones.  This is the
+    standard shape for video at corpus scale: frame extraction cost is
+    proportional to the SAMPLE, not the footage, because the container
+    addresses frames without decoding them."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+    for cid, off, ln in _riff_chunks(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue
+        if payload[off : off + 4] == b"movi":
+            for c2, o2, l2 in _riff_chunks(payload, off + 4, off + ln):
+                if c2[2:] == b"dc":
+                    frames.append(payload[o2 : o2 + l2])
+    luma = checksum = 0
+    n_dec = 0
+    for f in range(0, len(frames), stride):
+        _w, _h, _mean, _mx, fsum = decode_jpeg(frames[f])
+        luma += fsum
+        checksum += (f + 1) * fsum
+        n_dec += 1
+    return len(frames), n_dec, luma, checksum
+
+
+AVI_SAMPLE_STRIDE = 2
+AVI_SAMPLED_SCHEMA = (
+    "doc_id long, n_frames long, n_decoded long, luma_sum_sampled long,"
+    " checksum_sampled long"
+)
+
+
+def decode_avis_sampled(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_avi_sampled(doc_id, p, AVI_SAMPLE_STRIDE))
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "n_decoded", "luma_sum_sampled",
+                "checksum_sampled",
+            ],
+        )
+
+
+@register(
+    "video_frame_sample_decode",
+    # frames f = 0, 2, 4, ... only — the oracle sums over the SAMPLED
+    # subset, so decoding extra frames (or the wrong ones) breaks the
+    # hash just as surely as decoding none
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 6 + 2 AS nf, (n_chars % 8 + 1) * 8 AS w,
+         doc_id % 6 + 1 AS hb
+  FROM documents
+), fr AS (
+  SELECT doc_id, nf, w, hb, unnest(generate_series(0, nf - 1, 2)) AS f
+  FROM dims
+), rows_ AS (
+  SELECT doc_id, nf, w, hb, f, unnest(generate_series(0, hb - 1)) AS r
+  FROM fr
+), px AS (
+  SELECT doc_id, nf, w, hb, f,
+         (doc_id + 186 * (f + 1) + r) % 256 AS v
+  FROM rows_
+)
+SELECT doc_id,
+       CAST(any_value(nf) AS BIGINT) AS n_frames,
+       CAST((any_value(nf) + 1) // 2 AS BIGINT) AS n_decoded,
+       CAST(sum(v * w * 8) AS BIGINT) AS luma_sum_sampled,
+       CAST(sum((f + 1) * v * w * 8) AS BIGINT) AS checksum_sampled
+FROM px GROUP BY doc_id
+""",
+    description=(
+        "sampled video decode: index all AVI frames, entropy-decode"
+        " only every 2nd — cost tracks the sample, not the footage"
+    ),
+    tags=("multimodal", "udf", "codec", "video"),
+)
+def q_video_frame_sample_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The practical 100 TB video-ingest shape: the container walk
+    indexes every frame (header arithmetic only), then the JPEG
+    pipeline runs on every 2nd frame — extraction cost proportional to
+    the SAMPLE rather than the footage, which is why frame-sampled
+    featurization of petabyte video is tractable at all.  The oracle
+    sums per-frame stats over exactly the sampled subset (f = 0, 2,
+    ...), so decoding the wrong frames, all frames, or skipping the
+    index count each break the hash.  Same narrow two-Arrow-stage plan
+    as the codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _avi_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_avis_sampled, schema=AVI_SAMPLED_SCHEMA)

@@ -1491,3 +1491,43 @@ def test_lz4_frame_failures_are_loud():
         lz4_frame_decompress(bytes(bad))
     with pytest.raises((ValueError, IndexError)):
         lz4_frame_decompress(bytes(z[: len(z) - 5]))  # truncated
+
+
+def test_avi_sampled_decode_touches_only_sampled_frames():
+    """The sampled walk must index every frame but entropy-decode only
+    f = 0, 2, ...: corrupting an UNSAMPLED frame's entropy data must
+    not affect the result (proof decode never ran on it), while
+    corrupting a sampled frame fails loud."""
+    import struct
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (
+        decode_avi_sampled,
+    )
+
+    doc_id, n_chars = 7, 3  # nf = 3 % 6 + 2 = 5 frames: samples 0, 2, 4
+    p = bytearray(encode_avi_mjpeg(doc_id, n_chars))
+    base = decode_avi_sampled(doc_id, bytes(p), 2)
+    assert base[0] == 5 and base[1] == 3
+    # locate the five 00dc chunks
+    offs = []
+    i = 0
+    while True:
+        i = p.find(b"00dc", i)
+        if i < 0 or len(offs) == 5:
+            break
+        offs.append(i)
+        (ln,) = struct.unpack("<I", p[i + 4 : i + 8])
+        i += 8 + ln
+    assert len(offs) == 5
+    # frame 1 is unsampled: flip a byte in the middle of its scan data
+    (l1,) = struct.unpack("<I", p[offs[1] + 4 : offs[1] + 8])
+    p[offs[1] + 8 + l1 // 2] ^= 0xFF
+    assert decode_avi_sampled(doc_id, bytes(p), 2) == base
+    # frame 2 IS sampled: the same corruption must change or break it
+    (l2,) = struct.unpack("<I", p[offs[2] + 4 : offs[2] + 8])
+    p[offs[2] + 8 + l2 // 2] ^= 0xFF
+    try:
+        got = decode_avi_sampled(doc_id, bytes(p), 2)
+        assert got != base
+    except (ValueError, KeyError, IndexError):
+        pass  # a broken Huffman stream failing loud is equally correct

@@ -1238,6 +1238,7 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "snappy_roundtrip",
         "lz4_roundtrip",
         "zstd_roundtrip",
+        "video_frame_sample_decode",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
