@@ -5832,3 +5832,322 @@ def q_video_frame_sample_decode(
         "doc_id", _avi_payload("doc_id", "n_chars").alias("payload")
     )
     return payloads.mapInPandas(decode_avis_sampled, schema=AVI_SAMPLED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# TIFF (r10): the scientific/scan format — and the OTHER LZW dialect.
+# TIFF-LZW differs from GIF-LZW in exactly the ways that corrupt a
+# decoder that assumes one spec: codes pack MSB-FIRST (GIF: LSB), the
+# alphabet is the full byte range (clear=256/eoi=257, initial width
+# 9), and the code width grows ONE CODE EARLY ("early change", TIFF6
+# spec as implemented by libtiff).  The container brings its own bug
+# surface: II and MM byte orders (the fixture emits BOTH, keyed by doc
+# parity), the IFD tag walk with inline-vs-pointed values, and
+# multi-strip layout — strips compress independently, which is what
+# makes strip-parallel decode of a huge scan archive possible.
+# --------------------------------------------------------------------------
+
+_TIFF_ROWS_PER_STRIP = 4
+
+
+def _lzw_tiff_compress(data: bytes) -> bytes:
+    """TIFF-dialect LZW: 256-symbol alphabet, clear=256, eoi=257,
+    MSB-first bit packing, EARLY code-width change (width grows when
+    next_code == 2^width - 1, one code before GIF would)."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = n_acc = 0
+    out = bytearray()
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, n_acc
+        acc = (acc << w) | code
+        n_acc += w
+        while n_acc >= 8:
+            n_acc -= 8
+            out.append((acc >> n_acc) & 0xFF)
+
+    emit(256, width)
+    buf = b""
+    for b in data:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4094:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1  # EARLY change
+        else:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], width)
+    emit(257, width)
+    if n_acc:
+        out.append((acc << (8 - n_acc)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_tiff_decompress(data: bytes) -> bytes:
+    """The decoder half: MSB-first reads, early width change mirrored
+    one insert ahead of the GIF rule, KwKwK handling, clear resets."""
+    acc = n_acc = pos = 0
+
+    def read(w: int) -> int:
+        nonlocal acc, n_acc, pos
+        while n_acc < w:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated before EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            n_acc += 8
+        n_acc -= w
+        code = (acc >> n_acc) & ((1 << w) - 1)
+        return code
+
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == 257:
+            return bytes(out)
+        if code == 256:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4094:
+            table.append(prev + entry[:1])
+            # the decoder's inserts lag the encoder's by one code, so
+            # its early change fires at 2^w - 2 where the encoder's
+            # fires at 2^w - 1 — the same lag compensation as GIF's,
+            # shifted one code earlier by the TIFF dialect
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_tiff(doc_id: int, n_chars: int) -> bytes:
+    """A real LZW-compressed grayscale TIFF, byte order by doc parity
+    (even -> II little-endian, odd -> MM big-endian): header, one IFD
+    with the 8 baseline tags, multi-strip layout (4 rows/strip, each
+    strip independently LZW'd), strip offset/count arrays stored
+    out-of-line when longer than one IFD value slot.  Pixel (x, y) is
+    ``(doc_id + 3x + 5y) % 256``."""
+    import struct
+
+    bo = "<" if doc_id % 2 == 0 else ">"
+    w = n_chars % 40 + 4
+    h = doc_id % 28 + 3
+    strips = []
+    for y0 in range(0, h, _TIFF_ROWS_PER_STRIP):
+        rows = bytearray()
+        for y in range(y0, min(y0 + _TIFF_ROWS_PER_STRIP, h)):
+            rows.extend((doc_id + 3 * x + 5 * y) % 256 for x in range(w))
+        strips.append(_lzw_tiff_compress(bytes(rows)))
+    n = len(strips)
+
+    def tag(tid: int, typ: int, cnt: int, val: int) -> bytes:
+        # SHORT values sit in the high-order-correct half of the slot
+        if typ == 3 and cnt == 1:
+            return struct.pack(f"{bo}HHI", tid, typ, cnt) + struct.pack(
+                f"{bo}HH", val, 0
+            )
+        return struct.pack(f"{bo}HHII", tid, typ, cnt, val)
+
+    # layout: header(8) + IFD + out-of-line arrays + strip data
+    n_tags = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    arrays_at = 8 + ifd_size
+    if n == 1:
+        offsets_at = counts_at = 0
+        data_at = arrays_at
+    else:
+        offsets_at = arrays_at
+        counts_at = arrays_at + 4 * n
+        data_at = counts_at + 4 * n
+    strip_offsets = []
+    pos = data_at
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    ifd = struct.pack(f"{bo}H", n_tags)
+    ifd += tag(256, 3, 1, w)  # ImageWidth
+    ifd += tag(257, 3, 1, h)  # ImageLength
+    ifd += tag(258, 3, 1, 8)  # BitsPerSample
+    ifd += tag(259, 3, 1, 5)  # Compression = LZW
+    ifd += tag(262, 3, 1, 1)  # Photometric = BlackIsZero
+    ifd += tag(
+        273, 4, n, strip_offsets[0] if n == 1 else offsets_at
+    )  # StripOffsets
+    ifd += tag(278, 3, 1, _TIFF_ROWS_PER_STRIP)  # RowsPerStrip
+    ifd += tag(
+        279, 4, n, len(strips[0]) if n == 1 else counts_at
+    )  # StripByteCounts
+    ifd += struct.pack(f"{bo}I", 0)  # next IFD: none
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(f"{bo}HI", 42, 8)
+    out += ifd
+    if n > 1:
+        for off in strip_offsets:
+            out += struct.pack(f"{bo}I", off)
+        for s in strips:
+            out += struct.pack(f"{bo}I", len(s))
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """(width, height, n_strips, big_endian, pixel_sum, checksum) via
+    the real walk: byte-order dispatch, magic 42, IFD tag parse with
+    inline-vs-pointed LONG arrays, per-strip TIFF-LZW decode, raster
+    reassembly in strip order.  checksum = sum((1 + x + 7y) * v), so a
+    strip-order or row-order slip breaks the hash."""
+    import struct
+
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload (no II/MM byte order)")
+    magic, ifd_at = struct.unpack(f"{bo}HI", payload[2:8])
+    if magic != 42:
+        raise ValueError(f"TIFF magic {magic}, expected 42")
+    (n_tags,) = struct.unpack(f"{bo}H", payload[ifd_at : ifd_at + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for k in range(n_tags):
+        e = ifd_at + 2 + 12 * k
+        tid, typ, cnt = struct.unpack(f"{bo}HHI", payload[e : e + 8])
+        tags[tid] = (typ, cnt, payload[e + 8 : e + 12])
+
+    def short_or_long(tid: int) -> int:
+        typ, cnt, raw = tags[tid]
+        if typ == 3:
+            return struct.unpack(f"{bo}HH", raw)[0]
+        return struct.unpack(f"{bo}I", raw)[0]
+
+    def long_array(tid: int) -> list[int]:
+        typ, cnt, raw = tags[tid]
+        if cnt == 1:
+            return [struct.unpack(f"{bo}I", raw)[0]]
+        (at,) = struct.unpack(f"{bo}I", raw)
+        return list(
+            struct.unpack(f"{bo}{cnt}I", payload[at : at + 4 * cnt])
+        )
+
+    if short_or_long(259) != 5:
+        raise NotImplementedError("only LZW-compressed TIFF")
+    w, h = short_or_long(256), short_or_long(257)
+    rps = short_or_long(278)
+    offs, lens = long_array(273), long_array(279)
+    if len(offs) != len(lens):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    raster = bytearray()
+    for off, ln in zip(offs, lens):
+        raster += _lzw_tiff_decompress(payload[off : off + ln])
+    if len(raster) != w * h:
+        raise ValueError(f"decoded {len(raster)} pixels, want {w * h}")
+    a = np.frombuffer(bytes(raster), dtype=np.uint8).astype(np.int64)
+    a = a.reshape(h, w)
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    if rps <= 0 or (h + rps - 1) // rps != len(offs):
+        raise ValueError("strip count inconsistent with RowsPerStrip")
+    return (
+        int(w),
+        int(h),
+        len(offs),
+        int(payload[:2] == b"MM"),
+        int(a.sum()),
+        int(((1 + xs + 7 * ys) * a).sum()),
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _tiff_payload(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    return pd.Series(
+        [encode_tiff(int(d), int(n)) for d, n in zip(doc_id, n_chars)]
+    )
+
+
+TIFF_SCHEMA = (
+    "doc_id long, width long, height long, n_strips long,"
+    " big_endian long, pixel_sum long, checksum long"
+)
+
+
+def decode_tiffs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (doc_id, *decode_tiff(p))
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_strips", "big_endian",
+                "pixel_sum", "checksum",
+            ],
+        )
+
+
+@register(
+    "multimodal_tiff_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, n_chars % 40 + 4 AS w, doc_id % 28 + 3 AS h FROM documents
+), ps AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM dims
+), px AS (
+  SELECT doc_id, w, h, p % w AS x, p // w AS y FROM ps
+)
+SELECT doc_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       CAST((any_value(h) + 3) // 4 AS BIGINT) AS n_strips,
+       CAST(doc_id % 2 AS BIGINT) AS big_endian,
+       CAST(sum((doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS pixel_sum,
+       CAST(sum((1 + x + 7 * y) * ((doc_id + 3 * x + 5 * y) % 256))
+            AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""",
+    description=(
+        "REAL TIFF decode: dual-endian IFD walk + multi-strip TIFF-LZW"
+        " (MSB-first, early change) — the OTHER LZW dialect"
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def q_multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through a real LZW TIFF, byte order
+    alternating II/MM by doc parity so endian handling is hashed, the
+    raster split into independently compressed 4-row strips (the
+    structure that makes strip-parallel decode of scan archives
+    possible), and the compression being the TIFF LZW DIALECT —
+    MSB-first packing and the early code-width change, both opposite
+    to the GIF decoder elsewhere in this file, so the two dialects pin
+    each other.  The oracle recomputes dimensions, strip count,
+    endianness and the position-weighted raster checksum in closed
+    form.  Same narrow two-Arrow-stage plan as the codec tiers."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _tiff_payload("doc_id", "n_chars").alias("payload")
+    )
+    return payloads.mapInPandas(decode_tiffs, schema=TIFF_SCHEMA)

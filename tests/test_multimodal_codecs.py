@@ -1531,3 +1531,65 @@ def test_avi_sampled_decode_touches_only_sampled_frames():
         assert got != base
     except (ValueError, KeyError, IndexError):
         pass  # a broken Huffman stream failing loud is equally correct
+
+
+# --------------------------------------------------------------------------
+# r10: TIFF (dual-endian IFD + the TIFF LZW dialect)
+# --------------------------------------------------------------------------
+
+from inverted_index_using_the_map_reduce_paradigm_spark.operators.multimodal import (  # noqa: E402
+    _lzw_tiff_compress,
+    _lzw_tiff_decompress,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+@given(st.binary(min_size=0, max_size=12000))
+@settings(max_examples=30, deadline=None)
+def test_tiff_lzw_roundtrip_through_early_change_boundaries(data):
+    """Streams long enough to cross the 511/1023/2047 early-change
+    boundaries (and, at max size, the 4094 clear reset) must roundtrip
+    — the decoder's lag-compensated growth at 2^w - 2 is load-bearing."""
+    assert _lzw_tiff_decompress(_lzw_tiff_compress(data)) == data
+
+
+def test_tiff_lzw_differs_from_gif_lzw():
+    """The two dialects must NOT cross-decode: TIFF packs MSB-first
+    over a byte alphabet, GIF LSB-first over 4-bit symbols — a decoder
+    that conflates them corrupts everything past the first code."""
+    data = bytes([1, 2, 3, 1, 2, 3, 1, 2, 3])
+    t = _lzw_tiff_compress(data)
+    g = _lzw_compress(list(data), 4)
+    assert t != g
+    with pytest.raises(ValueError):
+        # GIF bytes through the TIFF decoder: desyncs into a bad code
+        # (or truncation) rather than silently "working"
+        out = _lzw_tiff_decompress(g)
+        assert out != data  # pragma: no cover - either path is a pass
+        raise ValueError("decoded but wrong")
+
+
+@pytest.mark.parametrize(
+    ("doc_id", "n_chars"), [(0, 0), (1, 3), (5, 70), (123, 255), (998, 799)]
+)
+def test_tiff_roundtrip_both_endians(doc_id, n_chars):
+    w = n_chars % 40 + 4
+    h = doc_id % 28 + 3
+    pts = [(x, y) for y in range(h) for x in range(w)]
+    got = decode_tiff(encode_tiff(doc_id, n_chars))
+    assert got == (
+        w, h, (h + 3) // 4, doc_id % 2,
+        sum((doc_id + 3 * x + 5 * y) % 256 for x, y in pts),
+        sum((1 + x + 7 * y) * ((doc_id + 3 * x + 5 * y) % 256) for x, y in pts),
+    )
+
+
+def test_tiff_loud_failures():
+    p = encode_tiff(5, 70)
+    with pytest.raises(ValueError, match="byte order"):
+        decode_tiff(b"XX" + p[2:])
+    bad = bytearray(p)
+    bad[2] ^= 1  # magic 42 -> 43
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff(bytes(bad))

@@ -1239,6 +1239,7 @@ def test_codec_decode_queries_have_no_semantic_shuffle(spark):
         "lz4_roundtrip",
         "zstd_roundtrip",
         "video_frame_sample_decode",
+        "multimodal_tiff_decode",
     ):
         plan = physical_plan(spark, name)
         for line in plan.splitlines():
