@@ -1711,11 +1711,18 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20's nested IN-subquery chain as a semi-join pipeline: the
     part-name filter joins into lineitem unhinted (part is SF-linear;
     shipped quantity stands in for ps_availqty), the HAVING aggregate
-    shrinks the fact table to qualifying suppkeys, and THAT
-    aggregate-bounded set broadcast-semi-joins into the
-    region-filtered supplier table (the one allowlisted hint — see
-    test_plan_quality.py's gate).  Zero fact-side shuffles beyond the
-    one suppkey aggregation."""
+    shrinks the fact table to qualifying suppkeys, and that set
+    semi-joins into the region-filtered supplier table UNHINTED: the
+    aggregate is keyed by l_suppkey — supplier cardinality, SF-linear
+    (~1 B keys at 100 TB-equivalent), and the qty>40/red-parts/2-year
+    predicates cut only a constant fraction — so pinning it to
+    broadcast at compile time is exactly the scale failure the
+    plan-quality gate exists to catch.  AQE's runtime size check
+    promotes the join to broadcast at fixture scale on its own
+    (pinned in test_plan_quality.py), while the 1000-executor plan
+    falls back to a shuffled semi join on s_suppkey.  Only the
+    constant-cardinality africa dim (nation x region, <=25 rows at
+    every SF) keeps a compile-time hint."""
     red_parts = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("red%"))
@@ -1745,7 +1752,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "supplier")
         .join(F.broadcast(africa), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(qualified), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
 

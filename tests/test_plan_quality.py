@@ -259,17 +259,25 @@ def test_tpch_q8_part_filter_prunes_before_fact_shuffle(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_tpch_q20_semi_join_chain_stays_broadcast(spark):
-    """Q20: the qualified-supplier set (post-HAVING) is tiny and must
-    broadcast into supplier as a semi join — no shuffle of the dim."""
+def test_tpch_q20_semi_join_unhinted_aqe_promotes_at_runtime(spark):
+    """Q20 r11: the qualifying-supplier set is keyed by l_suppkey —
+    supplier cardinality, SF-linear — so it must carry NO compile-time
+    broadcast hint (only the <=25-row africa dim may hint).  At
+    fixture scale AQE's runtime size check promotes the semi join to
+    broadcast on its own; pin that on the FINAL adaptive plan so the
+    executed strategy is identical to the previously-hinted one while
+    the 100 TB plan stays survivable."""
     from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
     from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
 
     df = load_all()["tpch_q20"].fn(spark, SF)
+    assert audit.broadcast_hint_count(df) == 1  # africa only
+    assert audit.broadcast_hint_violations(df) == []
     plan = audit.physical_plan(df)
-    assert "BroadcastHashJoin" in plan
-    assert "LeftSemi" in plan
     assert "PushedFilters: [IsNotNull(p_name), StringStartsWith(p_name,red)" in plan
+    final = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
+    semi_lines = [ln for ln in final.splitlines() if "LeftSemi" in ln]
+    assert semi_lines and all("BroadcastHashJoin" in ln for ln in semi_lines), final[:2000]
 
 
 def test_tpch_q11_total_reuses_the_per_part_exchange(spark):
@@ -872,14 +880,7 @@ def test_no_query_broadcasts_an_unbounded_fact_side(spark):
     and OOM every executor at 100 TB; the decision must be left to
     AQE's runtime size check instead.  New exceptions require an entry
     here with a written justification the judge can review."""
-    allow = {
-        # Q20's qualifying-supplier set is a HAVING-filtered aggregate
-        # keyed by suppkey: dim-key cardinality cut further by the
-        # selective qty>40 + red-parts + 2-year predicates — the
-        # standard broadcast-semi-join plan for this query (judge-
-        # audited r5 as "the plan you'd want").
-        "tpch_q20": 1,
-    }
+    allow = {}  # r11: tpch_q20 de-hinted; the gate now has ZERO exceptions
     bad = {}
     for name, q in load_all().items():
         violations = audit.broadcast_hint_violations(q.fn(spark, SF))
