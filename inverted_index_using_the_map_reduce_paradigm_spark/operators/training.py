@@ -819,6 +819,117 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# bpe_encode — apply a fixed merge table to the corpus
+# --------------------------------------------------------------------------
+
+# The merge table is the FIXED artifact a production encode job takes as
+# input (training produced it earlier — see q_bpe_vocab); hard-coding a
+# valid learned-order table (each side is a char or an earlier merge's
+# token) is what makes the query oracle-able: bpe_vocab itself has
+# data-dependent control flow, but encoding against a given table is a
+# pure per-word function both engines can express.
+BPE_ENCODE_TABLE: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"),
+)
+BPE_ENCODE_TOPK = 100
+
+
+def bpe_fold_merge(arr: F.Column, left: str, right: str) -> F.Column:
+    """One full left-to-right non-overlapping merge pass of (left,
+    right) -> left+right over a token array, as a pure Catalyst fold
+    (same kernel the bpe_vocab trainer uses per iteration)."""
+    tok = left + right
+    return F.aggregate(
+        arr,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(tok))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _duck_bpe_tokens() -> str:
+    """DuckDB expression computing the same sequential merge folds over
+    ``word``: each pass is a ``list_reduce`` whose accumulator is the
+    '|'-joined encoded prefix (tokens are [a-z]+, so '|' never collides
+    and LIKE needs no escaping), re-split between passes."""
+    toks = "string_split(word, '')"
+    for left, right in BPE_ENCODE_TABLE:
+        fold = (
+            f"list_reduce({toks}, (acc, x) -> CASE WHEN "
+            f"(acc = '{left}' OR acc LIKE '%|{left}') AND x = '{right}' "
+            f"THEN substr(acc, 1, length(acc) - {len(left)}) || '{left + right}' "
+            f"ELSE acc || '|' || x END)"
+        )
+        toks = f"string_split({fold}, '|')"
+    return toks
+
+
+@register(
+    "bpe_encode",
+    oracle=f"""
+WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest({sql_tokens('text')}) AS word FROM documents)
+  GROUP BY word
+), enc AS (
+  SELECT freq, unnest({_duck_bpe_tokens()}) AS token FROM wf
+)
+SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM enc GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {BPE_ENCODE_TOPK}
+""",
+    description=f"corpus encoded with a fixed {len(BPE_ENCODE_TABLE)}-merge BPE table: top-{BPE_ENCODE_TOPK} token occurrence counts",
+    tags=("training", "text", "tokenizer"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE *apply* — the missing half of ``bpe_vocab``: tokenize the
+    corpus into subword units using a learned merge table, the job an
+    LLM pipeline runs over all data every time it re-tokenizes.
+
+    Merges are applied SEQUENTIALLY in rank order, each as one full
+    left-to-right non-overlapping pass.  For a table learned in BPE
+    training order this equals the canonical min-rank-pair-first
+    algorithm (tests/test_training_ops.py proves it against a Python
+    reference on the live vocab): merges only ever CREATE longer
+    tokens, and merge k's sides predate rank k, so completing pass k
+    can never re-open an opportunity for a pass j < k.
+
+    100 TB shape: the corpus is touched ONCE (the word-frequency
+    aggregation); every fold runs on the Zipf-bounded DISTINCT-word
+    table, so encode cost is vocabulary-sized, not corpus-sized, and
+    the whole chain is Catalyst expressions — zero Python, zero extra
+    shuffles (one word agg, one token agg, TakeOrdered).  The
+    12-literal table compiles into the plan; a production-sized 50k
+    table would swap the fold chain for an Arrow-batched pandas UDF
+    over the same vocab-sized input with the merge-rank dict in the
+    task closure — the input stays the distinct-word table either way.
+    """
+    docs = table(spark, sf_dir, "documents")
+    wf = (
+        tokenize_documents(docs)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    enc = F.filter(F.split("word", ""), lambda c: c != "")
+    for left, right in BPE_ENCODE_TABLE:
+        enc = bpe_fold_merge(enc, left, right)
+    return (
+        wf.select("freq", F.explode(enc).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(BPE_ENCODE_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
 # skipgram_pairs — position-window co-occurrence counts
 # --------------------------------------------------------------------------
 

@@ -1033,6 +1033,25 @@ def test_token_budget_select_one_corpus_shuffle_three_level_prefix_sum(spark):
     assert "partial_sum(n_tokens" in plan or "partial_sum(cast(n_tokens" in plan, plan
 
 
+def test_bpe_encode_is_vocab_sized_pure_expression(spark):
+    """bpe_encode must scan the corpus once, run every merge fold on
+    the vocabulary-sized distinct-word table as pure Catalyst
+    expressions (zero Python eval nodes), and finish with a
+    TakeOrderedAndProject — never a global sort."""
+    df = load_all()["bpe_encode"].fn(spark, SF)
+    plan = audit.physical_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert audit.python_eval_count(plan) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # two aggregation exchanges only: word freq + token counts
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().lstrip("+-: *").startswith("Exchange")
+    )
+    assert n_exchanges <= 3, plan  # word agg + token agg (+ fixture round-robin)
+
+
 def test_heavy_hitters_cms_sketch_shuffle_is_sketch_sized(spark):
     """heavy_hitters_cms's sketch build must collapse to <= depth*width
     rows per task BEFORE its exchange (partial aggregate below the

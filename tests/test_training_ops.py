@@ -152,6 +152,60 @@ def test_bpe_vocab_merges_contract_the_symbol_stream(spark):
         total = new_total
 
 
+def test_bpe_encode_equals_canonical_min_rank_bpe(spark):
+    """q_bpe_encode applies merges sequentially (one full pass per
+    rank); the canonical tokenizer algorithm instead repeatedly merges
+    the LOWEST-RANK pair present anywhere.  For a learned-order table
+    the two are equivalent — prove it on the live sf0.001 vocabulary
+    by re-encoding every distinct word with the canonical algorithm in
+    plain Python and comparing the weighted token counts."""
+    from collections import Counter
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.functions.text import (
+        tokenize_documents,
+    )
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.training import (
+        BPE_ENCODE_TABLE,
+        BPE_ENCODE_TOPK,
+    )
+
+    rank = {pair: i for i, pair in enumerate(BPE_ENCODE_TABLE)}
+
+    def canonical(word: str) -> list[str]:
+        seq = list(word)
+        while True:
+            best, best_i = None, None
+            for i in range(len(seq) - 1):
+                r = rank.get((seq[i], seq[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                return seq
+            seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+
+    wf = (
+        tokenize_documents(table(spark, SF, "documents"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    counts: Counter[str] = Counter()
+    for r in wf:
+        for tok in canonical(r.word):
+            counts[tok] += r.freq
+    want = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:BPE_ENCODE_TOPK]
+    got = [
+        (r.token, r.n_occurrences)
+        for r in load_all()["bpe_encode"].fn(spark, SF).collect()
+    ]
+    assert got == want
+    # and the table really exercises multi-level merges on this corpus
+    assert any("|" not in t and len(t) >= 3 for t, _ in got)
+
+
 def test_bpe_vocab_is_deterministic(spark):
     a = [tuple(r) for r in load_all()["bpe_vocab"].fn(spark, SF).collect()]
     b = [tuple(r) for r in load_all()["bpe_vocab"].fn(spark, SF).collect()]
