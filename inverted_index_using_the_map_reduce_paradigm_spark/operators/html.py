@@ -1,0 +1,239 @@
+"""HTML -> main-text extraction: the Common Crawl step between WARC
+ingest and quality filtering.
+
+The reference (``/root/reference/main.c++``) never sees markup — its
+inputs are plain text files — so this is a north-star extension: the
+real pipeline the WARC tier feeds (``warc_source_scan`` /
+``warc_gz_extract``) hands over *HTML payloads*, and the step every
+web-scale corpus build runs next is tag stripping + boilerplate
+removal + entity decoding before any tokenizer or quality gate.
+
+Spark-first shape: the whole extractor is a chain of ``regexp_replace``
+Catalyst expressions — JVM-side, whole-stage-codegen'd, zero Python,
+zero shuffles (a pure narrow map over the scan).  At 100 TB the cost
+is exactly one pass over the payload bytes per executor core, the
+same scaling as the scan itself.
+
+Correctness model: the fixture wraps each document's text in a
+deterministic HTML template (escaped body + entity-bearing literals +
+script/style/nav/header/aside/footer traps), so the DuckDB oracle can
+predict the extracted text in CLOSED FORM from the documents table —
+any slip in block removal, tag stripping, entity decode order, or
+whitespace collapse breaks the value hash.
+
+Limitations (documented, not load-bearing for the fixture): block
+removal is non-nesting (a <nav> inside a <nav> ends at the first
+close tag) and comments/CDATA are stripped as tags; a production
+extractor would add a stack pass via the same mapInPandas slot the
+codec tier uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import table
+from ..registry import register
+
+# Link-dense / chrome blocks a main-text heuristic drops wholesale.
+BOILERPLATE_TAGS = ("nav", "header", "aside", "footer")
+
+# The entity-bearing literal the fixture plants inside the article so
+# the decode chain is load-bearing for the oracle hash.
+_ENTITY_SENTENCE_HTML = (
+    "Tom &amp; Jerry wrote &lt;html&gt; &quot;literally&quot;"
+    "&nbsp;&#39;here&#39;."
+)
+_ENTITY_SENTENCE_TEXT = "Tom & Jerry wrote <html> \"literally\" 'here'."
+
+
+def html_escape(col: Column) -> Column:
+    """Minimal body escaping for the fixture template (& first)."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def html_wrap(doc_id: Column, text: Column) -> Column:
+    """Deterministic page template: title + style/script traps (the
+    script body contains a bare ``<`` so stripping order matters),
+    chrome blocks around one <article> carrying the escaped text and
+    the entity sentence."""
+    return F.concat(
+        F.lit("<html><head><title>Doc "), doc_id, F.lit("</title>"),
+        F.lit("<style>p { margin: 0; }</style>"),
+        F.lit('<script>if (1 < 2) { emit("x"); }</script>'),
+        F.lit("</head><body>"),
+        F.lit('<nav><a href="/">home</a> <a href="/docs">docs</a></nav>'),
+        F.lit("<header><h1>corpus.example</h1></header>"),
+        F.lit('<article data-doc="'), doc_id, F.lit('"><h2>Doc '),
+        doc_id, F.lit("</h2><p>"), html_escape(text), F.lit("</p><p>"),
+        F.lit(_ENTITY_SENTENCE_HTML), F.lit("</p></article>"),
+        F.lit('<aside>related: <a href="/d/0">zero</a></aside>'),
+        F.lit("<footer>&copy; 2026 corpus.example</footer>"),
+        F.lit("</body></html>"),
+    )
+
+
+def html_title(col: Column) -> Column:
+    """First <title> body (pre-strip, case-insensitive)."""
+    return F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+
+
+def html_main_text(col: Column) -> Column:
+    """Tag-soup HTML -> collapsed main text, all Catalyst expressions:
+
+    1. drop <script>/<style> WITH their content (their bodies may
+       contain bare ``<`` / tag-like strings, so this runs first);
+    2. drop the whole <head> block — title/meta/link are metadata,
+       never main text (``<head\\b`` does not match ``<header``);
+    3. drop boilerplate chrome blocks (nav/header/aside/footer) with
+       content — the link-density heuristic's tag-level form;
+    4. strip every remaining tag to a space;
+    5. decode the common entities, ``&amp;`` LAST (the standard
+       inverse of escape-& -first);
+    6. collapse whitespace runs and trim.
+    """
+    out = F.regexp_replace(
+        col, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+    )
+    out = F.regexp_replace(out, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
+    out = F.regexp_replace(
+        out,
+        r"(?is)<(" + "|".join(BOILERPLATE_TAGS) + r")\b[^>]*>.*?</\1\s*>",
+        " ",
+    )
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&copy;", "(c)"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"[ \t\r\n]+", " "))
+
+
+# Closed-form DuckDB prediction of the extracted main text.
+_DUCK_MAIN_TEXT = (
+    "trim(regexp_replace("
+    "'Doc ' || doc_id || ' ' || text || ' Tom & Jerry wrote <html> "
+    "\"literally\" ''here''.', '[ \\t\\r\\n]+', ' ', 'g'))"
+)
+
+
+@register(
+    "html_extract",
+    oracle=f"""
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       {_DUCK_MAIN_TEXT} AS main_text
+FROM documents
+""",
+    description=(
+        "HTML main-text extraction: script/style + chrome-block removal,"
+        " tag strip, entity decode — pure Catalyst expressions"
+    ),
+    tags=("pipeline", "ingest", "text", "html"),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap every document in the deterministic page template, then
+    invert it with the expression-chain extractor.  The oracle predicts
+    title and main text in closed form, so every stage of the chain is
+    value-hash load-bearing.  Plan: one scan, one narrow Project —
+    zero shuffles, zero Python (pinned in test_plan_quality.py)."""
+    docs = table(spark, sf_dir, "documents")
+    html = html_wrap(F.col("doc_id"), F.col("text")).alias("html")
+    return docs.select("doc_id", html).select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        html_main_text(F.col("html")).alias("main_text"),
+    )
+
+
+# Quality floor for the pipeline gate: collapsed-main-text word count.
+HTML_MIN_WORDS = 30
+
+
+@register(
+    "warc_html_pipeline",
+    oracle=f"""
+WITH ext AS (
+  SELECT doc_id, lang, {_DUCK_MAIN_TEXT} AS main_text FROM documents
+), toks AS (
+  SELECT lang, len(string_split(main_text, ' ')) AS n_words FROM ext
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words
+FROM toks
+WHERE n_words >= {HTML_MIN_WORDS}
+GROUP BY lang
+""",
+    description=(
+        "WARC -> html_extract -> quality gate: the Common Crawl ingest"
+        " chain end to end (real WARC.gz payloads, expression extractor)"
+    ),
+    tags=("pipeline", "ingest", "udf", "html"),
+)
+def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest chain a web-corpus build actually runs: each document
+    is wrapped as an HTML page, shipped inside a REAL two-record
+    WARC.gz (same encoder as ``warc_gz_extract`` — that query pins the
+    container math; this one pins what comes AFTER), decoded back on
+    executors, put through ``html_main_text``, and gated on a minimum
+    word count before a per-language rollup.
+
+    100 TB shape: encode is fixture scaffolding; the measured path is
+    decode (Arrow-batched mapInPandas, embarrassingly parallel per
+    payload) -> extraction (JVM expression chain, same narrow map) ->
+    one partial-aggregated shuffle on the 31-language key.  The gate
+    runs BEFORE the shuffle, so rejected docs never leave their
+    partition."""
+    import pandas as pd
+
+    from .multimodal import (
+        _gzip_members,
+        _parse_warc_record,
+        _warc_payload,
+    )
+
+    def decode_bodies(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, lang, payload in zip(
+                pdf["doc_id"], pdf["lang"], pdf["payload"]
+            ):
+                members = _gzip_members(payload)
+                records = [_parse_warc_record(m) for m in members]
+                types = [h["WARC-Type"] for h, _ in records]
+                if types != ["warcinfo", "response"]:
+                    raise ValueError(f"unexpected record sequence {types}")
+                rows.append((doc_id, lang, records[1][1].decode()))
+            yield pd.DataFrame(rows, columns=["doc_id", "lang", "html"])
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        "lang",
+        _warc_payload(
+            "doc_id", html_wrap(F.col("doc_id"), F.col("text"))
+        ).alias("payload"),
+    )
+    pages = payloads.mapInPandas(
+        decode_bodies, schema="doc_id long, lang string, html string"
+    )
+    ext = pages.select(
+        "lang", html_main_text(F.col("html")).alias("main_text")
+    )
+    return (
+        ext.select(
+            "lang", F.size(F.split("main_text", " ")).alias("n_words")
+        )
+        .filter(F.col("n_words") >= HTML_MIN_WORDS)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+        )
+    )

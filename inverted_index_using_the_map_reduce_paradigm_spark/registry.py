@@ -145,6 +145,7 @@ def load_all() -> dict[str, Query]:
             dedup,
             training,
             census,
+            html,
         )
         from .streaming import engine  # noqa: F401
 

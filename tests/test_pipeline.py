@@ -219,3 +219,47 @@ def test_rag_chunk_rows_overlap_and_tail():
     assert RAG_WINDOW - RAG_STRIDE == 10
     # a short doc yields exactly one whole-doc chunk
     assert list(_rag_chunk_rows("a b c")) == [(0, 0, 3, "a", "c")]
+
+
+# --------------------------------------------------------------------------
+# r11: html_extract's expression-chain extractor
+# --------------------------------------------------------------------------
+
+
+def test_html_main_text_edge_cases(spark):
+    """The extractor must survive tag soup the fixture template doesn't
+    exercise: uppercase tags, attributes on chrome blocks, a script
+    body containing both '<' and a fake closing-ish string, entity
+    decode order (&amp;lt; must NOT double-decode), and <header> not
+    being eaten by the <head> rule."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.html import (
+        html_main_text,
+        html_title,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (html, expected_main_text)
+        ("<HTML><HEAD><TITLE>T</TITLE></HEAD><BODY><P>hi</P></BODY></HTML>",
+         "hi"),
+        ('<body><nav class="top x">a b c</nav>keep</body>', "keep"),
+        ("<script>if (1 < 2) { x = \"</div>\"; }</script>after", "after"),
+        ("<style>p>span { color: red }</style>body", "body"),
+        # &amp;lt; decodes to the literal string "&lt;", never to "<"
+        ("<p>&amp;lt;</p>", "&lt;"),
+        ("<p>a&nbsp;b</p>", "a b"),
+        # <header> removed as chrome even though <head> rule ran first
+        ("<header><h1>x</h1></header>text", "text"),
+        # whitespace collapse across tags and newlines
+        ("<div>a</div>\n\t<div>b</div>", "a b"),
+        ("plain text no tags", "plain text no tags"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["html"])
+    got = [
+        r.t for r in df.select(html_main_text(F.col("html")).alias("t")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    tdf = spark.createDataFrame(
+        [("<html><head><title> My Title </title></head></html>",)], ["html"]
+    )
+    assert tdf.select(html_title(F.col("html")).alias("t")).first().t == " My Title "

@@ -1033,6 +1033,46 @@ def test_token_budget_select_one_corpus_shuffle_three_level_prefix_sum(spark):
     assert "partial_sum(n_tokens" in plan or "partial_sum(cast(n_tokens" in plan, plan
 
 
+def test_html_extract_is_a_pure_narrow_map(spark):
+    """html_extract must be one scan + one narrow Project: zero
+    exchanges, zero Python eval nodes — the extractor is the JVM
+    expression chain, so at 100 TB it costs exactly one pass per
+    executor core, the same scaling as the scan."""
+    df = load_all()["html_extract"].fn(spark, SF)
+    plan = audit.physical_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert audit.python_eval_count(plan) == 0, plan
+    # no data-movement exchange beyond the fixture's round-robin fanout
+    assert not any(
+        "Exchange" in ln and "RoundRobinPartitioning" not in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert "Join" not in plan, plan
+    # only doc_id and text leave the parquet scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_warc_html_pipeline_gates_before_the_shuffle(spark):
+    """The WARC->html->quality chain must keep decode narrow (the two
+    Arrow stages of the codec tier), run the word-count gate BEFORE
+    the language rollup's exchange (rejected docs never shuffle), and
+    partial-aggregate map-side."""
+    df = load_all()["warc_html_pipeline"].fn(spark, SF)
+    plan = audit.physical_plan(df)
+    assert "Join" not in plan, plan
+    hash_x = [
+        i
+        for i, ln in enumerate(plan.splitlines())
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert len(hash_x) == 1, plan  # the lang rollup only
+    assert "partial_count" in plan, plan
+    # the word-count gate sits BELOW the rollup exchange
+    assert any(
+        "Filter" in ln for ln in plan.splitlines()[hash_x[0] :]
+    ), plan
+
+
 def test_bpe_encode_is_vocab_sized_pure_expression(spark):
     """bpe_encode must scan the corpus once, run every merge fold on
     the vocabulary-sized distinct-word table as pure Catalyst
