@@ -823,6 +823,17 @@ def q_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # surface the committed micro-batch count the same way
+    # _run_to_memory does, so the forced-split tests can assert this
+    # sink REALLY crossed >= 3 trigger boundaries (the checkpoint's
+    # commits dir holds one numbered file per committed batch)
+    global _LAST_FED_BATCHES
+    commits_dir = os.path.join(ckpt, "commits")
+    _LAST_FED_BATCHES = (
+        len([f for f in os.listdir(commits_dir) if f.isdigit()])
+        if os.path.isdir(commits_dir)
+        else 0
+    )
     return spark.read.parquet(store)
 
 

@@ -49,6 +49,16 @@ SCALE_FLOOR_VARIANTS = {"ivf", "ivfpq", "ivfpq_stored"}
 # the x1024/x1024p rungs gate only against catastrophic regressions.
 PERTURBED_FLOOR = 0.8
 
+# Planted-neighbor rungs (scripts/planted_ann.py, r11): the rung that
+# made recall at 1-2 M vectors FALSIFIABLE again after the copy-based
+# ladder saturated (SCALE.md §15).  No duplicates anywhere; the exact
+# top-k per query is a mix of planted neighbors (cos 0.35-0.60) and
+# the Gaussian background order-statistic tail (~0.6 at n=2M), so the
+# quantizer's probe breadth is what recall measures.  Measured r11 at
+# p2000000: rp 0.780, ivf/ivfpq/ivfpq_stored 0.940 — floor set
+# measured-minus-margin.
+PLANTED_FLOOR = 0.8
+
 
 def floor_for(d: str, variant: str) -> float | None:
     m = re.search(r"x(\d+)(p?)$", d.rstrip("/"))
@@ -56,6 +66,9 @@ def floor_for(d: str, variant: str) -> float | None:
         if variant not in SCALE_FLOOR_VARIANTS:
             return None
         return PERTURBED_FLOOR if m.group(2) else SCALE_FLOOR
+    m = re.search(r"planted_ann/p(\d+)$", d.rstrip("/"))
+    if m and int(m.group(1)) >= 1_000_000:
+        return PLANTED_FLOOR if variant in SCALE_FLOOR_VARIANTS else None
     if "testdata/sf" in d:
         return FIXTURE_FLOOR if variant in SCALE_FLOOR_VARIANTS else None
     return None

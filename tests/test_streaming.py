@@ -212,17 +212,16 @@ def test_multi_batch_window_agg_with_late_data(spark, tmp_path):
     assert rows == {(0, "a"): 2}
 
 
-def test_stream_upsert_store_equals_batch_dedup(spark):
+def test_stream_upsert_store_equals_batch_dedup(spark, tmp_path):
     """The foreachBatch upsert store must converge to the batch dedup
     keepers (hash -> min doc_id) — and stay correct when the input is
-    force-split into MANY micro-batches (each batch anti-joins the
-    store, so the contract does not lean on single-trigger delivery)."""
-    import os
-    import tempfile
-    import uuid
-
-    from pyspark.sql import functions as F
-
+    force-split into 4 micro-batches via the shared harness (each
+    batch anti-joins the store, so the contract does not lean on
+    single-trigger delivery).  The r11 hardening: assert the sink's
+    committed-batch count (from its own checkpoint) really crossed
+    >= 3 trigger boundaries, so a regression in the glob/mtime split
+    mechanics can't silently turn this back into a single-batch
+    test."""
     qs = load_all()
     batch = as_set(
         qs["exact_dedup"].fn(spark, SF).select("content_hash", "keeper_doc_id")
@@ -234,47 +233,14 @@ def test_stream_upsert_store_equals_batch_dedup(spark):
     )
     assert stream == batch
 
-    # multi-batch: split the fixture into 4 doc_id-ordered files named
-    # documents<i>.parquet (the stream's glob) with ascending mtimes so
-    # the file source feeds them one per trigger, oldest first
-    import glob as globmod
-    import shutil
-
-    src = os.path.join(tempfile.gettempdir(), f"upsert_multi_{uuid.uuid4().hex[:8]}")
-    os.makedirs(src)
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    quarter = docs.agg(F.max("doc_id")).first()[0] // 4 + 1
-    for i in range(4):
-        tmp = os.path.join(src, f"_tmp{i}")
-        (
-            docs.filter(
-                (F.col("doc_id") >= i * quarter)
-                & (F.col("doc_id") < (i + 1) * quarter)
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = globmod.glob(f"{tmp}/part-*.parquet")[0]
-        dest = os.path.join(src, f"documents{i}.parquet")
-        shutil.copy(part, dest)
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
-        shutil.rmtree(tmp)
-    from inverted_index_using_the_map_reduce_paradigm_spark.streaming import engine
-
-    orig = (engine._SINGLE_BATCH_FILES, engine._DOCS_GLOB)
-    # one file per trigger; widen the exact-filename production glob so
-    # the split documents<i>.parquet files are visible
-    engine._SINGLE_BATCH_FILES = 1
-    engine._DOCS_GLOB = "documents*.parquet"
-    try:
+    src = _split_fixture(spark, tmp_path, "documents", "doc_id")
+    with _force_multi_batch():
         multi = as_set(
             qs["stream_upsert_store"].fn(spark, src).select(
                 "content_hash", "keeper_doc_id"
             )
         )
-    finally:
-        engine._SINGLE_BATCH_FILES, engine._DOCS_GLOB = orig
+        assert _engine._LAST_FED_BATCHES >= 3
     # same hash set; keepers may differ only if a duplicate's lower
     # doc_id arrived in a later file — impossible under doc_id-ordered
     # range split, so full equality holds
