@@ -250,9 +250,49 @@ def requalify(names: list[str]) -> int:
     return 0
 
 
+# Quiet-start wait (r11, VERDICT item 9): the driver's per-round bench
+# keeps launching into external load (BENCH_r09/r10 conditions arrays
+# read load1 13-26 throughout), printing inflated outliers the next
+# judge must re-explain.  Before a FULL run, wait up to this long for
+# the 1-minute loadavg to drop below the threshold — a bounded wait, so
+# a permanently busy host still benches (with its conditions recorded)
+# rather than hanging the driver.
+QUIET_LOAD1 = 4.0
+QUIET_WAIT_MAX_SEC = 300
+QUIET_POLL_SEC = 15
+
+
+def _wait_for_quiet_start() -> None:
+    waited = 0
+    while waited < QUIET_WAIT_MAX_SEC:
+        load1 = os.getloadavg()[0]
+        if load1 < QUIET_LOAD1:
+            if waited:
+                print(
+                    f"bench: host quiet after {waited}s (load1 {load1:.2f})",
+                    file=sys.stderr,
+                )
+            return
+        print(
+            f"bench: waiting for quiet start (load1 {load1:.2f} >= "
+            f"{QUIET_LOAD1}, {waited}/{QUIET_WAIT_MAX_SEC}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(QUIET_POLL_SEC)
+        waited += QUIET_POLL_SEC
+    print(
+        f"bench: proceeding on a loaded host after {QUIET_WAIT_MAX_SEC}s "
+        "wait — conditions are recorded per query",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--requalify":
         raise SystemExit(requalify(sys.argv[2:]))
+    if len(sys.argv) == 1:  # full run only; partial runs are local iteration
+        _wait_for_quiet_start()
     spark = get_spark("repo_spark_bench")
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else -1.0
