@@ -16,6 +16,7 @@ store, shuffle on (window, key) — is already what these build.
 
 from __future__ import annotations
 
+import os
 import sys
 import uuid
 from collections.abc import Iterator
@@ -926,31 +927,103 @@ def q_stream_dedup_within_watermark(
 
 
 # --------------------------------------------------------------------------
-# transformWithStateInPandas (r10, Spark 4): the successor API to
-# applyInPandasWithState — named state variables (value/list/map) on a
-# RocksDB store, per-key timers, and state TTL.  Its Python worker
-# speaks a protobuf side-channel to the JVM state server, and this
-# sandbox has no ``google.protobuf`` (and no network to install it),
-# so the operator is PROBE-GATED exactly like spark-avro in
-# sources/formats.py: the processor and query builder below are real
-# and unit-tested (the processor's logic runs against a fake state
-# handle), the registry row appears only where the runtime can
-# actually execute it, and tests skip with the probe's message
-# otherwise.  On a deployment with protobuf installed everything here
-# works unchanged.
+# transformWithStateInPandas (r10, Spark 4; LIVE since r11): the
+# successor API to applyInPandasWithState — named state variables
+# (value/list/map) on a RocksDB store, per-key timers, and state TTL.
+# Its Python worker speaks a protobuf side-channel to the JVM state
+# server; this sandbox has no ``google.protobuf`` (and no network to
+# install it), so the engine vendors a minimal pure-Python protobuf
+# runtime (_vendor/protoshim) that is wire-correct for exactly the
+# StateMessage.proto feature subset and activates it only when the
+# real runtime is absent.  The registration stays PROBE-GATED — the
+# probe round-trips a real pb2 message through whichever runtime is
+# active — so on a deployment with genuine protobuf everything here
+# runs unchanged and the shim never loads.
 # --------------------------------------------------------------------------
+
+
+_PROTOSHIM_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_vendor",
+    "protoshim",
+)
+
+
+def _protoshim_in_use() -> bool:
+    """True when google.protobuf resolves to the vendored shim (the
+    real runtime is absent)."""
+    try:
+        import google.protobuf as gp
+
+        return (getattr(gp, "__file__", "") or "").startswith(_PROTOSHIM_DIR)
+    except ImportError:
+        return False
 
 
 def transform_with_state_available() -> bool:
     """True iff the transformWithStateInPandas Python runtime can
-    start: it imports google.protobuf at worker init (the state-server
-    wire protocol), which is absent in this sandbox."""
+    start.  It imports google.protobuf at worker init (the state-server
+    wire protocol); this sandbox has neither the package nor network to
+    install it, so the engine vendors a MINIMAL pure-Python protobuf
+    runtime (_vendor/protoshim — wire-correct for exactly the
+    StateMessage.proto feature subset) and activates it only when the
+    real runtime is absent.  The probe is behavioral, not an import
+    check: it builds the generated pb2 module's messages through the
+    active runtime and round-trips a request, so a shim that imports
+    but mis-encodes would still gate the registration off."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-
-        return True
     except ImportError:
+        if _PROTOSHIM_DIR not in sys.path:
+            sys.path.insert(0, _PROTOSHIM_DIR)
+        # future JVM launches inherit this env, so locally-forked
+        # Python workers see the shim even without addPyFile
+        pp = os.environ.get("PYTHONPATH", "")
+        if _PROTOSHIM_DIR not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                _PROTOSHIM_DIR + (os.pathsep + pp if pp else "")
+            )
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+        msg = sm.StateRequest(
+            statefulProcessorCall=sm.StatefulProcessorCall(
+                setHandleState=sm.SetHandleState(state=sm.CREATED)
+            )
+        )
+        back = sm.StateRequest()
+        back.ParseFromString(msg.SerializeToString())
+        return (
+            back.WhichOneof("method") == "statefulProcessorCall"
+            and back.statefulProcessorCall.setHandleState.state == sm.CREATED
+        )
+    except Exception:
         return False
+
+
+def _ship_protoshim(spark: SparkSession) -> None:
+    """When the shim is the active protobuf runtime, make it reachable
+    from every spawned Python worker: ``sc.environment['PYTHONPATH']``
+    is copied into each Python function's envVars at definition time,
+    which covers BOTH the transformWithState driver worker (launched
+    directly by StreamingPythonRunner — SparkFiles/addPyFile do NOT
+    reach it) and the executor-side workers, even on an already-running
+    JVM (verified empirically; the env-var-at-JVM-launch route also
+    works but requires the probe to run before the session exists)."""
+    if not _protoshim_in_use():
+        return
+    env = spark.sparkContext.environment
+    # the presence check must be against sc.environment ITSELF — the
+    # probe already put the shim on os.environ's PYTHONPATH, which the
+    # running JVM never saw, so falling back to os.environ here would
+    # skip the one place that actually reaches the workers
+    pp = env.get("PYTHONPATH", "")
+    if _PROTOSHIM_DIR not in pp.split(os.pathsep):
+        base = pp or os.environ.get("PYTHONPATH", "")
+        parts = [
+            p for p in base.split(os.pathsep) if p and p != _PROTOSHIM_DIR
+        ]
+        env["PYTHONPATH"] = os.pathsep.join([_PROTOSHIM_DIR] + parts)
 
 
 class UserStatsProcessor:
@@ -986,6 +1059,7 @@ def user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transformWithStateInPandas twin of ``stream_user_stats``:
     same per-user running stats, same oracle, but named-state API on
     the RocksDB provider (required by transformWithState)."""
+    _ship_protoshim(spark)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
