@@ -23,7 +23,7 @@ whitespace collapse breaks the value hash.
 
 Limitations (documented, not load-bearing for the fixture): block
 removal is non-nesting (a <nav> inside a <nav> ends at the first
-close tag) and comments/CDATA are stripped as tags; a production
+close tag) and CDATA is stripped as tags; a production
 extractor would add a stack pass via the same mapInPandas slot the
 codec tier uses.
 """
@@ -84,6 +84,8 @@ def html_title(col: Column) -> Column:
 def html_main_text(col: Column) -> Column:
     """Tag-soup HTML -> collapsed main text, all Catalyst expressions:
 
+    0. drop comments (``<!-- -->`` may span lines and contain ``>``,
+       so a naive tag strip would leave their tails behind);
     1. drop <script>/<style> WITH their content (their bodies may
        contain bare ``<`` / tag-like strings, so this runs first);
     2. drop the whole <head> block — title/meta/link are metadata,
@@ -95,8 +97,9 @@ def html_main_text(col: Column) -> Column:
        inverse of escape-& -first);
     6. collapse whitespace runs and trim.
     """
+    out = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
     out = F.regexp_replace(
-        col, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+        out, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
     )
     out = F.regexp_replace(out, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
     out = F.regexp_replace(

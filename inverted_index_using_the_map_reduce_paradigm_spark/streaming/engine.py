@@ -1092,6 +1092,100 @@ FROM events GROUP BY user_id
     )(user_stats_tws)
 
 
+class EventTypeStatsProcessor:
+    """Per-user MapState (event_type -> running count/sum) plus a
+    ListState batch log — exercises the FULL named-state protocol the
+    ValueState twin doesn't touch: map updateValue/getValue/
+    containsKey, the paginated map-pair ITERATOR (the state server
+    streams kvPair pages with requireNextFetch), and list append/get.
+    Emissions re-emit the user's whole map each time the user appears,
+    the update-mode contract for map-shaped state."""
+
+    def init(self, handle) -> None:
+        self.counts = handle.getMapState(
+            "etype_counts", "event_type STRING", "n LONG, total DOUBLE"
+        )
+        self.batches = handle.getListState("batch_log", "n LONG")
+
+    def handleInputRows(self, key, rows, timer_values):
+        agg: dict[str, list] = {}
+        n_rows = 0
+        for pdf in rows:
+            n_rows += len(pdf)
+            for et, grp in pdf.groupby("event_type"):
+                a = agg.setdefault(str(et), [0, 0.0])
+                a[0] += len(grp)
+                a[1] += float(grp["value"].sum())
+        for et, (n, tot) in agg.items():
+            prev = (
+                self.counts.getValue((et,))
+                if self.counts.containsKey((et,))
+                else (0, 0.0)
+            )
+            self.counts.updateValue((et,), (prev[0] + n, prev[1] + tot))
+        self.batches.appendValue((n_rows,))
+        n_batches = sum(1 for _ in self.batches.get())
+        out = [
+            (key[0], k[0], v[0], round(v[1], 2) + 0.0, n_batches)
+            for k, v in self.counts.iterator()
+        ]
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_type", "n_events", "sum_value", "n_batches"
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+ETYPE_OUT_SCHEMA = (
+    "user_id LONG, event_type STRING, n_events LONG,"
+    " sum_value DOUBLE, n_batches LONG"
+)
+
+
+def event_type_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas over MapState + ListState: per-user
+    per-event-type running (count, sum) with a per-user batch log.
+    Single-batch contract for the oracle (n_batches pinned to 1); the
+    state protocol itself is multi-batch by construction."""
+    _ship_protoshim(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = _event_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    stats = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EventTypeStatsProcessor(),
+        outputStructType=ETYPE_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_to_memory(stats, "update")
+
+
+if transform_with_state_available():  # pragma: no cover - gated like the twin
+    register(
+        "stream_event_type_stats_tws",
+        oracle="""
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value,
+       CAST(1 AS BIGINT) AS n_batches
+FROM events GROUP BY user_id, event_type
+""",
+        description=(
+            "per-user per-event-type running stats via"
+            " transformWithStateInPandas MapState + ListState"
+        ),
+        bench=False,
+        tags=("streaming", "stateful", "udf"),
+    )(event_type_stats_tws)
+
+
 @register(
     "stream_warc_source",
     # one micro-batch over all shards == the batch DataSource scan

@@ -253,6 +253,8 @@ def test_html_main_text_edge_cases(spark):
         # whitespace collapse across tags and newlines
         ("<div>a</div>\n\t<div>b</div>", "a b"),
         ("plain text no tags", "plain text no tags"),
+        # comments may span lines, contain '>', even fake tags
+        ("a<!-- hidden > <div>no</div>\n more -->b", "a b"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], ["html"])
     got = [

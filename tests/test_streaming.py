@@ -1105,3 +1105,64 @@ def test_protoshim_wire_format_against_generated_pb2():
             assert list(m.value) == [b"z"]
         else:
             pytest.skip("real protobuf active: packed-parse internals n/a")
+
+
+def test_multibatch_tws_user_stats_equals_batch(spark, tmp_path):
+    """transformWithStateInPandas (ValueState) under a forced 4-file
+    split: named state must merge across real trigger boundaries; the
+    final emission per user equals the batch groupBy."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    if not _engine.transform_with_state_available():
+        pytest.skip("transformWithState runtime unavailable")
+    qs = load_all()
+    ev = table(spark, SF, "events")
+    batch = as_set(
+        ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    with _force_multi_batch():
+        sink = qs["stream_user_stats_tws"].fn(spark, src)
+        assert _engine._LAST_FED_BATCHES >= 3
+        final = as_set(_final_state(sink, ["user_id"], "n_events"))
+    assert final == batch
+
+
+def test_multibatch_tws_map_state_equals_batch(spark, tmp_path):
+    """The MapState/ListState processor under a forced 4-file split:
+    per-(user, event_type) map entries must accumulate across trigger
+    boundaries (final n_events/sum_value == batch groupBy), and the
+    ListState batch log must show >= 2 batches for some user — proof
+    the map iterator re-emitted state written in EARLIER batches."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    if not _engine.transform_with_state_available():
+        pytest.skip("transformWithState runtime unavailable")
+    qs = load_all()
+    ev = table(spark, SF, "events")
+    batch = as_set(
+        ev.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    with _force_multi_batch():
+        sink = qs["stream_event_type_stats_tws"].fn(spark, src)
+        assert _engine._LAST_FED_BATCHES >= 3
+        final = _final_state(sink, ["user_id", "event_type"], "n_batches")
+        rows = final.collect()
+    assert max(r.n_batches for r in rows) >= 2
+    got = {(r.user_id, r.event_type, r.n_events, r.sum_value) for r in rows}
+    assert got == batch
