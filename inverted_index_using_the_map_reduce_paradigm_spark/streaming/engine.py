@@ -1075,7 +1075,7 @@ def user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stats, "update")
 
 
-if transform_with_state_available():  # pragma: no cover - sandbox lacks protobuf
+if transform_with_state_available():
     register(
         "stream_user_stats_tws",
         oracle="""
@@ -1167,7 +1167,7 @@ def event_type_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stats, "update")
 
 
-if transform_with_state_available():  # pragma: no cover - gated like the twin
+if transform_with_state_available():
     register(
         "stream_event_type_stats_tws",
         oracle="""
