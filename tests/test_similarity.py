@@ -284,3 +284,48 @@ def test_residual_mode_wins_on_clustered_corpus(spark, tmp_path, monkeypatch):
     raw, res = recall(False), recall(True)
     assert res > raw, (raw, res)
     assert res >= 0.8, (raw, res)
+
+
+def test_planted_neighbor_rung_is_discriminating_and_above_floor(spark):
+    """The r11 planted-neighbor corpus (scripts/planted_ann.py) at its
+    100k sanity rung: the exact top-k must NOT be trivially saturated
+    (duplicate-free construction — some queries' exact sets must miss
+    from the ANN result, else the rung can't falsify anything), and
+    the IVF family must still clear the fixture floor.  Pins the
+    methodology that made recall measurable again past the copy
+    ladder's saturation point (SCALE.md §16)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "planted_ann",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "planted_ann.py",
+        ),
+    )
+    planted = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(planted)
+    d = planted.build_planted_dir(100_000)
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators import similarity
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    qs = load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["similarity_search"].fn(spark, d).collect()
+    }
+    n_expected = similarity.N_QUERIES * similarity.TOP_K
+    assert len(exact) == n_expected
+    # no duplicates: every exact cosine is strictly below 1.0
+    top = qs["similarity_search"].fn(spark, d).collect()
+    assert all(r.cosine < 0.999 for r in top), "rung saturated by duplicates"
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["similarity_search_ivf"].fn(spark, d).collect()
+    }
+    recall = len(got & exact) / n_expected
+    assert 0.5 <= recall, recall          # the falsifiable floor
+    assert recall < 1.0, "rung no longer discriminates"  # measured 0.88
