@@ -76,6 +76,30 @@ def html_wrap(doc_id: Column, text: Column) -> Column:
     )
 
 
+def html_wrap_py(doc_id: int, text: str) -> str:
+    """Driver-side twin of ``html_wrap`` for fixture builders that run
+    outside Spark (the WARC shard scaffolding).  MUST stay literally in
+    sync with the expression template — a unit test asserts equality
+    row-for-row, and the html oracles predict the extraction from the
+    documents table in closed form, so drift breaks value hashes."""
+    esc = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    return (
+        f"<html><head><title>Doc {doc_id}</title>"
+        "<style>p { margin: 0; }</style>"
+        '<script>if (1 < 2) { emit("x"); }</script>'
+        "</head><body>"
+        '<nav><a href="/">home</a> <a href="/docs">docs</a></nav>'
+        "<header><h1>corpus.example</h1></header>"
+        f'<article data-doc="{doc_id}"><h2>Doc {doc_id}</h2><p>{esc}</p><p>'
+        f"{_ENTITY_SENTENCE_HTML}</p></article>"
+        '<aside>related: <a href="/d/0">zero</a></aside>'
+        "<footer>&copy; 2026 corpus.example</footer>"
+        "</body></html>"
+    )
+
+
 def html_title(col: Column) -> Column:
     """First <title> body (pre-strip, case-insensitive)."""
     return F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
@@ -239,4 +263,49 @@ def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_words").alias("n_words"),
         )
+    )
+
+
+@register(
+    "warc_source_html",
+    oracle=f"""
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       {_DUCK_MAIN_TEXT} AS main_text
+FROM documents
+""",
+    description=(
+        "format('warc') scan with .option('body') -> html_main_text:"
+        " the DataSource-native Common Crawl extraction path"
+    ),
+    tags=("pipeline", "ingest", "source", "udf", "html"),
+)
+def q_warc_source_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataSource-native form of the extraction chain: HTML pages
+    shipped inside real .warc.gz shards are scanned with
+    ``spark.read.format("warc").option("body", "true")`` (one
+    InputPartition per archive — the 100 TB fan-out shape) and the
+    extractor runs as the same JVM expression chain directly on the
+    source's body column.  Against ``warc_html_pipeline`` (per-row
+    encode/decode UDFs) this pins the path a production crawl job
+    actually takes: archives already exist on storage, the scan IS the
+    decode, and everything after it is narrow expressions."""
+    import hashlib as _h
+
+    from ..sources.warc_source import WarcDataSource, build_warc_shards
+
+    tag = _h.sha1(f"html:{sf_dir}".encode()).hexdigest()[:10]
+    out_dir = f"/tmp/spark_graft_warc_html_{tag}"
+    build_warc_shards(sf_dir, out_dir, wrap=html_wrap_py)
+    spark.dataSource.register(WarcDataSource)
+    pages = (
+        spark.read.format("warc")
+        .option("path", out_dir)
+        .option("body", "true")
+        .load()
+    )
+    return pages.select(
+        "doc_id",
+        html_title(F.col("body")).alias("title"),
+        html_main_text(F.col("body")).alias("main_text"),
     )

@@ -53,7 +53,15 @@ WARC_SCHEMA_DDL = (
     "shard string, doc_id bigint, target_uri string,"
     " payload_len bigint, payload_sha string"
 )
+# .option("body", "true") appends the decoded record body — the column
+# the html_extract tier consumes; off by default so the metadata-only
+# scan never pays body decode/transfer for queries that don't read it.
+WARC_BODY_DDL = WARC_SCHEMA_DDL + ", body string"
 N_SHARDS = 8
+
+
+def _want_body(options: dict) -> bool:
+    return str(options.get("body", "false")).lower() == "true"
 
 
 class WarcShardPartition(InputPartition):
@@ -67,6 +75,7 @@ class WarcReader(DataSourceReader):
         if not path:
             raise ValueError("warc source requires .option('path', dir)")
         self.dir = path
+        self.with_body = _want_body(options)
 
     def partitions(self):  # one split per archive — the FileScan model
         files = sorted(
@@ -86,13 +95,14 @@ class WarcReader(DataSourceReader):
                 continue  # warcinfo and request records carry no doc
             rid = headers["WARC-Record-ID"]
             doc_id = int(rid.rsplit("-", 1)[1].rstrip(">"))
-            yield (
+            row = (
                 shard,
                 doc_id,
                 headers.get("WARC-Target-URI", ""),
                 len(body),
                 hashlib.sha256(body).hexdigest(),
             )
+            yield row + (body.decode("utf-8"),) if self.with_body else row
 
 
 class WarcDataSource(DataSource):
@@ -101,7 +111,7 @@ class WarcDataSource(DataSource):
         return "warc"
 
     def schema(self) -> str:
-        return WARC_SCHEMA_DDL
+        return WARC_BODY_DDL if _want_body(self.options) else WARC_SCHEMA_DDL
 
     def reader(self, schema: "StructType") -> WarcReader:
         return WarcReader(self.options)
@@ -113,12 +123,14 @@ class WarcDataSource(DataSource):
         return WarcStreamWriter(self.options)
 
 
-def build_warc_shards(sf_dir: str, out_dir: str) -> str:
+def build_warc_shards(sf_dir: str, out_dir: str, wrap=None) -> str:
     """Deterministic test scaffolding: shard the documents table into
     N_SHARDS `.warc.gz` files (shard = doc_id % N_SHARDS, records in
     doc_id order, one warcinfo + one response member per doc group,
     mtime pinned to 0).  Idempotent: each file is written to a temp
-    name and atomically renamed."""
+    name and atomically renamed.  ``wrap`` optionally transforms each
+    record body from the raw text (e.g. the HTML page template), so
+    payload-shape variants share one builder."""
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
@@ -130,7 +142,8 @@ def build_warc_shards(sf_dir: str, out_dir: str) -> str:
     )
     shards: dict[int, bytearray] = {k: bytearray() for k in range(N_SHARDS)}
     for doc_id, text in docs:
-        shards[doc_id % N_SHARDS] += encode_warc_gz(doc_id, text)
+        body = wrap(doc_id, text) if wrap is not None else text
+        shards[doc_id % N_SHARDS] += encode_warc_gz(doc_id, body)
     for k, buf in shards.items():
         final = os.path.join(out_dir, f"shard-{k}.warc.gz")
         tmp = final + f".tmp.{os.getpid()}"

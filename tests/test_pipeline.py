@@ -265,3 +265,25 @@ def test_html_main_text_edge_cases(spark):
         [("<html><head><title> My Title </title></head></html>",)], ["html"]
     )
     assert tdf.select(html_title(F.col("html")).alias("t")).first().t == " My Title "
+
+
+def test_html_wrap_py_equals_spark_template(spark):
+    """The driver-side template twin must be byte-identical to the
+    Catalyst expression template on adversarial bodies (entities,
+    angle brackets, empty) — the WARC HTML shard fixture and the
+    closed-form oracles both depend on the equality."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.html import (
+        html_wrap,
+        html_wrap_py,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, "plain words"), (22, "a & b < c > d"), (303, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        r.h
+        for r in df.select(
+            html_wrap(F.col("doc_id"), F.col("text")).alias("h")
+        ).collect()
+    ]
+    assert got == [html_wrap_py(i, t) for i, t in rows]
