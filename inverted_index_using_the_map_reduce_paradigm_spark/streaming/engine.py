@@ -1146,6 +1146,83 @@ ETYPE_OUT_SCHEMA = (
 )
 
 
+class TimerLogProcessor:
+    """Event-time TIMERS over the state server — the remaining
+    transformWithState protocol surface (TimerStateCallCommand
+    register/list, ExpiryTimerRequest iteration, handleExpiredTimer
+    dispatch).  Each user's first batch registers a timer at that
+    batch's max event time; when the advancing watermark passes it, a
+    sentinel row (kind='expired') is emitted from the timer callback.
+    Used by the forced multi-batch test (a single-batch run can never
+    fire an event-time timer — the watermark advances between
+    triggers), not registered: timer firing depends on trigger
+    boundaries, which the single-batch oracle contract pins away."""
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.registered = handle.getValueState("registered", "expiry LONG")
+
+    def handleInputRows(self, key, rows, timer_values):
+        max_ts = 0
+        n = 0
+        for pdf in rows:
+            n += len(pdf)
+            max_ts = max(max_ts, int(pdf["ts_ms"].max()))
+        if not self.registered.exists():
+            self.handle.registerTimer(max_ts)
+            self.registered.update((max_ts,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "kind": ["input"], "ts_ms": [max_ts],
+             "n": [n]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        # parameter names must match the StatefulProcessor base class:
+        # the runtime invokes this hook with KEYWORD arguments
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "kind": ["expired"],
+                "ts_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                "n": [0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+TIMER_OUT_SCHEMA = "user_id LONG, kind STRING, ts_ms LONG, n LONG"
+
+
+def timer_log_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive TimerLogProcessor in EventTime mode over the events
+    stream (watermarked 1s) — the harness the timer test forces
+    through >= 3 trigger boundaries."""
+    _ship_protoshim(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 second")
+        .select(
+            "user_id",
+            (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+            "ts",
+        )
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TimerLogProcessor(),
+        outputStructType=TIMER_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    return _run_to_memory(out, "update")
+
+
 def event_type_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas over MapState + ListState: per-user
     per-event-type running (count, sum) with a per-user batch log.

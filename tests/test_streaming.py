@@ -1166,3 +1166,37 @@ def test_multibatch_tws_map_state_equals_batch(spark, tmp_path):
     assert max(r.n_batches for r in rows) >= 2
     got = {(r.user_id, r.event_type, r.n_events, r.sum_value) for r in rows}
     assert got == batch
+
+
+def test_tws_event_time_timers_fire_across_batches(spark, tmp_path):
+    """Event-time TIMERS through the full state-server protocol
+    (register, expiry dispatch, handleExpiredTimer emission): under a
+    forced 4-file ts-ordered split, timers registered in early batches
+    must FIRE once the advancing watermark passes them — and a timer's
+    expiry must never exceed the max event time that advanced the
+    watermark past it.  A single-batch run can never fire an
+    event-time timer, so this lives in the forced-split harness."""
+    import pytest
+
+    if not _engine.transform_with_state_available():
+        pytest.skip("transformWithState runtime unavailable")
+    src = _split_fixture(spark, tmp_path, "events", "ts")
+    with _force_multi_batch():
+        rows = _engine.timer_log_tws(spark, src).collect()
+        assert _engine._LAST_FED_BATCHES >= 3
+    expired = [r for r in rows if r.kind == "expired"]
+    inputs = [r for r in rows if r.kind == "input"]
+    assert inputs, "no input emissions"
+    assert expired, "no event-time timer ever fired across 4 batches"
+    # every expired timer belongs to a user that was seen as input,
+    # and fires exactly once per registration (one per user max)
+    seen = {r.user_id for r in inputs}
+    per_user = {}
+    for r in expired:
+        assert r.user_id in seen
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert all(c == 1 for c in per_user.values()), per_user
+    # expiry stamps equal the registration (the user's first-batch max
+    # event time), which is below the global max event time
+    global_max = max(r.ts_ms for r in inputs)
+    assert all(0 < r.ts_ms <= global_max for r in expired)
