@@ -1052,6 +1052,20 @@ def test_html_extract_is_a_pure_narrow_map(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
 
+def test_warc_source_html_is_scan_plus_codegen_project(spark):
+    """The DataSource-native extraction path must be ONE Python batch
+    scan feeding ONE whole-stage-codegen'd Project — the extractor
+    runs as JVM expressions directly on the source's body column, no
+    Exchange, no Join, no extra Python eval beyond the scan itself."""
+    df = load_all()["warc_source_html"].fn(spark, SF)
+    plan = audit.physical_plan(df)
+    assert "BatchScan warc" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert plan.count("Project") == 1, plan
+
+
 def test_warc_html_pipeline_gates_before_the_shuffle(spark):
     """The WARC->html->quality chain must keep decode narrow (the two
     Arrow stages of the codec tier), run the word-count gate BEFORE
