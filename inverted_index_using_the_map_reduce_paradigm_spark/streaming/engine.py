@@ -1034,8 +1034,17 @@ class UserStatsProcessor:
     absent; the duck-typed surface (init/handleInputRows/close) is
     what transformWithStateInPandas actually calls."""
 
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        # optional state TTL (wall-clock, RocksDB-side eviction): the
+        # TTL test pins that a 1 ms TTL makes each batch start from
+        # empty state while a large TTL accumulates — the TTLConfig
+        # protobuf path end-to-end, not just the unit-level encoding
+        self.ttl_ms = ttl_ms
+
     def init(self, handle) -> None:
-        self.state = handle.getValueState("stats", USER_STATE_SCHEMA)
+        self.state = handle.getValueState(
+            "stats", USER_STATE_SCHEMA, ttlDurationMs=self.ttl_ms
+        )
 
     def handleInputRows(self, key, rows, timer_values):
         n, total = self.state.get() if self.state.exists() else (0, 0.0)

@@ -1200,3 +1200,43 @@ def test_tws_event_time_timers_fire_across_batches(spark, tmp_path):
     # event time), which is below the global max event time
     global_max = max(r.ts_ms for r in inputs)
     assert all(0 < r.ts_ms <= global_max for r in expired)
+
+
+def test_tws_state_ttl_config_reaches_the_state_server(spark):
+    """TTL end-to-end is NOT testable in this sandbox: timeMode=
+    'ProcessingTime' (required for TTL) spends >6 min on a 2-row
+    2-batch fixture before any protocol exchange matters — the
+    RocksDB + RawLocalFileSystem checkpoint loop (a forked chmod per
+    file) dominates, measured via jstack on the hung stream thread.
+    What IS pinned: the TTLConfig handshake bytes the JVM state server
+    would receive.  getValueState(ttlDurationMs=N) must serialize a
+    StateCallCommand whose ttl.durationMs survives a wire round-trip —
+    the exact message the r11 UserStatsProcessor(ttl_ms=...) path
+    sends."""
+    import importlib
+    import sys as _sys
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        from inverted_index_using_the_map_reduce_paradigm_spark.streaming.engine import (
+            _PROTOSHIM_DIR,
+        )
+
+        if _PROTOSHIM_DIR not in _sys.path:
+            _sys.path.insert(0, _PROTOSHIM_DIR)
+    sm = importlib.import_module(
+        "pyspark.sql.streaming.proto.StateMessage_pb2"
+    )
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "stats"
+    cmd.schema = "n LONG"
+    cmd.ttl.durationMs = 123456789
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(getValueState=cmd)
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    got = back.statefulProcessorCall.getValueState
+    assert got.HasField("ttl") and got.ttl.durationMs == 123456789
+    assert got.stateName == "stats"
