@@ -950,8 +950,8 @@ def test_transform_with_state_or_documented_absence(spark):
             self._v = v
 
     class FakeHandle:
-        def getValueState(self, name, schema):
-            assert name == "stats"
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            assert name == "stats" and ttlDurationMs is None
             return FakeValueState()
 
     proc = UserStatsProcessor()
