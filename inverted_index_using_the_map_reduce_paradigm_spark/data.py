@@ -35,31 +35,63 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
 
 
-# (sf_dir, name, target) -> whether the scan needs the parallelism
-# repair.  The probe converts the plan to an RDD, which is not free —
-# memoized because the answer is a property of the files AND the
-# session's core count (the target is part of the key so a later
-# session with different parallelism doesn't reuse a stale answer).
-_SPREAD_MEMO: dict[tuple[str, str, int], bool] = {}
+# Where the one-time multi-file rewrites of under-partitioned fixture
+# tables live.  Gitignored (under spark-warehouse/); override for
+# read-only checkouts.
+_CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_FIXTURE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "spark-warehouse", "_fixture_cache"),
+)
+
+# (sf_dir, name, target) -> resolved scan path (original or cache).
+# The partition-count probe converts the plan to an RDD, which is not
+# free — memoized; the target is part of the key so a later session
+# with a different core count doesn't reuse a stale answer.
+_SCAN_PATH_MEMO: dict[tuple[str, str, int], str] = {}
 
 
-def _spread(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFrame:
-    """Repair scan parallelism for under-partitioned inputs.
+def _fact_scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Resolve a fact table to a scan path with native parallelism.
 
-    The fixture parquet files are a single row-group, so the scan stage
-    — and every narrow transformation fused onto it (tokenize, shingle,
-    vector math) — would run on ONE core.  When the scan yields fewer
-    partitions than the cluster has slots, round-robin them out.  On a
-    real multi-file 100 TB table the partition count already exceeds
-    the slot count and this is a no-op (no shuffle inserted).
+    The driver-generated fixture parquet is ONE file with ONE row group,
+    so the scan stage — and every narrow transformation fused onto it
+    (tokenize, shingle, vector math) — would run on ONE core.  Earlier
+    rounds repaired that with a RoundRobin ``repartition`` in the query
+    plan, but that put a fixture-only Exchange into all 228 plan
+    dossiers and overstated the shuffle count of the 100 TB shape (a
+    real multi-file table scans wide natively).  Instead, rewrite the
+    table ONCE into a multi-file parquet cache keyed on the source
+    fingerprint and core count, and scan the cache: the query plans
+    carry no repair exchange at all.  On a real multi-file table the
+    probe sees enough splits and scans the original path directly.
     """
     target = spark.sparkContext.defaultParallelism
-    memo_key = (*key, target)
-    needs = _SPREAD_MEMO.get(memo_key)
-    if needs is None:
-        needs = df.rdd.getNumPartitions() < target
-        _SPREAD_MEMO[memo_key] = needs
-    return df.repartition(target) if needs else df
+    memo_key = (sf_dir, name, target)
+    cached = _SCAN_PATH_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    orig = f"{sf_dir}/{name}.parquet"
+    if spark.read.parquet(orig).rdd.getNumPartitions() >= target:
+        _SCAN_PATH_MEMO[memo_key] = orig
+        return orig
+    fp = table_fingerprint(sf_dir, name)
+    cache = os.path.join(_CACHE_ROOT, f"{name}-{fp}-p{target}.parquet")
+    if not os.path.isfile(os.path.join(cache, "_SUCCESS")):
+        import shutil
+        import uuid
+
+        tmp = f"{cache}.tmp-{uuid.uuid4().hex[:8]}"
+        # Round-robin into `target` files so the cached scan yields one
+        # split per core; the shuffle happens once here, never in query
+        # plans.  Atomic rename = safe under concurrent builders.
+        spark.read.parquet(orig).repartition(target).write.parquet(tmp)
+        try:
+            os.rename(tmp, cache)
+        except OSError:  # lost the race: another process renamed first
+            shutil.rmtree(tmp, ignore_errors=True)
+    _SCAN_PATH_MEMO[memo_key] = cache
+    return cache
 
 
 def table_fingerprint(sf_dir: str, name: str) -> str:
@@ -100,15 +132,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # on the dtype actually read so both land as a session-UTC
         # timestamp with identical instants.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = _spread(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"), (sf_dir, name))
+        df = spark.read.parquet(_fact_scan_path(spark, sf_dir, name))
         if df.schema["ts"].dataType.simpleString() == "bigint":
             return df.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
             )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    df = _canon(df, name)
-    return _spread(spark, df, (sf_dir, name)) if name in FACT_TABLES else df
+    if name in FACT_TABLES:
+        df = spark.read.parquet(_fact_scan_path(spark, sf_dir, name))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _canon(df, name)
 
 
 # Fixture generations have changed column physical types between rounds

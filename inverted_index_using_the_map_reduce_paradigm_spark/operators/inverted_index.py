@@ -335,7 +335,7 @@ def q_boolean_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean predicate over the flags — (a|b) & c & !d.  The oracle
     keeps the literal UNION/INTERSECT/EXCEPT form, proving the
     algebraic rewrite; the native set operators themselves stay
-    exercised by ``customers_intersect_except``.
+    exercised by ``nation_setops_native``.
 
     Tokenize-once (r7): the previous form built each of the four
     posting sets with the set operators directly, which re-tokenized

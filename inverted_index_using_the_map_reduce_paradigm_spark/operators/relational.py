@@ -951,28 +951,83 @@ SELECT 'churned' AS cohort, o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FR
     tags=("relational", "setops"),
 )
 def q_customers_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True set operators on row sets (vs boolean_setops' array algebra
-    on posting lists): INTERSECT plans as a left-semi join, EXCEPT as a
-    left-anti join, both on the deduplicated yearly cohorts."""
+    """Retained-vs-churned cohorts with INTERSECT/EXCEPT *semantics*
+    compiled to ONE scan + ONE shuffle (the DuckDB oracle keeps the
+    literal INTERSECT/EXCEPT form, proving the rewrite).
+
+    100 TB shape (r12, VERDICT r11 #3): the naive form — two
+    ``.distinct()`` yearly cohorts each feeding both set-operator
+    branches — planned FOUR pushed scans of the ``orders`` fact plus
+    per-branch dedup exchanges (8 total), making this the heaviest
+    benched plan.  Exchange reuse cannot repair it: column pruning
+    and filter-through-aggregate pushdown specialize each leg's
+    subtree, so nothing canonicalizes identically.  The algebraic fix
+    mirrors ``boolean_setops``: one conditional aggregation
+    ``groupBy(o_custkey).agg(max(in96), max(in97))`` over the single
+    1996–1998 range scan, then INTERSECT ≡ ``in96 AND in97`` and
+    EXCEPT ≡ ``in96 AND NOT in97`` as a CASE over the flags.  The
+    native set-operator plan shapes stay exercised by
+    ``nation_setops_native``."""
     orders = table(spark, sf_dir, "orders")
-
-    def cohort(y0: str, y1: str) -> DataFrame:
-        return (
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
-            )
-            .select("o_custkey")
-            .distinct()
+    lo = F.lit("1996-01-01").cast("timestamp")
+    mid = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    flags = (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate") < mid).alias("in96"),
+            F.max(F.col("o_orderdate") >= mid).alias("in97"),
         )
-
-    y96 = cohort("1996-01-01", "1997-01-01")
-    y97 = cohort("1997-01-01", "1998-01-01")
-    both = y96.intersect(y97).select(F.lit("both").alias("cohort"), "o_custkey")
-    churned = y96.exceptAll(y97).select(
-        F.lit("churned").alias("cohort"), "o_custkey"
     )
-    return both.unionByName(churned)
+    return flags.filter("in96").select(
+        F.when(F.col("in97"), F.lit("both"))
+        .otherwise(F.lit("churned"))
+        .alias("cohort"),
+        "o_custkey",
+    )
+
+
+@register(
+    "nation_setops_native",
+    oracle="""
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT 'both' AS side, nationkey
+FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT 'customer_only' AS side, nationkey
+FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+""",
+    description="native INTERSECT / EXCEPT plan shapes on nation-bounded sets",
+    tags=("relational", "setops"),
+)
+def q_nation_setops_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native set operators themselves: ``intersect`` plans as a
+    left-semi join and ``exceptAll`` as a replicate-rows aggregate,
+    shown on inputs that make the operators' inherent re-planning
+    affordable.  Native set ops re-plan each input subtree once per
+    consumer (no materialization), so they belong on BOUNDED sets:
+    here the two sides are ``distinct`` nation keys — 25-row tables
+    after a single column-pruned scan of each side, regardless of SF.
+    Corpus-scale set algebra goes through the conditional-aggregation
+    rewrite instead (``customers_intersect_except``,
+    ``boolean_setops``)."""
+    cn = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = cn.intersect(sn).select(F.lit("both").alias("side"), "nationkey")
+    only = cn.exceptAll(sn).select(
+        F.lit("customer_only").alias("side"), "nationkey"
+    )
+    return both.unionByName(only)
 
 
 @register(
