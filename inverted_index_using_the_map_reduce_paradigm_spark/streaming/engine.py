@@ -1272,6 +1272,196 @@ FROM events GROUP BY user_id, event_type
     )(event_type_stats_tws)
 
 
+# ---- live state TTL (r12, VERDICT r11 #1) --------------------------------
+#
+# TTL on a named state variable requires timeMode="ProcessingTime"
+# (the JVM raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL
+# under EventTime/None — probed empirically).  In that mode the
+# microbatch engine schedules CONTINUOUS empty maintenance batches, so
+# processAllAvailable()/availableNow NEVER return — this, not state
+# server cost, was the r11 ">6 min hang" that kept TTL fake-handle
+# only: the data batches themselves commit within seconds.  The runner
+# below therefore polls recentProgress and stops the query once every
+# input row has been consumed and committed.
+
+
+def _ttl_halves_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Split the events fixture into TWO single-file parquet halves by
+    ``event_id % 2`` (a deterministic, oracle-expressible boundary) so
+    the TTL stream sees exactly two data micro-batches.  Cached next to
+    the fixture scan cache, keyed on the source fingerprint."""
+    from ..data import _CACHE_ROOT, table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "events")
+    dest = os.path.join(_CACHE_ROOT, f"events_ttl_halves-{fp}")
+    marker = os.path.join(dest, "_COMPLETE")
+    if not os.path.isfile(marker):
+        import glob as _glob
+        import shutil
+
+        ev = _events_static(spark, sf_dir).select("event_id", "user_id", "value")
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        for half in (0, 1):
+            part_dir = os.path.join(tmp, f"_h{half}")
+            (
+                ev.filter(F.pmod("event_id", F.lit(2)) == half)
+                .coalesce(1)
+                .write.parquet(part_dir)
+            )
+            (part_file,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            os.rename(part_file, os.path.join(tmp, f"half{half}.parquet"))
+            shutil.rmtree(part_dir)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
+            fh.write("ok\n")
+        try:
+            os.rename(tmp, dest)
+        except OSError:  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+    n_rows = spark.read.parquet(dest).count()
+    return dest, n_rows
+
+
+def _run_ttl_stream_to_memory(result: DataFrame, expected_rows: int) -> DataFrame:
+    """Drive a ProcessingTime-timeMode stream until all input rows have
+    been consumed and committed, then stop it.  processAllAvailable is
+    unusable here (see the section note); progress entries are
+    accumulated by batchId because the empty maintenance batches churn
+    through the bounded recentProgress ring."""
+    import time
+
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    global _LAST_FED_BATCHES, _LAST_PROGRESS
+    fed: dict[int, dict] = {}
+    try:
+        deadline = time.time() + 600
+        while True:
+            for p in q.recentProgress:
+                if p["numInputRows"] > 0:
+                    fed[p["batchId"]] = p
+            if sum(p["numInputRows"] for p in fed.values()) >= expected_rows:
+                break
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"TTL stream consumed only "
+                    f"{sum(p['numInputRows'] for p in fed.values())}"
+                    f"/{expected_rows} rows before timeout"
+                )
+            time.sleep(0.2)
+        _LAST_FED_BATCHES = len(fed)
+        _LAST_PROGRESS = list(fed.values())
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
+
+
+def user_stats_tws_ttl(
+    spark: SparkSession, sf_dir: str, ttl_ms: int = 1
+) -> DataFrame:
+    """State TTL LIVE on the real RocksDB state server: per-user
+    (count, sum) on a ValueState with a 1 ms TTL, fed TWO micro-batches
+    (the ``event_id % 2`` halves, one file per trigger).  Wall clock
+    advances far past 1 ms between triggers, so every key's state has
+    expired by its second batch — the processor observes
+    ``exists() == False`` (surfaced as the ``fresh`` column) and each
+    batch's emission is that batch's stats alone.  The oracle
+    recomputes exactly that: per-user aggregates within each half,
+    unioned.  If TTL failed to evict, second-half rows would carry
+    first-half counts and the value hash would flip.
+
+    ``ttl_ms`` is parameterized for the pytest counter-probe: a 1-hour
+    TTL over the same two batches must ACCUMULATE (fresh=False on the
+    key's second batch), proving the eviction above is the TTL's doing
+    and not ProcessingTime mode wiping state wholesale."""
+    _ship_protoshim(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    halves, n_rows = _ttl_halves_dir(spark, sf_dir)
+    ev = (
+        spark.readStream.schema("event_id LONG, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(halves)
+        .select("user_id", "value")
+    )
+    stats = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsTTLProcessor(ttl_ms=ttl_ms),
+        outputStructType=USER_TTL_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    return _run_ttl_stream_to_memory(stats, n_rows)
+
+
+class UserStatsTTLProcessor:
+    """UserStatsProcessor with the TTL wired live and the expiry made
+    observable: ``fresh`` is True when the key's ValueState had expired
+    (or never existed) at batch start."""
+
+    def __init__(self, ttl_ms: int) -> None:
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState(
+            "stats", USER_STATE_SCHEMA, ttlDurationMs=self.ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        existed = self.state.exists()
+        n, total = self.state.get() if existed else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self.state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 2) + 0.0],
+                "fresh": [not existed],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+USER_TTL_OUT_SCHEMA = (
+    "user_id LONG, n_events LONG, sum_value DOUBLE, fresh BOOLEAN"
+)
+
+
+if transform_with_state_available():
+    register(
+        "stream_user_stats_tws_ttl",
+        oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value,
+       TRUE AS fresh
+FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+UNION ALL
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value,
+       TRUE AS fresh
+FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+""",
+        description=(
+            "LIVE ValueState TTL on RocksDB: 1 ms TTL expires between the"
+            " two forced micro-batches, each batch restarts from empty"
+        ),
+        bench=False,
+        tags=("streaming", "stateful", "udf", "ttl"),
+    )(user_stats_tws_ttl)
+
+
 @register(
     "stream_warc_source",
     # one micro-batch over all shards == the batch DataSource scan

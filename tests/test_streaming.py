@@ -1203,16 +1203,14 @@ def test_tws_event_time_timers_fire_across_batches(spark, tmp_path):
 
 
 def test_tws_state_ttl_config_reaches_the_state_server(spark):
-    """TTL end-to-end is NOT testable in this sandbox: timeMode=
-    'ProcessingTime' (required for TTL) spends >6 min on a 2-row
-    2-batch fixture before any protocol exchange matters — the
-    RocksDB + RawLocalFileSystem checkpoint loop (a forked chmod per
-    file) dominates, measured via jstack on the hung stream thread.
-    What IS pinned: the TTLConfig handshake bytes the JVM state server
-    would receive.  getValueState(ttlDurationMs=N) must serialize a
-    StateCallCommand whose ttl.durationMs survives a wire round-trip —
-    the exact message the r11 UserStatsProcessor(ttl_ms=...) path
-    sends."""
+    """Unit pin of the TTLConfig handshake bytes: getValueState(
+    ttlDurationMs=N) must serialize a StateCallCommand whose
+    ttl.durationMs survives a wire round-trip.  (TTL is ALSO live
+    end-to-end since r12 — see test_tws_ttl_live_expires_between_
+    batches; the r11 ">6 min hang" that kept this unit-only turned out
+    to be processAllAvailable never returning under ProcessingTime
+    timeMode's continuous maintenance batches, not state-server cost —
+    engine._run_ttl_stream_to_memory documents the fix.)"""
     import importlib
     import sys as _sys
 
@@ -1240,3 +1238,69 @@ def test_tws_state_ttl_config_reaches_the_state_server(spark):
     got = back.statefulProcessorCall.getValueState
     assert got.HasField("ttl") and got.ttl.durationMs == 123456789
     assert got.stateName == "stats"
+
+
+def test_tws_ttl_live_expires_between_batches(spark):
+    """State TTL LIVE on the real RocksDB state server (r12, VERDICT
+    r11 #1): the registered ``stream_user_stats_tws_ttl`` feeds two
+    micro-batches (event_id%2 halves) through a 1 ms-TTL ValueState in
+    ProcessingTime timeMode.  Wall clock advances far past 1 ms between
+    triggers, so the processor must observe ``exists() == False`` at
+    EVERY batch start (all rows fresh=True) and each emission must be
+    that batch's stats alone — the per-half batch recompute."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    if not _engine.transform_with_state_available():
+        pytest.skip("transformWithState runtime unavailable")
+    sink = load_all()["stream_user_stats_tws_ttl"].fn(spark, SF)
+    assert _engine._LAST_FED_BATCHES == 2
+    rows = sink.collect()
+    assert rows and all(r.fresh for r in rows), [r for r in rows if not r.fresh][:5]
+    ev = table(spark, SF, "events")
+    per_half = as_set(
+        ev.groupBy((F.col("event_id") % 2).alias("h"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select("user_id", "n_events", "sum_value")
+    )
+    assert {(r.user_id, r.n_events, r.sum_value) for r in rows} == per_half
+
+
+def test_tws_ttl_large_ttl_accumulates(spark):
+    """The eviction in the live-TTL test is the TTL's doing, not
+    ProcessingTime mode wiping state wholesale: the SAME two-batch
+    pipeline with a 1-hour TTL must carry state across the trigger
+    boundary — users present in both halves re-read their first-half
+    state (fresh=False on their second batch) and the final per-user
+    stats equal the whole-fixture batch aggregate."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    if not _engine.transform_with_state_available():
+        pytest.skip("transformWithState runtime unavailable")
+    sink = _engine.user_stats_tws_ttl(spark, SF, ttl_ms=3_600_000)
+    assert _engine._LAST_FED_BATCHES == 2
+    rows = sink.collect()
+    assert any(not r.fresh for r in rows), "no key ever re-read live state"
+    ev = table(spark, SF, "events")
+    batch = as_set(
+        ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+    final = as_set(
+        _final_state(sink, ["user_id"], "n_events").select(
+            "user_id", "n_events", "sum_value"
+        )
+    )
+    assert final == batch
