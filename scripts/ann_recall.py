@@ -55,9 +55,11 @@ PERTURBED_FLOOR = 0.8
 # top-k per query is a mix of planted neighbors (cos 0.35-0.60) and
 # the Gaussian background order-statistic tail (~0.6 at n=2M), so the
 # quantizer's probe breadth is what recall measures.  Measured r11 at
-# p2000000: rp 0.780, ivf/ivfpq/ivfpq_stored 0.940 — floor set
-# measured-minus-margin.
+# p2000000: rp 0.780, ivf/ivfpq/ivfpq_stored 0.940; r12 flip-1
+# multiprobe lifted rp to 0.960 (1.000 at p100000), so the floor now
+# gates the RP family too — floor stays measured-minus-margin.
 PLANTED_FLOOR = 0.8
+PLANTED_FLOOR_VARIANTS = SCALE_FLOOR_VARIANTS | {"rp"}
 
 
 def floor_for(d: str, variant: str) -> float | None:
@@ -68,7 +70,7 @@ def floor_for(d: str, variant: str) -> float | None:
         return PERTURBED_FLOOR if m.group(2) else SCALE_FLOOR
     m = re.search(r"planted_ann/p(\d+)$", d.rstrip("/"))
     if m and int(m.group(1)) >= 1_000_000:
-        return PLANTED_FLOOR if variant in SCALE_FLOOR_VARIANTS else None
+        return PLANTED_FLOOR if variant in PLANTED_FLOOR_VARIANTS else None
     if "testdata/sf" in d:
         return FIXTURE_FLOOR if variant in SCALE_FLOOR_VARIANTS else None
     return None
