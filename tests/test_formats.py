@@ -180,14 +180,13 @@ def test_zorder_layout_shrinks_file_ranges_on_every_dimension(spark, tmp_path):
     assert spark.read.parquet(z_out).count() == ev.count()
 
 
-def test_avro_roundtrip_or_documented_absence(spark, tmp_path):
-    """Avro rides the same read/write_table wrapper as ORC (r10).  The
+def test_avro_roundtrip(spark, tmp_path):
+    """Avro rides the same read/write_table wrapper as ORC.  The
     spark-avro module is EXTERNAL and this sandbox has no network to
-    fetch the jar, so: when absent, the probe must say so cleanly (and
-    this test skips — the documented honest gap); when deployed, the
-    roundtrip census must match the source exactly."""
-    import pytest
-
+    fetch the jar; since r12 the wrapper transparently routes the
+    format through the pure-Python OCF DataSource
+    (sources/avro_source.py), so the roundtrip runs everywhere — via
+    the JVM module when deployed, via the fallback here."""
     from inverted_index_using_the_map_reduce_paradigm_spark.data import table
     from inverted_index_using_the_map_reduce_paradigm_spark.sources.formats import (
         avro_available,
@@ -198,18 +197,86 @@ def test_avro_roundtrip_or_documented_absence(spark, tmp_path):
     docs = table(spark, "/root/testdata/sf0.001", "documents").select(
         "doc_id", "source", "n_chars", "lang"
     )
-    if not avro_available(spark):
-        # the probe must be side-effect free and the wrapper must still
-        # validate the format name (avro is a FORMATS member)
-        with pytest.raises(Exception):
-            write_table(docs, str(tmp_path / "a"), "avro")
-        pytest.skip("spark-avro jar not deployed in this sandbox (no network)")
     out = str(tmp_path / "avro")
-    write_table(docs, out, "avro", partition_by=["lang"])
+    kw = {"partition_by": ["lang"]} if avro_available(spark) else {}
+    write_table(docs, out, "avro", **kw)
     back = read_table(spark, out, "avro")
+    assert back.schema.simpleString() == (
+        "struct<doc_id:bigint,source:string,n_chars:bigint,lang:string>"
+    )
     want = {tuple(r) for r in docs.collect()}
     got = {tuple(r) for r in back.select("doc_id", "source", "n_chars", "lang").collect()}
     assert got == want
+
+
+def test_avro_python_source_matches_canonical_library(spark, tmp_path):
+    """Spec fidelity of the pure-Python OCF codec is FALSIFIABLE even
+    without spark-avro: Spark bundles the canonical org.apache.avro
+    Java library, so (a) files written by the Python writer must read
+    back identically through the JVM reference reader — deflate codec,
+    sync markers, zigzag varints and all — and (b) a container written
+    by the JVM reference writer must read back identically through the
+    Python reader.  A drifted encoder would break (a); a drifted
+    decoder would break (b)."""
+    import glob
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.avro_source import (
+        read_container,
+        schema_to_avro_json,
+        write_container,
+    )
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.formats import (
+        write_table,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    out = str(tmp_path / "avro")
+    write_table(docs, out, "avro")
+    jvm = spark._jvm
+    ref_rows = set()
+    files = sorted(glob.glob(f"{out}/*.avro"))
+    assert files
+    for f in files:
+        dr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(f), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        while dr.hasNext():
+            rec = dr.next()
+            ref_rows.add(
+                (
+                    rec.get("doc_id"),
+                    str(rec.get("source")),
+                    rec.get("n_chars"),
+                    str(rec.get("lang")),
+                )
+            )
+        dr.close()
+    assert ref_rows == {tuple(r) for r in docs.collect()}
+
+    # (b) canonical writer -> python reader
+    schema_json = schema_to_avro_json(docs.schema)
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    jfile = str(tmp_path / "jvm.avro")
+    wr = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    wr.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    wr.create(jschema, jvm.java.io.File(jfile))
+    # values above 2^31 so py4j ships them as java.lang.Long (small
+    # ints become Integer, which the ["null","long"] union rejects)
+    sample = [(2**40 + 7, "src1", 2**33 + 21, "en"), (None, "src2", None, "de")]
+    for a, b, c, d in sample:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("doc_id", a)
+        rec.put("source", b)
+        rec.put("n_chars", c)
+        rec.put("lang", d)
+        wr.append(rec)
+    wr.close()
+    assert sorted(read_container(jfile), key=repr) == sorted(sample, key=repr)
 
 
 # --------------------------------------------------------------------------
