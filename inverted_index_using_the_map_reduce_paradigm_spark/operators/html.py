@@ -21,20 +21,31 @@ predict the extracted text in CLOSED FORM from the documents table —
 any slip in block removal, tag stripping, entity decode order, or
 whitespace collapse breaks the value hash.
 
-Limitations (documented, not load-bearing for the fixture): block
-removal is non-nesting (a <nav> inside a <nav> ends at the first
-close tag) and CDATA is stripped as tags; a production
-extractor would add a stack pass via the same mapInPandas slot the
-codec tier uses.
+Limitations of the expression form (documented, not load-bearing for
+the fixture): block removal is non-nesting (a <nav> inside a <nav>
+ends at the first close tag) and CDATA is stripped as tags.  The
+stack-pass twin the codec tier's mapInPandas slot enables —
+``html_extract_nested`` / ``html_main_text_stack`` below — handles
+both; the expression form stays the default plan (zero Python), and
+the twin is censused against it on the fixture plus a
+nested-chrome/CDATA page in tests/test_pipeline.py.
 """
 
 from __future__ import annotations
 
+import sys
+
+from pyspark import cloudpickle
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import table
 from ..registry import register
+
+# the stack-pass extractor runs inside mapInPandas workers; serialize
+# this module by value so executors need no package import (house
+# pattern, operators/multimodal.py)
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 # Link-dense / chrome blocks a main-text heuristic drops wholesale.
 BOILERPLATE_TAGS = ("nav", "header", "aside", "footer")
@@ -308,4 +319,150 @@ def q_warc_source_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         html_title(F.col("body")).alias("title"),
         html_main_text(F.col("body")).alias("main_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stack-pass twin (r12): nesting-safe block removal + literal CDATA
+# --------------------------------------------------------------------------
+
+_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&copy;", "(c)"),
+    ("&amp;", "&"),
+)
+_RAW_TEXT_TAGS = ("script", "style")
+_SUPPRESSED_TAGS = ("head",) + BOILERPLATE_TAGS
+
+
+def html_main_text_stack(html: str) -> str:
+    """Sequential single-pass extractor with a suppression STACK — the
+    semantics ``html_main_text``'s regex chain approximates, exact on
+    the two inputs the expression form documents as out of scope:
+
+    * nested chrome (``<nav><nav>..</nav>..</nav>``): an open tag of a
+      suppressed element pushes, its close pops — text after the inner
+      close is still suppressed until the OUTER close;
+    * CDATA sections: ``<![CDATA[..]]>`` content is literal text (the
+      regex chain strips it as a tag), suppressed only when inside a
+      suppressed block.
+
+    Script/style are raw-text elements: their bodies (which may contain
+    bare ``<``) are skipped to the matching close tag, same as the
+    expression form.  Entity decode and whitespace collapse are
+    byte-identical to the expression chain, so on non-nested pages the
+    two extractors agree exactly (censused in tests and by the
+    ``html_extract_nested`` oracle, which is the same closed form as
+    ``html_extract``'s)."""
+    out: list[str] = []
+    supp: list[str] = []  # stack of open suppressed-element names
+    i, n = 0, len(html)
+    low = html.lower()
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            if not supp:
+                out.append(html[i:])
+            break
+        if lt > i and not supp:
+            out.append(html[i:lt])
+        out.append(" ")
+        i = lt
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if html.startswith("<![CDATA[", i):
+            end = html.find("]]>", i + 9)
+            body_end = n if end < 0 else end
+            if not supp:
+                out.append(html[i + 9 : body_end])
+            i = n if end < 0 else end + 3
+            continue
+        gt = html.find(">", i)
+        if gt < 0:  # unterminated tag: drop the tail like the regex form
+            break
+        tag_body = html[i + 1 : gt].strip()
+        i = gt + 1
+        closing = tag_body.startswith("/")
+        name = tag_body.lstrip("/").split(None, 1)[0].rstrip("/").lower() if tag_body else ""
+        if not closing and name in _RAW_TEXT_TAGS and not tag_body.endswith("/"):
+            close = low.find(f"</{name}", i)
+            if close < 0:
+                break
+            gt2 = html.find(">", close)
+            i = n if gt2 < 0 else gt2 + 1
+            continue
+        if name in _SUPPRESSED_TAGS:
+            if closing:
+                if supp and supp[-1] == name:
+                    supp.pop()
+            elif not tag_body.endswith("/"):
+                supp.append(name)
+    text = "".join(out)
+    for ent, ch in _ENTITIES:
+        text = text.replace(ent, ch)
+    return " ".join(text.split())
+
+
+@register(
+    "html_extract_nested",
+    oracle=f"""
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       {_DUCK_MAIN_TEXT} AS main_text
+FROM documents
+""",
+    description=(
+        "nesting-safe HTML extraction: stack-pass mapInPandas twin of"
+        " html_extract (nested chrome blocks, literal CDATA)"
+    ),
+    tags=("pipeline", "ingest", "udf", "text", "html"),
+)
+def q_html_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``html_extract`` with the stack-pass extractor in the Arrow
+    mapInPandas slot: same fixture template, same closed-form oracle —
+    so the twin provably agrees with the expression chain wherever the
+    chain is correct, while ALSO handling nested chrome and CDATA
+    (pinned against a pathological page in tests/test_pipeline.py).
+
+    100 TB posture: identical to the codec tier — one narrow
+    Arrow-batched pass per partition, zero shuffles; ~3x the expression
+    chain's per-byte cost (Python loop vs codegen), which is why the
+    expression form remains the registered default and this twin is
+    the opt-in for markup where nesting is load-bearing."""
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "title": [
+                        html_main_text_stack(
+                            # title via the same stack pass on the bare
+                            # <title> body (head is suppressed in the
+                            # main pass)
+                            _title_of(h)
+                        )
+                        for h in pdf["html"]
+                    ],
+                    "main_text": [html_main_text_stack(h) for h in pdf["html"]],
+                }
+            )
+
+    import re
+
+    _title_re = re.compile(r"(?is)<title[^>]*>(.*?)</title\s*>")
+
+    def _title_of(h: str) -> str:
+        m = _title_re.search(h)
+        return m.group(1) if m else ""
+
+    docs = table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", html_wrap(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    return pages.mapInPandas(
+        extract, schema="doc_id long, title string, main_text string"
     )

@@ -267,6 +267,68 @@ def test_html_main_text_edge_cases(spark):
     assert tdf.select(html_title(F.col("html")).alias("t")).first().t == " My Title "
 
 
+def test_html_stack_pass_handles_nesting_and_cdata(spark):
+    """r12 (VERDICT r11 #8): the stack-pass extractor must be exact on
+    the two inputs the expression chain documents as out of scope —
+    nested chrome blocks and CDATA-as-text — while agreeing with the
+    chain everywhere the chain is correct (the edge-case gallery
+    above, re-run through the stack pass)."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.html import (
+        html_main_text,
+        html_main_text_stack,
+    )
+
+    page = (
+        "<html><head><title>T</title></head><body>"
+        "<nav>outer <nav>inner</nav> trailing-chrome</nav>"
+        "<article><p>Real &amp; text</p><![CDATA[kept < literal]]></article>"
+        "<script>if (1<2) {}</script></body></html>"
+    )
+    assert html_main_text_stack(page) == "Real & text kept < literal"
+    # ...and the expression form demonstrably gets this page wrong
+    # (leaks the nested nav's trailing chrome, drops the CDATA text) —
+    # the documented reason the twin exists
+    expr = (
+        spark.createDataFrame([(page,)], ["html"])
+        .select(html_main_text(F.col("html")).alias("t"))
+        .first()
+        .t
+    )
+    assert "trailing-chrome" in expr and "kept" not in expr
+
+    # agreement census on the chain's own edge-case gallery (non-nested)
+    agree = [
+        "<p>plain</p>",
+        "a<!-- hidden > <div>no</div>\n more -->b",
+        "<style>p { x: 1 }</style>body <b>text</b>",
+        '<script>if (1 < 2) { emit("x"); }</script>after',
+        "<head><meta x=1><title>t</title></head>real",
+        "<nav>chrome</nav>kept <i>words</i>",
+        "A &amp; B &lt;tag&gt; &quot;q&quot;&nbsp;&#39;s&#39; &copy;",
+        "  spaced\t\n   out  ",
+    ]
+    df = spark.createDataFrame([(h,) for h in agree], ["html"])
+    expr_out = [
+        r.t for r in df.select(html_main_text(F.col("html")).alias("t")).collect()
+    ]
+    assert expr_out == [html_main_text_stack(h) for h in agree]
+
+
+def test_html_extract_nested_matches_expression_twin_on_fixture(spark):
+    """The registered stack-pass query must emit exactly the expression
+    query's rows on the fixture corpus (both share the closed-form
+    oracle; this pins them against each other directly)."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    qs = load_all()
+    a = {tuple(r) for r in qs["html_extract"].fn(spark, sf).collect()}
+    b = {tuple(r) for r in qs["html_extract_nested"].fn(spark, sf).collect()}
+    assert a == b
+
+
 def test_html_wrap_py_equals_spark_template(spark):
     """The driver-side template twin must be byte-identical to the
     Catalyst expression template on adversarial bodies (entities,
