@@ -824,16 +824,15 @@ def q_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # surface the committed micro-batch count the same way
-    # _run_to_memory does, so the forced-split tests can assert this
-    # sink REALLY crossed >= 3 trigger boundaries (the checkpoint's
-    # commits dir holds one numbered file per committed batch)
+    # surface the fed micro-batch count the same way _run_to_memory
+    # does — from recentProgress entries with numInputRows > 0 — so the
+    # forced-split tests assert this sink REALLY crossed >= 3 trigger
+    # boundaries.  (ADVICE r11: counting checkpoint commit files here
+    # included zero-input trailing commits, which could inflate the
+    # count relative to the _run_to_memory definition.)
     global _LAST_FED_BATCHES
-    commits_dir = os.path.join(ckpt, "commits")
-    _LAST_FED_BATCHES = (
-        len([f for f in os.listdir(commits_dir) if f.isdigit()])
-        if os.path.isdir(commits_dir)
-        else 0
+    _LAST_FED_BATCHES = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
     )
     return spark.read.parquet(store)
 
@@ -1024,6 +1023,19 @@ def _ship_protoshim(spark: SparkSession) -> None:
             p for p in base.split(os.pathsep) if p and p != _PROTOSHIM_DIR
         ]
         env["PYTHONPATH"] = os.pathsep.join([_PROTOSHIM_DIR] + parts)
+        # sc.environment reaches only locally-forked workers (the mode
+        # this sandbox runs); REMOTE executors on a real cluster pull
+        # dependencies through addPyFile instead, so also ship the
+        # committed zip of the shim — workers there import the same
+        # google.protobuf tree from the SparkFiles dir.  Idempotent:
+        # guarded by the same first-wiring check above.  (ADVICE r11:
+        # this zip existed but was referenced nowhere.)
+        zip_path = os.path.join(
+            os.path.dirname(_PROTOSHIM_DIR.rstrip(os.sep)),
+            "protoshim_google.zip",
+        )
+        if os.path.isfile(zip_path):
+            spark.sparkContext.addPyFile(zip_path)
 
 
 class UserStatsProcessor:

@@ -1107,6 +1107,102 @@ def test_protoshim_wire_format_against_generated_pb2():
             pytest.skip("real protobuf active: packed-parse internals n/a")
 
 
+def test_protoshim_nested_messages_and_repeated_mutation_paths():
+    """ADVICE r11 hardening, shim-only: (a) a NESTED message type must
+    get a concrete class (protoc hangs it off the parent class), so
+    parse and auto-vivification of a nested-typed field work — the
+    r11 builder materialized only top-level messages; (b) every
+    repeated-field mutation path must mark presence — ``+=``, insert
+    and item assignment bypass the Python append/extend overrides at C
+    level, so a field mutated through them used to vanish from
+    serialization."""
+    import pytest
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.streaming.engine import (
+        _PROTOSHIM_DIR,
+        _protoshim_in_use,
+    )
+
+    if not _protoshim_in_use():
+        if _PROTOSHIM_DIR not in sys.path:
+            sys.path.insert(0, _PROTOSHIM_DIR)
+    try:
+        import google.protobuf._shim_impl as impl
+        from google.protobuf import descriptor_pool
+        from google.protobuf.internal import builder
+    except ImportError:
+        pytest.skip("real protobuf active: shim internals n/a")
+        return
+
+    enc = impl.enc_varint
+
+    def tag(field, wt):
+        return enc(field << 3 | wt)
+
+    def ld(field, payload):  # length-delimited
+        return tag(field, 2) + enc(len(payload)) + payload
+
+    def field_proto(name, number, ftype, type_name=None):
+        b = ld(1, name) + tag(3, 0) + enc(number) + tag(4, 0) + enc(1)
+        b += tag(5, 0) + enc(ftype)
+        if type_name is not None:
+            b += ld(6, type_name)
+        return b
+
+    # message Outer { message Inner { int64 x = 1; } Inner inner = 1;
+    #                 repeated string tags = 2; }
+    inner = ld(1, b"Inner") + ld(2, field_proto(b"x", 1, 3))  # TYPE_INT64
+    outer = (
+        ld(1, b"Outer")
+        + ld(2, field_proto(b"inner", 1, 11, b".pkg.Outer.Inner"))
+        + ld(2, field_proto(b"tags", 2, 9))  # TYPE_STRING
+        + ld(3, inner)  # nested_type
+    )
+    # mark tags repeated: label field (4) = 3 — rebuild with label 3
+    def field_proto_lbl(name, number, ftype, label, type_name=None):
+        b = ld(1, name) + tag(3, 0) + enc(number) + tag(4, 0) + enc(label)
+        b += tag(5, 0) + enc(ftype)
+        if type_name is not None:
+            b += ld(6, type_name)
+        return b
+
+    outer = (
+        ld(1, b"Outer")
+        + ld(2, field_proto_lbl(b"inner", 1, 11, 1, b".pkg.Outer.Inner"))
+        + ld(2, field_proto_lbl(b"tags", 2, 9, 3))
+        + ld(3, inner)
+    )
+    fdp = ld(1, b"nested_test.proto") + ld(2, b"pkg") + ld(4, outer)
+
+    fd = descriptor_pool.Default().AddSerializedFile(fdp)
+    mod: dict = {}
+    builder.BuildMessageAndEnumDescriptors(fd, mod)
+    builder.BuildTopDescriptorsAndMessages(fd, "nested_test_pb2", mod)
+    Outer = mod["Outer"]
+    assert hasattr(Outer, "Inner"), "nested class not materialized"
+    assert Outer.Inner.DESCRIPTOR._concrete_class is Outer.Inner
+
+    # auto-vivification + roundtrip through the nested type
+    m = Outer()
+    m.inner.x = 42
+    back = Outer()
+    back.ParseFromString(m.SerializeToString())
+    assert back.inner.x == 42 and back.HasField("inner")
+
+    # every repeated mutation path must survive serialization; the
+    # container alias is how __iadd__ bypasses Message.__setattr__
+    # (direct `m.tags += ...` raises on REAL protobuf too — composite
+    # fields reject assignment — so the alias form is the real risk)
+    m2 = Outer()
+    lst = m2.tags
+    lst += ["a"]              # list.__iadd__ (C-level extend)
+    lst.insert(0, "z")        # C-level insert
+    lst[1] = "b"              # C-level __setitem__
+    b2 = Outer()
+    b2.ParseFromString(m2.SerializeToString())
+    assert list(b2.tags) == ["z", "b"]
+
+
 def test_multibatch_tws_user_stats_equals_batch(spark, tmp_path):
     """transformWithStateInPandas (ValueState) under a forced 4-file
     split: named state must merge across real trigger boundaries; the
