@@ -235,6 +235,11 @@ def requalify(names: list[str]) -> int:
             f"(runs {[round(s, 2) for s in samples]})",
             file=sys.stderr,
         )
+    # two-sided transparency (ADVICE r11): the pre-splice mean stays in
+    # the record next to the spliced one, so a reader sees the effect
+    # of the resampling instead of only its result (old_median per
+    # sample is already in the `requalified` log)
+    committed["sec_per_query_pre_requalify"] = committed.get("sec_per_query")
     committed["sec_per_query"] = round(
         sum(committed["queries"].values()) / max(len(committed["queries"]), 1),
         3,
@@ -346,13 +351,38 @@ def main() -> None:
         # time keeps the full 90+-query suite inside the harness budget.
         runs = RUNS if warm >= 0.3 else 1
         samples = sorted(run_once(df) for _ in range(runs))
-        timings[name] = round(statistics.median(samples), 4)
         conditions[name] = {
             "runs": [round(s, 4) for s in samples],
             "warm": round(warm, 4),
             "load1_before": load_before,
             "load1_after": round(os.getloadavg()[0], 2),
         }
+        # Inline requalification (r12, VERDICT r11 #6): when this
+        # query's OWN runs disagree by more than the contamination
+        # spread (a JVM slow phase or load spike hit mid-sample — the
+        # same signal `--requalify` uses on the committed record),
+        # re-time once within the same run and keep the sample with
+        # the SMALLER spread.  Selecting on spread, not on median,
+        # keeps the correction two-sided (an anomalously fast outlier
+        # inflates spread exactly like a slow one); both samples stay
+        # in the conditions array so the artifact shows its work.
+        if (
+            len(samples) >= 2
+            and samples[0] > 0
+            and samples[-1] / samples[0] > REQUAL_SPREAD
+            and statistics.median(samples) >= REQUAL_MIN_SEC
+        ):
+            resamples = sorted(run_once(df) for _ in range(runs))
+            conditions[name]["retimed_runs"] = [round(s, 4) for s in resamples]
+            conditions[name]["load1_after_retime"] = round(
+                os.getloadavg()[0], 2
+            )
+            if resamples[-1] / max(resamples[0], 1e-9) < (
+                samples[-1] / samples[0]
+            ):
+                samples = resamples
+                conditions[name]["retime_used"] = True
+        timings[name] = round(statistics.median(samples), 4)
         print(
             f"{name} median={timings[name]:.2f} wall={time.perf_counter() - t0:.2f}"
             f" load1={conditions[name]['load1_after']:.1f}",
