@@ -44,11 +44,14 @@ _CACHE_ROOT = os.environ.get(
                  "spark-warehouse", "_fixture_cache"),
 )
 
-# (sf_dir, name, target) -> resolved scan path (original or cache).
-# The partition-count probe converts the plan to an RDD, which is not
-# free — memoized; the target is part of the key so a later session
-# with a different core count doesn't reuse a stale answer.
-_SCAN_PATH_MEMO: dict[tuple[str, str, int], str] = {}
+# (sf_dir, name, fingerprint, target) -> resolved scan path (original
+# or cache).  The partition-count probe converts the plan to an RDD,
+# which is not free — memoized; the CONTENT FINGERPRINT is part of the
+# key (stat-level, microseconds per call) so a corpus mutated in place
+# at the same path gets re-probed and re-cached instead of served the
+# stale rewrite, and the core-count target is too so a later session
+# with different parallelism doesn't reuse a stale answer.
+_SCAN_PATH_MEMO: dict[tuple[str, str, str, int], str] = {}
 
 
 def _fact_scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -67,7 +70,8 @@ def _fact_scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     probe sees enough splits and scans the original path directly.
     """
     target = spark.sparkContext.defaultParallelism
-    memo_key = (sf_dir, name, target)
+    fp = table_fingerprint(sf_dir, name)
+    memo_key = (sf_dir, name, fp, target)
     cached = _SCAN_PATH_MEMO.get(memo_key)
     if cached is not None:
         return cached
@@ -75,7 +79,6 @@ def _fact_scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     if spark.read.parquet(orig).rdd.getNumPartitions() >= target:
         _SCAN_PATH_MEMO[memo_key] = orig
         return orig
-    fp = table_fingerprint(sf_dir, name)
     cache = os.path.join(_CACHE_ROOT, f"{name}-{fp}-p{target}.parquet")
     if not os.path.isfile(os.path.join(cache, "_SUCCESS")):
         import shutil

@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..data import table
+from ..data import materialize, table
 from ..functions.text import sql_tokens, tokens_of
 from ..registry import register
 from .dedup import (
@@ -430,7 +430,14 @@ def q_simhash_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(tokens_of(F.col("text"))), lambda w: F.xxhash64(w)
         ).alias("hashes"),
     )
-    s = hashed.select("doc_id", simhash_of(F.col("hashes")).alias("sh"))
+    # materialize the (doc_id, simhash) table before the self-join —
+    # the signature-store rule (see test_signature_store_queries_...):
+    # a Python UDF's resultId defeats canonical-plan reuse, so WITHOUT
+    # this each side of the n² brute join re-runs the tokenize+SimHash
+    # kernel over the corpus; the store is two longs per doc.
+    s = materialize(
+        hashed.select("doc_id", simhash_of(F.col("hashes")).alias("sh"))
+    )
     a, b = s.alias("a"), s.alias("b")
     brute = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))

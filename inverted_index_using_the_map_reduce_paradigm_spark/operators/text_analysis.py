@@ -1062,10 +1062,15 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
        same posture as sequence_packing's per-lang shard rollup);
     3. qlevel offsets: one window over <= 1e6+1 one-per-level rows.
 
-    The shard/level totals are derived FROM the level-1 windowed
-    stream (max of cum+n per group), not a second corpus scan, so the
-    groupBys ride the (qlevel, shard) exchange the window already paid
-    for and the corpus is scanned + tokenized exactly once.  Levels
+    The shard-totals branch re-scans the pruned parquet and collapses
+    map-side to one row per (qlevel, shard) BEFORE its exchange, so
+    only the window's exchange is corpus-sized.  (Deriving the totals
+    from the windowed stream instead would NOT save the second pass:
+    Catalyst prunes the two consumers' columns differently, ReuseExchange
+    cannot match the window's exchange, and the materialization a
+    manual checkpoint would buy costs a full corpus write — a second
+    column-pruned scan + tokenize is the cheaper production shape,
+    measured, and is what a real multi-file table plans too.)  Levels
     whose offset already exceeds the budget are dropped BEFORE the
     join back, so past-budget data never flows through the final
     filter at all.  No broadcast hints: the offset tables are
