@@ -34,6 +34,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # partitions only add exchange overhead.
 FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
 
+# Corpus tables whose scan-fused consumers are CPU-heavy per row
+# (tokenize, shingle, vector math): always split to the full core
+# count — per-core work dominates per-file overhead by orders of
+# magnitude.  The relational facts split by ROW count instead
+# (ROWS_PER_SPLIT): their per-row work is columnar arithmetic, so wide
+# splits only add per-task latency that AQE's stage orchestration
+# amplifies — measured on tpch_q8 (6 broadcast stages): 32-way facts
+# tripled the query (0.66 s -> 2.0 s) while q1-style single-scan
+# aggregates gained 2-3x from width; 100k rows/split keeps most of
+# q1's gain at a ~0.1 s q8 cost.  A table whose row count doesn't
+# justify 2 splits scans the original file untouched — which is also
+# the production shape: real small tables are few files.
+CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+ROWS_PER_SPLIT = 100_000
+
 
 # Where the one-time multi-file rewrites of under-partitioned fixture
 # tables live.  Gitignored (under spark-warehouse/); override for
@@ -76,19 +91,30 @@ def _fact_scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     if cached is not None:
         return cached
     orig = f"{sf_dir}/{name}.parquet"
-    if spark.read.parquet(orig).rdd.getNumPartitions() >= target:
+    if name in CPU_HEAVY_TABLES:
+        n_files = target
+    else:
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(orig).metadata.num_rows
+        n_files = min(target, max(1, rows // ROWS_PER_SPLIT))
+    if (
+        n_files <= 1
+        or spark.read.parquet(orig).rdd.getNumPartitions() >= n_files
+    ):
         _SCAN_PATH_MEMO[memo_key] = orig
         return orig
-    cache = os.path.join(_CACHE_ROOT, f"{name}-{fp}-p{target}.parquet")
+    cache = os.path.join(_CACHE_ROOT, f"{name}-{fp}-p{n_files}.parquet")
     if not os.path.isfile(os.path.join(cache, "_SUCCESS")):
         import shutil
         import uuid
 
         tmp = f"{cache}.tmp-{uuid.uuid4().hex[:8]}"
-        # Round-robin into `target` files so the cached scan yields one
-        # split per core; the shuffle happens once here, never in query
-        # plans.  Atomic rename = safe under concurrent builders.
-        spark.read.parquet(orig).repartition(target).write.parquet(tmp)
+        # Round-robin into `n_files` files so the cached scan yields
+        # that many native splits; the shuffle happens once here, never
+        # in query plans.  Atomic rename = safe under concurrent
+        # builders.
+        spark.read.parquet(orig).repartition(n_files).write.parquet(tmp)
         try:
             os.rename(tmp, cache)
         except OSError:  # lost the race: another process renamed first
