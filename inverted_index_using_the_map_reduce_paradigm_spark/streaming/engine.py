@@ -1305,13 +1305,15 @@ def _ttl_halves_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     from ..data import _CACHE_ROOT, table_fingerprint
 
     fp = table_fingerprint(sf_dir, "events")
-    dest = os.path.join(_CACHE_ROOT, f"events_ttl_halves-{fp}")
+    dest = os.path.join(_CACHE_ROOT, f"events_ttl_halves2-{fp}")
     marker = os.path.join(dest, "_COMPLETE")
     if not os.path.isfile(marker):
         import glob as _glob
         import shutil
 
-        ev = _events_static(spark, sf_dir).select("event_id", "user_id", "value")
+        ev = _events_static(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
         tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
         for half in (0, 1):
@@ -1399,7 +1401,7 @@ def user_stats_tws_ttl(
     )
     halves, n_rows = _ttl_halves_dir(spark, sf_dir)
     ev = (
-        spark.readStream.schema("event_id LONG, user_id LONG, value DOUBLE")
+        spark.readStream.schema(_TTL_HALVES_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(halves)
         .select("user_id", "value")
@@ -1449,6 +1451,118 @@ class UserStatsTTLProcessor:
 USER_TTL_OUT_SCHEMA = (
     "user_id LONG, n_events LONG, sum_value DOUBLE, fresh BOOLEAN"
 )
+
+_TTL_HALVES_SCHEMA = (
+    "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+)
+
+
+class EventTypeStatsTTLProcessor:
+    """EventTypeStatsProcessor with 1 ms TTL on BOTH its states —
+    MapState entries (per-event-type running stats) and the ListState
+    batch log.  With every entry expiring between triggers, the map
+    re-emitted per batch holds exactly that batch's event types and
+    the batch log always reads length 1, so the update-mode sink is
+    the per-half batch recompute — MapState/ListState TTL made
+    oracle-falsifiable the same way the ValueState twin is."""
+
+    def init(self, handle) -> None:
+        self.counts = handle.getMapState(
+            "etype_counts",
+            "event_type STRING",
+            "n LONG, total DOUBLE",
+            ttlDurationMs=1,
+        )
+        self.batches = handle.getListState(
+            "batch_log", "n LONG", ttlDurationMs=1
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        agg: dict[str, list] = {}
+        n_rows = 0
+        for pdf in rows:
+            n_rows += len(pdf)
+            for et, grp in pdf.groupby("event_type"):
+                a = agg.setdefault(str(et), [0, 0.0])
+                a[0] += len(grp)
+                a[1] += float(grp["value"].sum())
+        for et, (n, tot) in agg.items():
+            prev = (
+                self.counts.getValue((et,))
+                if self.counts.containsKey((et,))
+                else (0, 0.0)
+            )
+            self.counts.updateValue((et,), (prev[0] + n, prev[1] + tot))
+        self.batches.appendValue((n_rows,))
+        n_batches = sum(1 for _ in self.batches.get())
+        out = [
+            (key[0], k[0], v[0], round(v[1], 2) + 0.0, n_batches)
+            for k, v in self.counts.iterator()
+        ]
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_type", "n_events", "sum_value", "n_batches"
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def event_type_stats_tws_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState + ListState TTL live on RocksDB: the ``event_id % 2``
+    two-batch harness with 1 ms TTLs — every map entry and the batch
+    log expire between triggers, so each batch's emission is that
+    batch's per-(user, event_type) stats with ``n_batches = 1``; the
+    oracle recomputes exactly that per half.  Surviving state would
+    inflate second-half counts (map) or n_batches (list) and flip the
+    value hash."""
+    _ship_protoshim(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    halves, n_rows = _ttl_halves_dir(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(_TTL_HALVES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(halves)
+        .select("user_id", "event_type", "value")
+    )
+    stats = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EventTypeStatsTTLProcessor(),
+        outputStructType=ETYPE_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    return _run_ttl_stream_to_memory(stats, n_rows)
+
+
+if transform_with_state_available():
+    register(
+        "stream_event_type_stats_tws_ttl",
+        oracle="""
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value,
+       CAST(1 AS BIGINT) AS n_batches
+FROM events WHERE event_id % 2 = 0 GROUP BY user_id, event_type
+UNION ALL
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) + 0 AS sum_value,
+       CAST(1 AS BIGINT) AS n_batches
+FROM events WHERE event_id % 2 = 1 GROUP BY user_id, event_type
+""",
+        description=(
+            "LIVE MapState + ListState TTL on RocksDB: per-entry expiry"
+            " between the two forced micro-batches"
+        ),
+        bench=False,
+        tags=("streaming", "stateful", "udf", "ttl"),
+    )(event_type_stats_tws_ttl)
 
 
 if transform_with_state_available():

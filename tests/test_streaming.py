@@ -1368,6 +1368,38 @@ def test_tws_ttl_live_expires_between_batches(spark):
     assert {(r.user_id, r.n_events, r.sum_value) for r in rows} == per_half
 
 
+def test_tws_ttl_map_and_list_state_expire_between_batches(spark):
+    """MapState + ListState TTL live (r12): over the two event_id%2
+    micro-batches with 1 ms TTLs, every map entry and the batch log
+    expire between triggers — each emission is its batch's
+    per-(user, event_type) stats and n_batches reads 1 everywhere
+    (a surviving list entry would read 2 on the second batch)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    if not _engine.transform_with_state_available():
+        pytest.skip("transformWithState runtime unavailable")
+    sink = load_all()["stream_event_type_stats_tws_ttl"].fn(spark, SF)
+    assert _engine._LAST_FED_BATCHES == 2
+    rows = sink.collect()
+    assert rows and all(r.n_batches == 1 for r in rows)
+    ev = table(spark, SF, "events")
+    per_half = as_set(
+        ev.groupBy((F.col("event_id") % 2).alias("h"), "user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select("user_id", "event_type", "n_events", "sum_value")
+    )
+    assert {
+        (r.user_id, r.event_type, r.n_events, r.sum_value) for r in rows
+    } == per_half
+
+
 def test_tws_ttl_large_ttl_accumulates(spark):
     """The eviction in the live-TTL test is the TTL's doing, not
     ProcessingTime mode wiping state wholesale: the SAME two-batch
