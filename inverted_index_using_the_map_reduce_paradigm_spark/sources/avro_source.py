@@ -10,12 +10,14 @@ Container File layout: ``Obj\\x01`` magic, a metadata map carrying the
 JSON schema and codec, then sync-marker-delimited blocks of
 zigzag-varint-encoded records.
 
-Split model: ONE InputPartition per ``.avro`` file (the FileScan
-model); a real deployment pointing at thousands of container files
-fans out with no coordination.  (Per-BLOCK splits within a file are
-possible via the sync marker — resync like Hadoop's AvroInputFormat —
-but one-partition-per-file matches the writer below, which produces
-one file per write task.)
+Split model: one InputPartition per ``.avro`` file PLUS byte-range
+splits WITHIN files larger than the split size (default 32 MiB) —
+the Hadoop AvroInputFormat model: a range reader seeks to its start
+offset, resyncs on the 16-byte sync marker, and owns every block that
+BEGINS inside its range, so a single multi-GB container file still
+fans out across executor cores with no coordination.  Fixture-sized
+files get exactly one split, matching the writer below (one container
+per write task).
 
 The writer is the inverse: each write task serializes its row
 iterator into one container file under the destination directory —
@@ -244,7 +246,11 @@ def _decode_value(avro_type, buf, pos: int):
 
 
 def write_container(
-    path: str, schema_json: str, rows: Iterator, codec: str = "deflate"
+    path: str,
+    schema_json: str,
+    rows: Iterator,
+    codec: str = "deflate",
+    block_bytes: int = 4 * 1024 * 1024,
 ) -> int:
     """Serialize ``rows`` (sequences in field order) into one OCF at
     ``path``; returns the record count.  One block per ~4 MiB of
@@ -281,7 +287,7 @@ def write_container(
             block += _encode_value(t, v)
         n_in_block += 1
         total += 1
-        if len(block) >= 4 * 1024 * 1024:
+        if len(block) >= block_bytes:
             flush(block, n_in_block)
             block, n_in_block = bytearray(), 0
     if n_in_block:
@@ -319,33 +325,78 @@ def read_header(path: str) -> tuple[str, str, bytes, int]:
     return meta["avro.schema"].decode("utf-8"), codec, sync, pos
 
 
-def read_container(path: str) -> Iterator[tuple]:
-    schema_json, codec, sync, pos = read_header(path)
+def read_range(
+    path: str, start: int | None = None, end: int | None = None
+) -> Iterator[tuple]:
+    """Decode the blocks that BEGIN in ``[start, end)`` of one OCF —
+    the split-ownership rule that makes byte-range partitioning
+    lossless and disjoint (Hadoop's AvroInputFormat): a reader whose
+    range opens mid-block resyncs forward on the 16-byte sync marker,
+    and a block straddling ``end`` still belongs to the range that
+    contains its first byte.  ``start=None`` means the first block
+    (no resync scan)."""
+    schema_json, codec, sync, first = read_header(path)
     sch = json.loads(schema_json)
     field_types = [f["type"] for f in sch["fields"]]
+    size = os.path.getsize(path)
+    if end is None:
+        end = size
     with open(path, "rb") as fh:
-        data = fh.read()
-    while pos < len(data):
-        n_records, pos = _dec_long(data, pos)
-        n_bytes, pos = _dec_long(data, pos)
-        payload = data[pos : pos + n_bytes]
-        pos += n_bytes
-        if data[pos : pos + 16] != sync:
-            raise ValueError(f"{path}: sync marker mismatch at {pos}")
-        pos += 16
-        if codec == "deflate":
-            payload = zlib.decompress(payload, wbits=-15)
-        elif codec != "null":
-            raise ValueError(f"{path}: unsupported avro codec {codec!r}")
-        p = 0
-        for _ in range(n_records):
-            row = []
-            for t in field_types:
-                v, p = _decode_value(t, payload, p)
-                row.append(v)
-            yield tuple(row)
-        if p != len(payload):
-            raise ValueError(f"{path}: {len(payload) - p} trailing block bytes")
+        # growable window [base, base+len(buf)) — a range reads only
+        # its own bytes plus whatever its last (possibly straddling)
+        # block needs, never the whole file
+        base = first if (start is None or start <= first) else start - 16
+        fh.seek(base)
+        buf = fh.read(max(end - base, 0) + 16)
+
+        def ensure(upto_abs: int) -> None:
+            nonlocal buf
+            need = upto_abs - base - len(buf)
+            if need > 0:
+                buf += fh.read(need)
+
+        if start is None or start <= first:
+            pos = first
+        else:
+            # resync: a block begins immediately after a sync marker;
+            # searching from start-16 means a sync ENDING exactly at
+            # start is found, so the block starting at start belongs
+            # to this range.  (A random 16-byte payload collision with
+            # the marker would misalign the scan — the standard
+            # 2^-128 risk every Avro splitter accepts.)
+            hit = buf.find(sync)
+            if hit < 0 or base + hit + 16 >= end:
+                return
+            pos = base + hit + 16
+        while pos < end and pos < size:
+            ensure(pos + 20)
+            n_records, p2 = _dec_long(buf, pos - base)
+            n_bytes, p2 = _dec_long(buf, p2)
+            block_end = base + p2 + n_bytes + 16
+            ensure(block_end)
+            payload = buf[p2 : p2 + n_bytes]
+            if buf[p2 + n_bytes : p2 + n_bytes + 16] != sync:
+                raise ValueError(f"{path}: sync marker mismatch at {base + p2 + n_bytes}")
+            pos = block_end
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
+            elif codec != "null":
+                raise ValueError(f"{path}: unsupported avro codec {codec!r}")
+            p = 0
+            for _ in range(n_records):
+                row = []
+                for t in field_types:
+                    v, p = _decode_value(t, payload, p)
+                    row.append(v)
+                yield tuple(row)
+            if p != len(payload):
+                raise ValueError(
+                    f"{path}: {len(payload) - p} trailing block bytes"
+                )
+
+
+def read_container(path: str) -> Iterator[tuple]:
+    yield from read_range(path)
 
 
 # --------------------------------------------------------------------------
@@ -354,8 +405,10 @@ def read_container(path: str) -> Iterator[tuple]:
 
 
 class AvroFilePartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, start: int | None = None, end: int | None = None) -> None:
         self.path = path
+        self.start = start
+        self.end = end
 
 
 class AvroReader(DataSourceReader):
@@ -364,15 +417,38 @@ class AvroReader(DataSourceReader):
         if not path:
             raise ValueError("avro_py source requires .option('path', dir)")
         self.dir = path
+        self.split_bytes = int(
+            float(options.get("split_mib", "32")) * (1 << 20)
+        )
 
-    def partitions(self):  # one split per container file
+    def partitions(self):
+        """One split per file, plus byte-range splits inside files
+        larger than ``split_mib`` — each range reader resyncs on the
+        sync marker and owns the blocks that begin in its range, so a
+        single huge container still fans out (the 100 TB shape).  The
+        per-file header read here is driver-side but bounded: one
+        small read per file, no data scan."""
         files = sorted(glob.glob(os.path.join(self.dir, "*.avro")))
         if not files:
             raise FileNotFoundError(f"no .avro files under {self.dir}")
-        return [AvroFilePartition(p) for p in files]
+        parts: list[AvroFilePartition] = []
+        for p in files:
+            size = os.path.getsize(p)
+            _schema, _codec, _sync, first = read_header(p)
+            if size - first <= self.split_bytes:
+                parts.append(AvroFilePartition(p))
+                continue
+            lo = first
+            while lo < size:
+                hi = min(lo + self.split_bytes, size)
+                parts.append(
+                    AvroFilePartition(p, None if lo == first else lo, hi)
+                )
+                lo = hi
+        return parts
 
     def read(self, partition: AvroFilePartition):
-        yield from read_container(partition.path)
+        yield from read_range(partition.path, partition.start, partition.end)
 
 
 class AvroCommitMessage(WriterCommitMessage):
