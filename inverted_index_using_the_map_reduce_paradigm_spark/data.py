@@ -94,9 +94,18 @@ def _fact_scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     if name in CPU_HEAVY_TABLES:
         n_files = target
     else:
+        import glob as _glob
+
         import pyarrow.parquet as pq
 
-        rows = pq.ParquetFile(orig).metadata.num_rows
+        # footer-only row count; a table may be a single file or a
+        # directory of part files (e.g. a Spark-written fixture copy)
+        files = (
+            sorted(_glob.glob(os.path.join(orig, "*.parquet")))
+            if os.path.isdir(orig)
+            else [orig]
+        )
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         n_files = min(target, max(1, rows // ROWS_PER_SPLIT))
     if (
         n_files <= 1
