@@ -37,7 +37,6 @@ absent, so callers are deployment-agnostic.
 from __future__ import annotations
 
 import glob
-import io
 import json
 import os
 import struct
@@ -255,7 +254,10 @@ def write_container(
     """Serialize ``rows`` (sequences in field order) into one OCF at
     ``path``; returns the record count.  One block per ~4 MiB of
     encoded payload — block-per-file would defeat future per-block
-    splitting; block-per-row would pay the sync marker 16x per row."""
+    splitting; block-per-row would pay the sync marker 16x per row.
+    Blocks stream to disk as they fill, so peak memory is one encoded
+    block (~4 MiB), never the whole container — a write task over a
+    large partition must not buffer its full output in executor RAM."""
     sch = json.loads(schema_json)
     field_types = [f["type"] for f in sch["fields"]]
     sync = uuid.uuid5(uuid.NAMESPACE_URL, path).bytes  # deterministic
@@ -263,66 +265,97 @@ def write_container(
         "avro.schema": schema_json.encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
     }
-    out = io.BytesIO()
-    out.write(MAGIC)
-    out.write(_enc_long(len(meta)))
-    for k, v in meta.items():
-        kb = k.encode("utf-8")
-        out.write(_enc_long(len(kb)) + kb + _enc_long(len(v)) + v)
-    out.write(_enc_long(0))
-    out.write(sync)
-
-    def flush(buf: bytearray, n: int) -> None:
-        payload = bytes(buf)
-        if codec == "deflate":
-            co = zlib.compressobj(wbits=-15)  # raw stream per spec
-            payload = co.compress(payload) + co.flush()
-        out.write(_enc_long(n) + _enc_long(len(payload)) + payload + sync)
-
-    block = bytearray()
-    n_in_block = 0
     total = 0
-    for row in rows:
-        for t, v in zip(field_types, row):
-            block += _encode_value(t, v)
-        n_in_block += 1
-        total += 1
-        if len(block) >= block_bytes:
-            flush(block, n_in_block)
-            block, n_in_block = bytearray(), 0
-    if n_in_block:
-        flush(block, n_in_block)
     with open(path, "wb") as fh:
-        fh.write(out.getvalue())
+        fh.write(MAGIC)
+        fh.write(_enc_long(len(meta)))
+        for k, v in meta.items():
+            kb = k.encode("utf-8")
+            fh.write(_enc_long(len(kb)) + kb + _enc_long(len(v)) + v)
+        fh.write(_enc_long(0))
+        fh.write(sync)
+
+        def flush(buf: bytearray, n: int) -> None:
+            payload = bytes(buf)
+            if codec == "deflate":
+                co = zlib.compressobj(wbits=-15)  # raw stream per spec
+                payload = co.compress(payload) + co.flush()
+            fh.write(_enc_long(n) + _enc_long(len(payload)) + payload + sync)
+
+        block = bytearray()
+        n_in_block = 0
+        for row in rows:
+            for t, v in zip(field_types, row):
+                block += _encode_value(t, v)
+            n_in_block += 1
+            total += 1
+            if len(block) >= block_bytes:
+                flush(block, n_in_block)
+                block, n_in_block = bytearray(), 0
+        if n_in_block:
+            flush(block, n_in_block)
     return total
 
 
-def read_header(path: str) -> tuple[str, str, bytes, int]:
-    """(schema_json, codec, sync, first_block_pos) of one OCF."""
-    with open(path, "rb") as fh:
-        head = fh.read()
+class _NeedMore(Exception):
+    """Header parse ran off the end of the buffered prefix."""
+
+
+def _parse_header(head: bytes, path: str) -> tuple[str, str, bytes, int]:
+    if len(head) < 4:
+        raise _NeedMore
     if head[:4] != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
+
+    def take(pos: int, n: int) -> bytes:
+        if pos + n > len(head):
+            raise _NeedMore
+        return head[pos : pos + n]
+
     pos = 4
     meta: dict[str, bytes] = {}
-    while True:
-        n, pos = _dec_long(head, pos)
-        if n == 0:
-            break
-        if n < 0:  # block with byte size
-            n = -n
-            _, pos = _dec_long(head, pos)
-        for _ in range(n):
-            klen, pos = _dec_long(head, pos)
-            k = head[pos : pos + klen].decode("utf-8")
-            pos += klen
-            vlen, pos = _dec_long(head, pos)
-            meta[k] = bytes(head[pos : pos + vlen])
-            pos += vlen
-    sync = bytes(head[pos : pos + 16])
+    try:
+        while True:
+            n, pos = _dec_long(head, pos)
+            if n == 0:
+                break
+            if n < 0:  # block with byte size
+                n = -n
+                _, pos = _dec_long(head, pos)
+            for _ in range(n):
+                klen, pos = _dec_long(head, pos)
+                k = take(pos, klen).decode("utf-8")
+                pos += klen
+                vlen, pos = _dec_long(head, pos)
+                meta[k] = bytes(take(pos, vlen))
+                pos += vlen
+    except IndexError:  # varint decode ran past the buffered prefix
+        raise _NeedMore from None
+    sync = bytes(take(pos, 16))
     pos += 16
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     return meta["avro.schema"].decode("utf-8"), codec, sync, pos
+
+
+def read_header(path: str) -> tuple[str, str, bytes, int]:
+    """(schema_json, codec, sync, first_block_pos) of one OCF.
+
+    Incremental: reads a 64 KiB prefix and doubles on demand until the
+    metadata map and sync marker decode — never the whole file.  This
+    is called once per file at planning time AND once per byte-range
+    split at read time, so on a multi-GB container (the exact case
+    range splits exist for) a full-file slurp here would read the
+    container O(n_splits) times and hold it in RAM."""
+    with open(path, "rb") as fh:
+        head = fh.read(64 * 1024)
+        while True:
+            try:
+                return _parse_header(head, path)
+            except _NeedMore:
+                more = fh.read(len(head))  # geometric growth
+                if not more:
+                    raise ValueError(f"{path}: truncated avro header")
+                head += more
 
 
 def read_range(
@@ -453,14 +486,22 @@ class AvroReader(DataSourceReader):
 
 class AvroCommitMessage(WriterCommitMessage):
     def __init__(self, file: str, n: int) -> None:
-        self.file = file
+        self.file = file  # staging path (.avro.tmp-<attempt>)
         self.n = n
 
 
 class AvroWriter(DataSourceWriter):
     """One container file per write task under the destination dir —
     the distributed-sink layout (no driver funnel; each task owns its
-    shard, exactly like parquet's part files)."""
+    shard, exactly like parquet's part files).
+
+    Task-commit protocol: each task attempt writes to a staging name
+    (``*.avro.tmp-<attempt>``) the reader's ``*.avro`` glob never
+    matches; ``commit()`` renames exactly the files named in the
+    commit messages to their final ``.avro`` name and sweeps any
+    orphaned staging files (failed / speculatively-retried attempts
+    that wrote before dying), so a lost task can never leave a shard
+    that is read back twice."""
 
     def __init__(self, options: dict, schema_json: str) -> None:
         path = options.get("path")
@@ -471,17 +512,26 @@ class AvroWriter(DataSourceWriter):
 
     def write(self, iterator: Iterator) -> AvroCommitMessage:
         os.makedirs(self.dir, exist_ok=True)
-        dest = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.avro")
-        n = write_container(dest, self.schema_json, (tuple(r) for r in iterator))
-        return AvroCommitMessage(dest, n)
+        attempt = uuid.uuid4().hex
+        staged = os.path.join(self.dir, f"part-{attempt}.avro.tmp-{attempt}")
+        n = write_container(staged, self.schema_json, (tuple(r) for r in iterator))
+        return AvroCommitMessage(staged, n)
 
     def commit(self, messages) -> None:
-        pass  # files are in place; nothing to publish
+        committed = set()
+        for m in messages:
+            if m is None:
+                continue
+            final = m.file.split(".avro.tmp-")[0] + ".avro"
+            os.replace(m.file, final)
+            committed.add(final)
+        # sweep staging files from attempts that never reached commit
+        for orphan in glob.glob(os.path.join(self.dir, "*.avro.tmp-*")):
+            os.remove(orphan)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.file):
-                os.remove(m.file)
+        for orphan in glob.glob(os.path.join(self.dir, "*.avro.tmp-*")):
+            os.remove(orphan)
 
 
 class AvroDataSource(DataSource):

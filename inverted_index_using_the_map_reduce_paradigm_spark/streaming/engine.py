@@ -16,6 +16,7 @@ store, shuffle on (window, key) — is already what these build.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import uuid
@@ -1336,15 +1337,49 @@ def _ttl_halves_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     return dest, n_rows
 
 
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class _ProgressTap(StreamingQueryListener):
+    """StreamingQueryListener that captures EVERY progress event for one
+    named query.  ``recentProgress`` is a bounded ring (~100 entries)
+    that the continuous empty ProcessingTime maintenance batches churn
+    through — a data batch's entry can be evicted between polls, which
+    would make a poll-the-ring loop hang to its timeout.  A listener
+    sees each event exactly once, no eviction window."""
+
+    def __init__(self, query_name: str) -> None:
+        self.name = query_name
+        self.fed: dict[int, dict] = {}
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = json.loads(event.progress.json)
+        if p.get("name") == self.name and p.get("numInputRows", 0) > 0:
+            self.fed[p["batchId"]] = p
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
 def _run_ttl_stream_to_memory(result: DataFrame, expected_rows: int) -> DataFrame:
     """Drive a ProcessingTime-timeMode stream until all input rows have
     been consumed and committed, then stop it.  processAllAvailable is
-    unusable here (see the section note); progress entries are
-    accumulated by batchId because the empty maintenance batches churn
-    through the bounded recentProgress ring."""
+    unusable here (see the section note); progress is captured by a
+    StreamingQueryListener registered BEFORE start, because the
+    recentProgress ring can evict a data batch's entry between polls
+    (see _ProgressTap)."""
     import time
 
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    tap = _ProgressTap(name)
+    spark = result.sparkSession
+    spark.streams.addListener(tap)
     q = (
         result.writeStream.outputMode("update")
         .format("memory")
@@ -1352,13 +1387,10 @@ def _run_ttl_stream_to_memory(result: DataFrame, expected_rows: int) -> DataFram
         .start()
     )
     global _LAST_FED_BATCHES, _LAST_PROGRESS
-    fed: dict[int, dict] = {}
     try:
         deadline = time.time() + 600
         while True:
-            for p in q.recentProgress:
-                if p["numInputRows"] > 0:
-                    fed[p["batchId"]] = p
+            fed = dict(tap.fed)  # snapshot: listener thread appends
             if sum(p["numInputRows"] for p in fed.values()) >= expected_rows:
                 break
             if time.time() > deadline:
@@ -1372,6 +1404,7 @@ def _run_ttl_stream_to_memory(result: DataFrame, expected_rows: int) -> DataFram
         _LAST_PROGRESS = list(fed.values())
     finally:
         q.stop()
+        spark.streams.removeListener(tap)
     return result.sparkSession.table(name)
 
 

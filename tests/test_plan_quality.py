@@ -930,10 +930,13 @@ def test_no_query_broadcasts_an_unbounded_fact_side(spark):
         # (data._fact_scan_path), so any round-robin left in a query
         # plan is a real blind repartition that would re-materialize
         # the full input at 100 TB.  Allowed exceptions: the GEMM tile
-        # fan-out (similarity.py embedding_near_dup_exact) round-robins
+        # fan-out (helper embedding_near_dup_exact, similarity.py:215,
+        # shared by both exempted registered queries) round-robins
         # a POST-AGGREGATION tile list of NB*(NB+1)/2 rows — one heavy
         # packed row per task, bounded by the block-count constant, not
-        # by corpus size.
+        # by corpus size.  The registered queries carrying that tile
+        # fan-out are 'embedding_near_dup' and 'rp_near_dup_census' —
+        # exactly the exempted names below.
         if name not in {"embedding_near_dup", "rp_near_dup_census"} and (
             "RoundRobinPartitioning" in audit.physical_plan(df)
         ):
