@@ -609,34 +609,28 @@ def simhash_of(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@register(
-    "simhash_dedup",
-    oracle=None,  # bit-level xxhash64 arithmetic is not portable SQL;
-    # tests validate symmetry/threshold properties instead.
-    description="SimHash64 near-dup pairs: 5-block combination banding + hamming<=3",
-    tags=("dedup", "approx"),
-)
-def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Combination banding (see _SIMHASH_BLOCKS): hamming<=3 flips at
-    most 3 of 5 blocks, so some 2-block combination matches exactly —
-    the combo-key join finds every qualifying pair (no recall loss),
-    then bit_count(xor) verifies."""
-    docs = table(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(tokens_of(F.col("text"))), lambda w: F.xxhash64(w)
-        ).alias("hashes"),
-    )
-    # materialize the signature table (doc_id, simhash — 16 bytes/row,
-    # the store a dedup pipeline persists at ingest anyway): a Python
-    # UDF's resultId defeats canonical plan equality, so WITHOUT this
-    # the chunk self-join's two sides each re-run the tokenize +
-    # simhash UDF over the whole corpus (measured in the final plan;
-    # same reuse failure _drop_hot_keys documents the workaround for).
-    s = materialize(
-        hashed.select("doc_id", simhash_of(F.col("hashes")).alias("simhash"))
-    )
+def hamming_band_pairs(
+    s: DataFrame, sig_col: str, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
+    """Combination-banding candidate join + bit_count verify over a
+    64-bit signature table ``(doc_id, <sig_col>)`` → ``(doc_a, doc_b,
+    hamming)`` with ``hamming <= hamming_max`` — EXACT recall by
+    pigeonhole (see _SIMHASH_BLOCKS): hamming<=3 flips bits in at most
+    3 of the 5 blocks, so at least 2 blocks are intact and some
+    2-block combination key matches.  Shared by ``simhash_dedup``
+    (text fingerprints) and ``multimodal_phash_dedup`` (image
+    perceptual hashes) — the banding is signature-agnostic; only the
+    hash function differs.
+
+    The caller should pass a MATERIALIZED signature table: a Python
+    UDF's resultId defeats canonical plan equality, so an
+    unmaterialized input makes the self-join's two sides each re-run
+    the signature kernel over the whole corpus."""
+    if hamming_max != HAMMING_MAX:
+        raise ValueError(
+            "the 5-block/2-combo banding is exact only for hamming<=3"
+        )
+
     def _combo_key(ci: int, combo: tuple) -> F.Column:
         # (combo_id << 26) | block_i << 13 | block_j — one long per
         # combo; every block occupies a FIXED 13-bit lane (the 12-bit
@@ -650,7 +644,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = F.lit(ci).cast("long")
         for b in combo:
             off, width = _SIMHASH_BLOCKS[b]
-            block = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+            block = F.shiftrightunsigned(F.col(sig_col), off).bitwiseAND(
                 F.lit((1 << width) - 1)
             )
             v = F.shiftleft(v, 13).bitwiseOR(block)
@@ -658,7 +652,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunks = s.select(
         "doc_id",
-        "simhash",
+        sig_col,
         F.explode(
             F.array(
                 *[
@@ -679,15 +673,42 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sa"),
-            F.col("y.simhash").alias("sb"),
+            F.col(f"x.{sig_col}").alias("sa"),
+            F.col(f"y.{sig_col}").alias("sb"),
         )
         .distinct()
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.filter(ham <= HAMMING_MAX).select(
+    return cand.filter(ham <= hamming_max).select(
         "doc_a", "doc_b", ham.alias("hamming")
     )
+
+
+@register(
+    "simhash_dedup",
+    oracle=None,  # bit-level xxhash64 arithmetic is not portable SQL;
+    # tests validate symmetry/threshold properties instead.
+    description="SimHash64 near-dup pairs: 5-block combination banding + hamming<=3",
+    tags=("dedup", "approx"),
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combination banding via ``hamming_band_pairs`` — the combo-key
+    join finds every qualifying pair (no recall loss), then
+    bit_count(xor) verifies."""
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens_of(F.col("text"))), lambda w: F.xxhash64(w)
+        ).alias("hashes"),
+    )
+    # materialize the signature table (doc_id, simhash — 16 bytes/row,
+    # the store a dedup pipeline persists at ingest anyway); see
+    # hamming_band_pairs for why.
+    s = materialize(
+        hashed.select("doc_id", simhash_of(F.col("hashes")).alias("simhash"))
+    )
+    return hamming_band_pairs(s, "simhash")
 
 
 # --------------------------------------------------------------------------

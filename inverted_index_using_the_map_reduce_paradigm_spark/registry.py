@@ -146,6 +146,7 @@ def load_all() -> dict[str, Query]:
             training,
             census,
             html,
+            phash,
         )
         from .streaming import engine  # noqa: F401
 
