@@ -263,6 +263,73 @@ def test_avro_range_splits_are_lossless_and_disjoint(spark, tmp_path):
     assert sorted(tuple(r) for r in df.collect()) == sorted(rows)
 
 
+def test_avro_range_splits_on_large_container(spark, tmp_path):
+    """The suite-sized twin of scripts/avro_scale.py (which validated
+    the same invariants at 4 GiB — SCALE.md r13): a ~96 MiB single
+    container with MiB-scale rows must fan out to ~size/split_mib
+    partitions, and the split scan must agree with the whole-file
+    single-partition scan on a value-sensitive aggregate (count +
+    sum + xor-of-row-hashes), which a lost, duplicated, or
+    mis-resynced block cannot pass.  Also pins the incremental header
+    parse: planning reads headers per split without slurping the
+    container (a full-file read here would be ~1.3 GiB of redundant
+    I/O across 13 splits)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.sources.avro_source import (
+        AvroDataSource,
+        write_container,
+    )
+
+    n_rows, row_bytes = 96, 1 << 20
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "i", "type": "long"},
+                {"name": "payload", "type": "bytes"},
+            ],
+        }
+    )
+    p = str(tmp_path / "large.avro")
+    write_container(
+        p,
+        sch,
+        ((i, bytes([i % 256, (i >> 8) % 256]) * (row_bytes // 2)) for i in range(n_rows)),
+        codec="null",
+    )
+    size = os.path.getsize(p)
+    assert size >= n_rows * row_bytes  # ~96 MiB on disk
+
+    spark.dataSource.register(AvroDataSource)
+
+    def scan(split_mib: float):
+        df = (
+            spark.read.format("avro_py")
+            .option("path", str(tmp_path))
+            .option("split_mib", str(split_mib))
+            .load()
+        )
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.sum("i").alias("si"),
+            F.bit_xor(F.xxhash64("i", "payload")).alias("sh"),
+        ).collect()[0]
+        return df.rdd.getNumPartitions(), (agg.n, agg.si, agg.sh)
+
+    parts_split, agg_split = scan(8)
+    parts_whole, agg_whole = scan(size / (1 << 20) + 8)
+    assert parts_whole == 1
+    expected = size // (8 << 20) + 1
+    assert abs(parts_split - expected) <= 1, (parts_split, expected)
+    assert agg_split == agg_whole
+    assert agg_split[0] == n_rows
+
+
 def test_avro_python_source_matches_canonical_library(spark, tmp_path):
     """Spec fidelity of the pure-Python OCF codec is FALSIFIABLE even
     without spark-avro: Spark bundles the canonical org.apache.avro
