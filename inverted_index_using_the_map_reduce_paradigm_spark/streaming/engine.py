@@ -1734,3 +1734,197 @@ def q_stream_warc_sink_roundtrip(
     finally:
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# crash recovery (r13): kill a transformWithState query mid-stream,
+# restart from the same RocksDB checkpoint, prove exactly-once output.
+# --------------------------------------------------------------------------
+
+# Post-run evidence of the last recovery run, asserted by pytest: the
+# crash really happened (run 1 terminated with the injected error), the
+# pre-crash commit log held exactly batches {0, 1}, and run 2 resumed
+# from the same checkpoint rather than reprocessing from scratch.
+_LAST_RECOVERY: dict = {}
+
+
+def _event_thirds_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Split the events fixture into THREE single-file parquet thirds
+    by ``event_id % 3`` (deterministic, oracle-expressible) so the
+    recovery stream sees exactly three data micro-batches.  File
+    mtimes are spaced increasing so FileStreamSource's
+    modification-time ordering pins batch i == third i.  Cached next
+    to the fixture scan cache, keyed on the source fingerprint."""
+    from ..data import _CACHE_ROOT, table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "events")
+    dest = os.path.join(_CACHE_ROOT, f"events_thirds3-{fp}")
+    marker = os.path.join(dest, "_COMPLETE")
+    if not os.path.isfile(marker):
+        import glob as _glob
+        import shutil
+        import time as _time
+
+        ev = _events_static(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        base = _time.time() - 1000
+        for third in (0, 1, 2):
+            part_dir = os.path.join(tmp, f"_t{third}")
+            (
+                ev.filter(F.pmod("event_id", F.lit(3)) == third)
+                .coalesce(1)
+                .write.parquet(part_dir)
+            )
+            (part_file,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            final = os.path.join(tmp, f"third{third}.parquet")
+            os.rename(part_file, final)
+            os.utime(final, (base + 60 * third, base + 60 * third))
+            shutil.rmtree(part_dir)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
+            fh.write("ok\n")
+        try:
+            os.rename(tmp, dest)
+        except OSError:  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+def _run_user_stats_recovery(
+    spark: SparkSession, sf_dir: str, inject_crash: bool = True
+) -> DataFrame:
+    """Drive the per-user running-stats TWS query over the three-batch
+    fixture through a CRASH + RESTART cycle and return the union of
+    all per-batch sink output.
+
+    Run 1 processes batches 0 and 1 normally; on batch 2 the
+    foreachBatch sink writes a TORN partial output and raises — the
+    query dies mid-batch with committed state at version 2 (post-
+    batch-1).  Run 2 starts from the SAME checkpoint: the engine
+    replays batch 2 with the same batch id against the RECOVERED
+    RocksDB state, and the idempotent per-batch overwrite replaces the
+    torn files.  Exactly-once is falsifiable three ways: lost state
+    would make batch-2 running totals restart from zero (value
+    mismatch vs the cumulative oracle), a re-run of batches 0/1 would
+    show in the commit-log evidence, and the torn write would leave
+    phantom rows if the replay appended instead of overwrote."""
+    import tempfile
+
+    _ship_protoshim(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    thirds = _event_thirds_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tws_recovery_")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    os.makedirs(out)
+    crash_flag = os.path.join(work, "_crashed_once")
+
+    def stats_stream() -> DataFrame:
+        ev = (
+            spark.readStream.schema(_TTL_HALVES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(thirds)
+            .select("user_id", "value")
+        )
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserStatsProcessor(),
+            outputStructType=USER_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        dest = os.path.join(out, f"b{bid}")
+        rows = bdf.withColumn("batch_id", F.lit(bid).cast("long"))
+        if inject_crash and bid == 2 and not os.path.exists(crash_flag):
+            # torn write: some of batch 2's output lands, then the
+            # "process" dies — the replay must OVERWRITE, not append
+            rows.limit(3).write.mode("overwrite").parquet(dest)
+            with open(crash_flag, "w") as fh:
+                fh.write("x")
+            raise RuntimeError("injected crash after partial batch-2 write")
+        rows.write.mode("overwrite").parquet(dest)
+
+    def start():
+        return (
+            stats_stream()
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    global _LAST_RECOVERY
+    _LAST_RECOVERY = {"injected": inject_crash}
+    q = start()
+    crashed = False
+    try:
+        q.processAllAvailable()
+    except Exception:
+        crashed = q.exception() is not None
+    finally:
+        q.stop()
+    _LAST_RECOVERY["run1_crashed"] = crashed
+    _LAST_RECOVERY["run1_commits"] = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    if inject_crash:
+        if not crashed:
+            raise RuntimeError("injected crash did not surface in run 1")
+        if _LAST_RECOVERY["run1_commits"] != ["0", "1"]:
+            raise RuntimeError(
+                f"expected batches 0,1 committed before the crash, got "
+                f"{_LAST_RECOVERY['run1_commits']}"
+            )
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        _LAST_RECOVERY["run2_commits"] = sorted(
+            f for f in os.listdir(os.path.join(ckpt, "commits"))
+            if not f.startswith(".")
+        )
+    return spark.read.parquet(os.path.join(out, "b*"))
+
+
+def user_stats_tws_recovered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once claim a real cluster cares about, on the
+    driver surface: crash a transformWithStateInPandas query after two
+    committed batches (torn batch-2 output included), restart from the
+    same RocksDB checkpoint, and the final per-batch output must equal
+    the uninterrupted run — which is exactly what the cumulative
+    oracle computes per (user, batch) from raw events."""
+    return _run_user_stats_recovery(spark, sf_dir, inject_crash=True)
+
+
+if transform_with_state_available():
+    register(
+        "stream_user_stats_tws_recovered",
+        oracle="""
+WITH b AS (
+  SELECT user_id, event_id % 3 AS batch_id,
+         count(*) AS n, sum(value) AS s
+  FROM events GROUP BY user_id, event_id % 3
+)
+SELECT user_id, CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(sum(n) OVER (PARTITION BY user_id ORDER BY batch_id)
+            AS BIGINT) AS n_events,
+       round(sum(s) OVER (PARTITION BY user_id ORDER BY batch_id), 2) + 0
+         AS sum_value
+FROM b
+""",
+        description=(
+            "crash + restart from RocksDB checkpoint: TWS killed mid-batch-2"
+            " after 2 commits, recovered output equals the uninterrupted run"
+        ),
+        bench=False,
+        tags=("streaming", "stateful", "udf", "recovery"),
+    )(user_stats_tws_recovered)

