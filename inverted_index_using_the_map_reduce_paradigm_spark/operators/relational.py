@@ -534,6 +534,62 @@ def q_word_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_commonness_salted",
+    oracle=f"""
+WITH t AS (SELECT doc_id, unnest({sql_tokens('text')}) AS word
+           FROM documents),
+d AS (SELECT word, count(*) AS global_tf FROM t GROUP BY word)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(d.global_tf) AS BIGINT) AS sum_global_tf
+FROM t JOIN d USING (word)
+GROUP BY t.doc_id
+""",
+    description="skew-safe salted JOIN: token instances enriched with Zipf-hot per-word frequency",
+    tags=("text", "join", "skew"),
+)
+def q_doc_commonness_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOIN-shaped companion of ``word_count_salted``: enrich every
+    token INSTANCE with its corpus-global frequency (the lexicon-join
+    step of quality scoring / stopword weighting), then roll up per
+    document.  The join key is the word — Zipf-distributed, so at
+    100 TB the reducer holding "the" receives a partition tens of
+    times the median and a plain shuffle join stalls on it.
+
+    Two complementary skew defenses, both demonstrated in this repo:
+
+    * AQE skew-join (test_plan_quality.py::test_aqe_skew_join_split)
+      — Spark splits an oversized partition at runtime, but ONLY when
+      both join children are plain shuffle stages; a dim derived by
+      an upstream aggregation (this exact shape) fuses agg+join into
+      one exchange and AQE's OptimizeSkewedJoin pattern doesn't match.
+    * Manual salting (this query) — dim rows are replicated to all
+      SALT buckets and each fact row picks the bucket hashed from its
+      doc_id, so one hot word spreads over SALT reducers
+      deterministically, whatever the plan shape.  The cost is a
+      SALT-times larger dim side (still corpus-vocabulary-sized, tiny
+      next to the instance stream) and results identical to the
+      unsalted join — the oracle IS the unsalted SQL.
+    """
+    SALT = 8
+    toks = tokenize_documents(table(spark, sf_dir, "documents"))
+    dim = toks.groupBy("word").agg(F.count("*").alias("global_tf"))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    fact = toks.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(SALT)).cast("int")
+    )
+    return (
+        fact.join(dim_salted, ["word", "salt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("global_tf").cast("long").alias("sum_global_tf"),
+        )
+    )
+
+
+@register(
     "orders_above_avg",
     oracle="""
 SELECT o_orderkey, o_totalprice

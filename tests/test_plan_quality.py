@@ -1469,3 +1469,87 @@ def test_collated_word_count_keeps_two_phase_agg(spark):
     assert "collate" in plan.lower()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    """doc_commonness_salted must genuinely join on (word, salt): the
+    salt key is what spreads a Zipf-hot word over SALT reducers, so a
+    refactor that drops it from the join condition silently
+    reintroduces the skew the query exists to defend against."""
+    qs = load_all()
+    df = qs["doc_commonness_salted"].fn(spark, SF)
+    plan = audit.physical_plan(df)
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+        or "BroadcastHashJoin" in ln
+    ]
+    assert join_lines, plan
+    assert any(
+        "word" in ln and "salt" in ln for ln in join_lines
+    ), join_lines
+
+
+def test_aqe_skew_join_split_fires_on_zipf_word_join(spark):
+    """Pin Spark's RUNTIME skew defense on the engine's inherently
+    skewed join shape (token instances joined on the Zipf-distributed
+    word — SURVEY §4): with skew thresholds scaled to fixture bytes,
+    AQE must split the hot partition (SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed in the executed plan).
+
+    Two load-bearing preconditions this test documents:
+    * both join children must be PLAIN shuffle stages —
+      OptimizeSkewedJoin's pattern does not match a dim side whose
+      aggregation fused into the join exchange, which is why the dim
+      is materialized (localCheckpoint) first, and why the REGISTERED
+      production query (doc_commonness_salted) salts manually instead
+      of relying on AQE;
+    * the post-join aggregation must NOT group on the join key, else
+      splitting would break the reused hash partitioning and AQE
+      declines (no-extra-shuffle rule).
+    """
+    from pyspark.sql import functions as F
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+    from inverted_index_using_the_map_reduce_paradigm_spark.functions.text import (
+        tokenize_documents,
+    )
+
+    tuned = {
+        "spark.sql.shuffle.partitions": "200",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        toks = tokenize_documents(table(spark, "/root/testdata/sf0.01", "documents"))
+        dim = (
+            toks.groupBy("word")
+            .agg(F.count("*").alias("global_tf"))
+            .localCheckpoint()
+        )
+        j = (
+            toks.join(dim, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.sum("global_tf").alias("s"))
+        )
+        plan = audit.final_adaptive_plan(j)
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

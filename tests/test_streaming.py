@@ -1470,3 +1470,24 @@ def test_tws_crash_recovery_equals_uninterrupted_run(spark):
     # three batches' emissions present, running totals strictly grow
     batches = {r[3] for r in recovered}
     assert batches == {0, 1, 2}
+
+
+def test_gate_nested_type_probe(spark):
+    """The transformWithState gate must include the nested-message
+    capability probe when the shim is active: a shim that cannot
+    materialize message-inside-message types would crash the state
+    server the day pyspark's proto adds one, so the gate fails closed
+    instead.  Cached-result path exercised by calling twice."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.streaming.engine import (
+        _nested_type_probe_ok,
+        _protoshim_in_use,
+        transform_with_state_available,
+    )
+
+    if not _protoshim_in_use():
+        import pytest
+
+        pytest.skip("real protobuf active: shim nested probe n/a")
+    assert _nested_type_probe_ok() is True
+    assert _nested_type_probe_ok() is True  # cached, no duplicate-file error
+    assert transform_with_state_available() is True
