@@ -293,6 +293,46 @@ def _wait_for_quiet_start() -> None:
     )
 
 
+def bench_excluded(qs: dict) -> dict[str, str]:
+    """name -> reason for every registered query with ``bench=False``,
+    so the committed record's denominator (n registered vs n benched)
+    is auditable from the artifact alone.  Reasons are derived from
+    tags — the same taxonomy the registration sites document:
+
+    * census rows are VERIFICATION queries whose cost is deliberate
+      (brute-force n² re-checks of a banded/bucketed production path);
+      timing them would bench the checker, not the engine;
+    * streaming rows spend their wall time on stream startup/stop and
+      trigger scheduling, not operator cost — their perf surface is
+      scripts/stream_bench.py (records in SCALE.md), and their
+      correctness is oracle-gated like everything else;
+    * remaining rows are semantic twins kept for parity tests (e.g.
+      asof_enrich_cogroup: same oracle as asof_enrich, exists to pin
+      the pandas-merge_asof plan equivalence, benching it would
+      double-count the operator).
+    """
+    out: dict[str, str] = {}
+    for name, q in qs.items():
+        if q.bench:
+            continue
+        if "census" in q.tags:
+            out[name] = (
+                "verification census: deliberate brute-force re-check of a "
+                "banded/bucketed path; benches the checker, not the engine"
+            )
+        elif "streaming" in q.tags:
+            out[name] = (
+                "streaming query: wall time is stream startup/stop, not "
+                "operator cost; perf surface is scripts/stream_bench.py"
+            )
+        else:
+            out[name] = (
+                "semantic twin kept for plan-parity tests; benching it "
+                "would double-count its operator"
+            )
+    return out
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--requalify":
         raise SystemExit(requalify(sys.argv[2:]))
@@ -465,6 +505,9 @@ def main() -> None:
     detail = {
         "sf": sf,
         "started_at": started_at,
+        # auditable denominator (VERDICT r12 #8): every registered query
+        # NOT in `queries` below, with the reason its bench flag is off
+        "bench_excluded": bench_excluded(qs),
         "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
         "load1_start": load_start,
         "host_canary_sec": canary_sec,
