@@ -147,6 +147,7 @@ def load_all() -> dict[str, Query]:
             census,
             html,
             phash,
+            audiohash,
         )
         from .streaming import engine  # noqa: F401
 
