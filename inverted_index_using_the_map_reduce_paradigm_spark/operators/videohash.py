@@ -1,0 +1,270 @@
+"""Perceptual VIDEO near-dup: per-frame pHash sets + exact Jaccard.
+
+Completes the perceptual-dedup ladder over every media kind the
+engine models (text simhash_dedup, image multimodal_phash_dedup,
+audio multimodal_audiohash_dedup, video this): the standard video
+near-dup recipe — hash every frame perceptually, treat a clip as the
+SET of its frame hashes, and score clip pairs by set Jaccard — which
+catches exactly the duplicate classes a byte hash cannot: the same
+footage re-cut (frames reordered) or trimmed (frames dropped).
+
+Scale posture is the shingle-join one already proven for
+``ngram_jaccard_dedup`` (dedup.py): candidates come from a sparse
+equi-join on individual frame hashes (a pair is comparable only if it
+SHARES a frame — necessarily true for any pair at Jaccard >= 0.5), so
+candidate volume is sub-quadratic; a hot-frame cap bounds degenerate
+keys (an intro/outro card shared by a million clips contributes
+group² pairs but zero discrimination); the per-doc signature is a few
+longs, computed once at ingest.  Unlike the hamming families there is
+no banding loss to census: sharing >= 1 frame is implied by the
+threshold, so the candidate set provably covers every qualifying pair
+— which is why the MAIN operator here is directly oracle-backed (the
+fixture's frame sets are pure doc_id arithmetic; see below).
+
+Container: a REAL uncompressed AVI — RIFF('AVI ') > LIST(hdrl)[avih +
+LIST(strl)[strh 'vids'/BI_RGB + strf BITMAPINFOHEADER]] > LIST(movi)
+['00db' raw DIB frames, bottom-up BGR rows padded to 4 bytes] + idx1
+— the '00db' sibling of the MJPEG '00dc' tier (multimodal.py
+encode_avi_mjpeg / decode_avi_mjpeg), sharing its RIFF walker.
+
+Fixture synthesis: every 3 consecutive doc_ids share one 8-frame base
+clip (``vid_id = doc_id // 3``; frame rasters from phash.phash_raster
+at disjoint seeds) — variant 0 is the clip, variant 1 the SAME frames
+REVERSED (re-cut: byte-different, set-identical, Jaccard 1), variant
+2 drops the last frame (trim: Jaccard 7/8).  Distinct seeds make
+cross-clip frame-hash collisions impossible in practice, so the whole
+result is closed-form from doc_id arithmetic and DuckDB predicts it
+exactly — the driver hash-checks the operator end to end.
+
+Reference parity note: the reference engine (main.c++) has no video
+surface — north-star extension per SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark import cloudpickle
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..data import materialize, table
+from ..registry import register
+from .dedup import _drop_hot_keys
+from .multimodal import _riff_chunks
+from .phash import phash64, phash_raster
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+VIDEO_VARIANTS = 3  # docs per shared base clip in the fixture
+N_FRAMES = 8
+VIDEO_JACCARD = 0.5
+HOT_FRAME_CAP = 1000  # shared intro-card guard; never triggers at fixture
+_SEED_BASE = 1_000_003  # disjoint from the image fixture's img_id range
+_AVI_US_PER_FRAME = 40_000  # 25 fps
+
+
+def _chunk(cid: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return cid + struct.pack("<I", len(data)) + data + pad
+
+
+def encode_avi_raw(frames: list[np.ndarray]) -> bytes:
+    """A real uncompressed AVI from (h, w) gray rasters: each '00db'
+    frame is a BI_RGB DIB — bottom-up rows, BGR samples (gray
+    replicated), stride padded to 4 bytes — under the same
+    hdrl/movi/idx1 layout as the MJPEG tier."""
+    h, w = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+    nf = len(frames)
+
+    def dib(gray: np.ndarray) -> bytes:
+        row = np.zeros((h, stride), dtype=np.uint8)
+        bgr = np.repeat(gray[::-1], 3, axis=1)  # bottom-up, gray->BGR
+        row[:, : w * 3] = bgr
+        return row.tobytes()
+
+    payloads = [dib(fr) for fr in frames]
+    avih = struct.pack(
+        "<14I", _AVI_US_PER_FRAME, 0, 0, 0x10, nf, 0, 1,
+        max(len(p) for p in payloads), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"\x00" * 4  # fccHandler 0 for BI_RGB
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, nf, 0, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"\x00\x00\x00\x00",  # BI_RGB
+        stride * h, 0, 0, 0, 0,
+    )
+    hdrl = _chunk(
+        b"LIST",
+        b"hdrl" + _chunk(b"avih", avih)
+        + _chunk(b"LIST", b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for p in payloads:
+        offsets.append(len(movi_body))
+        movi_body += _chunk(b"00db", p)
+    movi = _chunk(b"LIST", movi_body)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            b"00db" + struct.pack("<III", 0x10, off, len(p))
+            for off, p in zip(offsets, payloads)
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_raw_frames(payload: bytes) -> list[np.ndarray]:
+    """RIFF walk -> list of (h, w) gray rasters: verify the envelope,
+    read dims from strf (BITMAPINFOHEADER, compression must be
+    BI_RGB), un-pad and re-flip each '00db' frame, fold BGR to gray by
+    channel mean."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    frames: list[np.ndarray] = []
+    for cid, start, clen in _riff_chunks(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue
+        kind = payload[start : start + 4]
+        if kind == b"hdrl":
+            for c2, s2, l2 in _riff_chunks(payload, start + 4, start + clen):
+                if c2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    for c3, s3, l3 in _riff_chunks(payload, s2 + 4, s2 + l2):
+                        if c3 == b"strf":
+                            (_sz, w, h, _pl, bpp, comp) = struct.unpack(
+                                "<IiiHH4s", payload[s3 : s3 + 20]
+                            )
+                            if comp != b"\x00\x00\x00\x00" or bpp != 24:
+                                raise NotImplementedError(
+                                    "raw-AVI decoder supports 24-bit BI_RGB only"
+                                )
+        elif kind == b"movi":
+            if w is None:
+                raise ValueError("AVI movi before strf")
+            stride = (w * 3 + 3) & ~3
+            for c2, s2, l2 in _riff_chunks(payload, start + 4, start + clen):
+                if c2 != b"00db":
+                    continue
+                if l2 != stride * h:
+                    raise ValueError("00db frame size mismatch")
+                rows = np.frombuffer(
+                    payload[s2 : s2 + l2], dtype=np.uint8
+                ).reshape(h, stride)
+                bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]
+                frames.append(bgr.mean(axis=2).astype(np.float64))
+    return frames
+
+
+def _frame_seed(vid_id: int, f: int) -> int:
+    return _SEED_BASE + vid_id * 131 + f * 17
+
+
+def video_payload(doc_id: int) -> bytes:
+    """Fixture payload: variant = doc_id % 3 over the shared 8-frame
+    base clip vid_id = doc_id // 3 (see module docstring)."""
+    vid_id, variant = divmod(int(doc_id), VIDEO_VARIANTS)
+    frames = [
+        phash_raster(_frame_seed(vid_id, f)) for f in range(N_FRAMES)
+    ]
+    if variant == 1:
+        frames = frames[::-1]  # re-cut: same set, different order
+    elif variant == 2:
+        frames = frames[:-1]  # trim: one frame dropped
+    return encode_avi_raw(frames)
+
+
+# DataType objects (not DDL strings): house rule, dedup.py.
+@F.pandas_udf(T.BinaryType())
+def _video_payload_udf(doc_id: pd.Series) -> pd.Series:
+    return pd.Series([video_payload(int(d)) for d in doc_id])
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def frame_hashes_of(payload: pd.Series) -> pd.Series:
+    """Arrow-vectorized payload -> per-frame pHash list: one RIFF walk
+    + one pHash (area resize + two 32x32 GEMMs) per frame."""
+    return pd.Series(
+        [
+            [phash64(fr) for fr in decode_avi_raw_frames(bytes(p))]
+            for p in payload
+        ]
+    )
+
+
+def _video_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, fhashes, n_frames) signature table —
+    set-deduped frame hashes, a few longs per clip."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.select(
+        "doc_id", _video_payload_udf(F.col("doc_id")).alias("payload")
+    )
+    sig = payloads.select(
+        "doc_id",
+        F.array_distinct(frame_hashes_of(F.col("payload"))).alias("fhashes"),
+    )
+    return materialize(
+        sig.select(
+            "doc_id", "fhashes", F.size("fhashes").alias("n_frames")
+        )
+    )
+
+
+@register(
+    "multimodal_video_dedup",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CASE WHEN a.doc_id % 3 = 0 AND b.doc_id % 3 = 1
+                  THEN 1.0 ELSE 0.875 END, 4) AS jaccard
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id // 3 = b.doc_id // 3
+""",
+    description="perceptual video near-dup: per-frame pHash sets, exact Jaccard >= 0.5 via sparse frame-hash join",
+    tags=("multimodal", "dedup"),
+)
+def q_multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-cut and trimmed copies of the same footage: frame-hash SET
+    Jaccard over a sparse shared-frame equi-join (hot-frame capped),
+    never all-pairs.  The fixture's frame sets are doc_id arithmetic,
+    so the oracle predicts every pair and value exactly: reorders at
+    Jaccard 1.0, one-frame trims at 7/8 — both byte-invisible to
+    ``multimodal_dedup``."""
+    s = _video_signatures(spark, sf_dir)
+    ex = _drop_hot_keys(
+        s.select(
+            "doc_id", "n_frames", F.explode("fhashes").alias("fhash")
+        ),
+        ["fhash"],
+        HOT_FRAME_CAP,
+    )
+    x, y = ex.alias("x"), ex.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.fhash") == F.col("y.fhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.col("x.n_frames")).alias("na"),
+            F.first(F.col("y.n_frames")).alias("nb"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.filter(jac >= VIDEO_JACCARD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )

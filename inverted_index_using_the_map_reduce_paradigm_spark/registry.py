@@ -148,6 +148,7 @@ def load_all() -> dict[str, Query]:
             html,
             phash,
             audiohash,
+            videohash,
         )
         from .streaming import engine  # noqa: F401
 
