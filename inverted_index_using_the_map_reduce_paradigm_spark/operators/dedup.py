@@ -619,6 +619,46 @@ def simhash_of(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def combo_chunks(s: DataFrame, sig_col: str) -> DataFrame:
+    """(doc_id, <sig_col>, cv): each signature exploded into its 10
+    two-block combination keys — the banding table a stored dedup
+    pipeline persists at ingest (10 longs per doc), and the shared
+    candidate layer of both the full self-join (hamming_band_pairs)
+    and the incremental delta-vs-base join (phash.py)."""
+
+    def _combo_key(ci: int, combo: tuple) -> F.Column:
+        # (combo_id << 26) | block_i << 13 | block_j — one long per
+        # combo; every block occupies a FIXED 13-bit lane (the 12-bit
+        # tail block is zero-padded), so the payload is always exactly
+        # 26 bits and the combo-id prefix makes the 10 combos' key
+        # spaces disjoint — a single-column equi-join covers them all
+        # with no cross-combo collisions.  (Variable-width packing
+        # overlapped ranges: ci=3<<25 could collide with ci=6..7's
+        # payloads — correctness was saved by distinct + bit_count
+        # verification, but the spurious candidates cost real work.)
+        v = F.lit(ci).cast("long")
+        for b in combo:
+            off, width = _SIMHASH_BLOCKS[b]
+            block = F.shiftrightunsigned(F.col(sig_col), off).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            v = F.shiftleft(v, 13).bitwiseOR(block)
+        return v
+
+    return s.select(
+        "doc_id",
+        sig_col,
+        F.explode(
+            F.array(
+                *[
+                    _combo_key(ci, combo)
+                    for ci, combo in enumerate(_SIMHASH_COMBOS)
+                ]
+            )
+        ).alias("cv"),
+    )
+
+
 def hamming_band_pairs(
     s: DataFrame, sig_col: str, hamming_max: int = HAMMING_MAX
 ) -> DataFrame:
@@ -640,38 +680,7 @@ def hamming_band_pairs(
         raise ValueError(
             "the 5-block/2-combo banding is exact only for hamming<=3"
         )
-
-    def _combo_key(ci: int, combo: tuple) -> F.Column:
-        # (combo_id << 26) | block_i << 13 | block_j — one long per
-        # combo; every block occupies a FIXED 13-bit lane (the 12-bit
-        # tail block is zero-padded), so the payload is always exactly
-        # 26 bits and the combo-id prefix makes the 10 combos' key
-        # spaces disjoint — a single-column equi-join covers them all
-        # with no cross-combo collisions.  (Variable-width packing
-        # overlapped ranges: ci=3<<25 could collide with ci=6..7's
-        # payloads — correctness was saved by distinct + bit_count
-        # verification, but the spurious candidates cost real work.)
-        v = F.lit(ci).cast("long")
-        for b in combo:
-            off, width = _SIMHASH_BLOCKS[b]
-            block = F.shiftrightunsigned(F.col(sig_col), off).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            v = F.shiftleft(v, 13).bitwiseOR(block)
-        return v
-
-    chunks = s.select(
-        "doc_id",
-        sig_col,
-        F.explode(
-            F.array(
-                *[
-                    _combo_key(ci, combo)
-                    for ci, combo in enumerate(_SIMHASH_COMBOS)
-                ]
-            )
-        ).alias("cv"),
-    )
+    chunks = combo_chunks(s, sig_col)
     x = chunks.alias("x")
     y = chunks.alias("y")
     cand = (

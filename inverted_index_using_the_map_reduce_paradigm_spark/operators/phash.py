@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 
 from ..data import materialize, table
 from ..registry import register
-from .dedup import HAMMING_MAX, hamming_band_pairs
+from .dedup import HAMMING_MAX, combo_chunks, hamming_band_pairs
 from .multimodal import _PNG_SIG, _png_chunk, _png_parse, _ppm_header
 
 # pandas UDFs below run in Python workers; ship by value (house
@@ -334,4 +334,141 @@ def q_multimodal_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_twins").cast("long").alias("n_raster_twin_pairs"),
         (F.col("n_found") == F.col("n_twins")).alias("twins_found_h0"),
         "banding_lossless",
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental (CDC) perceptual dedup — the refresh-cycle twin, completing
+# the maintenance story for the perceptual family (exact:
+# incremental_dedup; MinHash: incremental_near_dedup; pHash: this).
+# --------------------------------------------------------------------------
+
+def _is_delta() -> "F.Column":
+    # every 5th doc is the arriving batch; a function (not a module-
+    # level Column) because Column construction needs a live session
+    return F.col("doc_id") % 5 == 0
+
+
+@register(
+    "incremental_phash_dedup",
+    oracle=None,  # DCT arithmetic is not portable SQL; the oracle-
+    # backed incremental_phash_census pins incremental == full-
+    # restricted plus the closed-form delta-twin count.
+    description="incremental perceptual dedup: delta images banded against the stored pHash combo table",
+    tags=("multimodal", "dedup", "approx", "maintenance", "cdc"),
+)
+def q_incremental_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_near_dedup``'s refresh-cycle contract for the
+    perceptual image family: when a delta batch arrives (every 5th
+    doc), its pHash combo keys join against the corpus's STORED combo
+    table (``combo_chunks`` — 10 longs per doc, persisted at ingest)
+    plus earlier arrivals in its own batch; candidates are bit_count-
+    verified.  The base corpus is never re-decoded, re-hashed, or
+    re-paired — cost scales with the delta.
+
+    Because a doc's pHash depends only on its payload, the result is
+    EXACTLY the full ``multimodal_phash_dedup`` pairs restricted to
+    pairs touching the delta — the batch/incremental equivalence the
+    census hash-checks."""
+    # the stored tables a production pipeline persists at ingest: the
+    # signature store and its banding; materialized because multiple
+    # join branches consume them (see hamming_band_pairs)
+    chunks = materialize(
+        combo_chunks(_phash_signatures(spark, sf_dir), "phash")
+    )
+    d = chunks.filter(_is_delta())
+    b = chunks.filter(~_is_delta())
+    x, y = d.alias("x"), b.alias("y")
+    d2b = x.join(y, F.col("x.cv") == F.col("y.cv")).select(
+        F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+        F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        F.col("x.phash").alias("sa"),
+        F.col("y.phash").alias("sb"),
+    )
+    e, f2 = d.alias("e"), d.alias("f")
+    d2d = e.join(
+        f2,
+        (F.col("e.cv") == F.col("f.cv"))
+        & (F.col("e.doc_id") < F.col("f.doc_id")),
+    ).select(
+        F.col("e.doc_id").alias("doc_a"),
+        F.col("f.doc_id").alias("doc_b"),
+        F.col("e.phash").alias("sa"),
+        F.col("f.phash").alias("sb"),
+    )
+    cand = d2b.unionByName(d2d).distinct()
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= HAMMING_MAX).select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    )
+
+
+@register(
+    "incremental_phash_census",
+    oracle="""
+WITH td AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1 AND a.doc_id % 3 = 0
+   AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_delta_twin_pairs,
+       TRUE AS twins_found_h0,
+       TRUE AS incremental_equals_restricted_full
+FROM td
+""",
+    description="driver-checked: incremental pHash delta pairs == full banding restricted to the delta; delta twins at hamming 0",
+    bench=False,
+    tags=("multimodal", "dedup", "approx", "census", "cdc"),
+)
+def q_incremental_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC guarantee on the driver surface: (1) the incremental
+    result must equal the FULL corpus banding restricted to pairs
+    touching the delta — same pairs, same hamming values, none extra
+    (full_outer hash-checked); (2) the raster twins (variants 0/1 of
+    one img_id) that touch the delta — pure doc_id arithmetic, DuckDB
+    predicts the count — must each be found at hamming 0."""
+    inc = q_incremental_phash_dedup(spark, sf_dir)
+    full = q_multimodal_phash_dedup(spark, sf_dir)
+    touching = full.filter(
+        (F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0)
+    )
+    both = inc.withColumnRenamed("hamming", "h_inc").join(
+        touching.withColumnRenamed("hamming", "h_full"),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    equal = both.agg(
+        F.coalesce(
+            F.bool_and(
+                F.col("h_inc").isNotNull()
+                & F.col("h_full").isNotNull()
+                & (F.col("h_inc") == F.col("h_full"))
+            ),
+            F.lit(True),
+        ).alias("incremental_equals_restricted_full")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    td = (
+        docs.alias("x")
+        .join(
+            docs.alias("y"),
+            (F.col("y.doc_id") == F.col("x.doc_id") + 1)
+            & (F.col("x.doc_id") % PHASH_VARIANTS == 0)
+            & ((F.col("x.doc_id") % 5 == 0) | (F.col("y.doc_id") % 5 == 0)),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    found = td.join(
+        inc.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
+    )
+    counts = td.agg(F.count("*").alias("n_twins")).crossJoin(
+        found.agg(F.count("*").alias("n_found"))
+    )
+    return counts.crossJoin(equal).select(
+        F.col("n_twins").cast("long").alias("n_delta_twin_pairs"),
+        (F.col("n_found") == F.col("n_twins")).alias("twins_found_h0"),
+        "incremental_equals_restricted_full",
     )

@@ -110,3 +110,24 @@ def test_census_invariants_and_dedup_consistency(spark):
     }
     assert len(twin) == row.n_raster_twin_pairs
     assert set(twin.values()) == {0}
+
+
+def test_incremental_equals_full_restricted_to_delta(spark):
+    """The CDC equivalence: delta-banded pairs == full-corpus banding
+    restricted to pairs touching the delta (same pairs, same hamming),
+    plus the census flags on the driver surface."""
+    qs = load_all()
+    inc = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in qs["incremental_phash_dedup"].fn(spark, SF).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in qs["multimodal_phash_dedup"].fn(spark, SF).collect()
+        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+    }
+    assert inc == full and len(inc) > 0
+    row = qs["incremental_phash_census"].fn(spark, SF).collect()[0]
+    assert row.incremental_equals_restricted_full
+    assert row.twins_found_h0
+    assert row.n_delta_twin_pairs > 0
