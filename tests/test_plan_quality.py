@@ -1553,3 +1553,25 @@ def test_aqe_skew_join_split_fires_on_zipf_word_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hamming_families_run_signature_kernel_zero_times_in_join(spark):
+    """Every hamming-banded dedup family materializes its signature
+    store before the self-join (the store a pipeline persists at
+    ingest), so the executed candidate-join plan must contain ZERO
+    Python evaluation nodes — a regression that drops the materialize
+    re-runs the decode/hash kernel once per join side (measured 3x on
+    the shingle family, SCALE.md r13)."""
+    qs = load_all()
+    for name in (
+        "simhash_dedup",
+        "multimodal_phash_dedup",
+        "multimodal_audiohash_dedup",
+        "incremental_phash_dedup",
+        "multimodal_video_dedup",
+        "ngram_jaccard_dedup",
+        "containment_dedup",
+    ):
+        df = qs[name].fn(spark, SF)
+        plan = audit.physical_plan(df)
+        assert audit.python_eval_count(plan) == 0, (name, plan[:1500])
