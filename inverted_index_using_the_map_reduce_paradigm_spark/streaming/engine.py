@@ -2003,3 +2003,51 @@ FROM b
         bench=False,
         tags=("streaming", "stateful", "udf", "recovery"),
     )(user_stats_tws_recovered)
+
+
+@register(
+    "stream_phash_dedup",
+    # variants 0/1 of each image group are pixel-identical (codec
+    # twins), so streamed decode -> pHash -> dropDuplicates must keep
+    # EXACTLY one row per image group — a count DuckDB predicts from
+    # doc_id arithmetic alone (variant 2 is excluded because its
+    # hash identity depends on DCT, not arithmetic)
+    oracle="""
+SELECT CAST(count(DISTINCT doc_id // 3) AS BIGINT) AS n_unique_images
+FROM documents WHERE doc_id % 3 < 2
+""",
+    description=(
+        "streaming perceptual dedup: decode -> pHash -> stateful"
+        " dropDuplicates collapses codec twins to one keeper per image"
+    ),
+    bench=False,
+    tags=("streaming", "multimodal", "dedup", "udf"),
+)
+def q_stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of ``multimodal_phash_dedup``'s exact-twin
+    half: payloads arrive on a stream, are decoded and perceptually
+    hashed in-flight (Arrow pandas UDFs inside the streaming plan),
+    and ``dropDuplicates`` on the hash keeps one state entry per
+    distinct IMAGE — so a re-encoded copy (PPM vs PNG of one raster)
+    arriving later is dropped, which byte-hash streaming dedup
+    (``stream_exact_dedup``) can never do.  State is 8 bytes per
+    distinct image; the production posture adds a watermark TTL
+    exactly like the exact twin."""
+    from ..operators.phash import _phash_payload_udf, phash_of
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", _DOCS_GLOB)
+        .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
+        .parquet(sf_dir)
+    )
+    sig = (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % 3 < 2)
+        .select(
+            phash_of(_phash_payload_udf(F.col("doc_id"))).alias("phash")
+        )
+    )
+    deduped = sig.dropDuplicates(["phash"])
+    sunk = _run_to_memory(deduped, "append")
+    return sunk.agg(F.count("*").cast("long").alias("n_unique_images"))

@@ -131,3 +131,19 @@ def test_incremental_equals_full_restricted_to_delta(spark):
     assert row.incremental_equals_restricted_full
     assert row.twins_found_h0
     assert row.n_delta_twin_pairs > 0
+
+
+def test_stream_phash_dedup_counts_image_groups(spark):
+    """Streamed decode+pHash+dropDuplicates must collapse codec twins:
+    keeper count == number of image groups among variants 0/1."""
+    qs = load_all()
+    got = qs["stream_phash_dedup"].fn(spark, SF).collect()[0][0]
+    from inverted_index_using_the_map_reduce_paradigm_spark.data import table
+
+    import pyspark.sql.functions as F
+
+    docs = table(spark, SF, "documents").filter(F.col("doc_id") % 3 < 2)
+    groups = docs.select(
+        (F.col("doc_id") / 3).cast("long").alias("g")
+    ).distinct().count()
+    assert got == groups > 0
