@@ -1550,3 +1550,190 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("cluster", F.transform("s", lambda r: r.cx).alias("c"))
             )
     return assigned.select("vec_id", "cluster", _r(F.col("dist")).alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# embedding_pca — dimensionality reduction / whitening (r13)
+# --------------------------------------------------------------------------
+
+PCA_K = 8  # retained components
+
+
+def _pca_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray", int]:
+    """(mean, components[K, d], eigenvalues[K], n) fit over the
+    embedding column.
+
+    100 TB shape: the sufficient statistics (count, per-dim sum, d x d
+    outer-product sum) are computed by ONE Arrow pass that emits a
+    single ~33 KB row per partition — the classic map-side-combined
+    covariance — so the collect here is partition-count-sized MODEL
+    state (the same bounded-collect class as the IVF training sample,
+    similarity.py:575), never corpus-sized.  The d x d eigh runs on
+    the driver: covariance is model-sized by definition (d = 64), the
+    one place a distributed eigensolver would be pure overhead.
+    Component signs are canonicalized (largest-|coefficient| entry
+    positive) so the model is deterministic up to LAPACK."""
+    emb = table(spark, sf_dir, "embeddings")
+
+    def partial(batches):
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            m = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            if s is None:
+                d = m.shape[1]
+                s = np.zeros(d)
+                ss = np.zeros((d, d))
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            ss += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        partial, schema="n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    d = len(s)
+    ss = np.sum([np.asarray(r.ss).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:PCA_K]
+    comps = v[:, order].T.copy()
+    eig = w[order].copy()
+    for k in range(comps.shape[0]):  # sign canonicalization
+        j = int(np.argmax(np.abs(comps[k])))
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    return mean, comps, eig, n
+
+
+@register(
+    "embedding_pca",
+    oracle=None,  # eigendecomposition is not portable SQL; the
+    # oracle-backed pca_census pins the model's invariants instead.
+    description=f"PCA projection: top-{PCA_K} components fit via map-side-combined covariance, eigh on the model-sized matrix",
+    tags=("similarity", "compression", "scale"),
+)
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-``PCA_K`` principal
+    components — the standard whitening/compaction step before ANN or
+    embedding dedup (64 float dims -> 8, with the census proving how
+    much variance that keeps).  The projection itself is pure Catalyst:
+    the model (mean + K x d components) is folded in as LITERAL arrays
+    (a few hundred constants), so the corpus pass is one whole-stage-
+    codegen projection — no UDF, no shuffle, no second pass."""
+    mean, comps, _eig, _n = _pca_model(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    comp_lits = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in comps
+        ]
+    )
+    centered = F.zip_with(
+        _emb_double("embedding"), mean_lit, lambda x, m: x - m
+    )
+    proj = F.transform(
+        comp_lits,
+        lambda c: F.aggregate(
+            F.zip_with(centered, c, lambda x, wgt: x * wgt),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.concat_ws(
+            " ", F.transform(proj, lambda p: F.round(p, 4).cast("string"))
+        ).alias("pc"),
+    )
+
+
+@register(
+    "pca_census",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(max(len(embedding)) AS BIGINT) AS n_dims,
+       TRUE AS components_orthonormal,
+       TRUE AS variance_nonincreasing,
+       TRUE AS projections_centered,
+       TRUE AS projected_variance_matches_eigenvalues
+FROM embeddings
+""",
+    description="driver-checked: PCA components orthonormal, eigenvalues ordered, projections centered with variance == eigenvalue",
+    bench=False,
+    tags=("similarity", "compression", "census"),
+)
+def q_pca_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA guarantees on the driver surface: the fit must produce
+    an orthonormal basis with non-increasing explained variance, and —
+    the distributed half — the DISTRIBUTED projection of the corpus
+    must be centered with per-component population variance equal to
+    the model's eigenvalue (the defining property of PCA; a wrong
+    mean, a dropped transpose, or a mis-folded literal all break it).
+    n_vectors/n_dims anchor the model to what DuckDB counts
+    independently."""
+    mean, comps, eig, n = _pca_model(spark, sf_dir)
+    ortho = bool(
+        np.allclose(comps @ comps.T, np.eye(comps.shape[0]), atol=1e-9)
+    )
+    noninc = bool(np.all(np.diff(eig) <= 1e-12))
+    emb = table(spark, sf_dir, "embeddings")
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    comp_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in comps]
+    )
+    centered = F.zip_with(
+        _emb_double("embedding"), mean_lit, lambda x, m: x - m
+    )
+    proj = F.transform(
+        comp_lits,
+        lambda c: F.aggregate(
+            F.zip_with(centered, c, lambda x, wgt: x * wgt),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ),
+    )
+    stats = (
+        emb.select(F.posexplode(proj).alias("k", "p"))
+        .groupBy("k")
+        .agg(
+            F.avg("p").alias("mu"),
+            (F.sum(F.col("p") * F.col("p")) / F.lit(float(n))).alias("var"),
+        )
+        .collect()
+    )
+    scale = float(max(eig[0], 1.0))
+    centered_ok = all(abs(r.mu) <= 1e-8 * scale for r in stats)
+    # population variance of centered projections == eigenvalue
+    var_ok = all(
+        abs(r.var - r.mu**2 - eig[r.k]) <= 1e-6 * max(eig[r.k], 1e-9)
+        for r in stats
+    )
+    return (
+        emb.agg(F.count("*").cast("long").alias("n_vectors"))
+        .crossJoin(
+            emb.agg(
+                F.max(F.size("embedding")).cast("long").alias("n_dims")
+            )
+        )
+        .select(
+            "n_vectors",
+            "n_dims",
+            F.lit(ortho).alias("components_orthonormal"),
+            F.lit(noninc).alias("variance_nonincreasing"),
+            F.lit(centered_ok).alias("projections_centered"),
+            F.lit(var_ok).alias("projected_variance_matches_eigenvalues"),
+        )
+    )

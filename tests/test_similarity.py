@@ -329,3 +329,40 @@ def test_planted_neighbor_rung_is_discriminating_and_above_floor(spark):
     recall = len(got & exact) / n_expected
     assert 0.5 <= recall, recall          # the falsifiable floor
     assert recall < 1.0, "rung no longer discriminates"  # measured 0.88
+
+
+def test_pca_census_flags_and_projection_shape(spark):
+    """All PCA invariants green at sf0.001, and the projection emits
+    PCA_K coords per vector."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import (
+        PCA_K,
+    )
+
+    qs = load_all()
+    row = qs["pca_census"].fn(spark, SF).collect()[0]
+    assert row.components_orthonormal
+    assert row.variance_nonincreasing
+    assert row.projections_centered
+    assert row.projected_variance_matches_eigenvalues
+    assert row.n_dims == 64 and row.n_vectors > 0
+    proj = qs["embedding_pca"].fn(spark, SF).collect()
+    assert len(proj) == row.n_vectors
+    assert all(len(r.pc.split(" ")) == PCA_K for r in proj)
+
+
+def test_pca_model_deterministic_across_fits(spark):
+    """Two fits over the same data produce the identical canonicalized
+    model (sign fixing + stable eigh) — the property the driver's
+    cross-run hash needs."""
+    import numpy as np
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import (
+        _pca_model,
+    )
+
+    m1, c1, e1, n1 = _pca_model(spark, SF)
+    m2, c2, e2, n2 = _pca_model(spark, SF)
+    assert n1 == n2
+    assert np.array_equal(m1, m2)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(e1, e2)
