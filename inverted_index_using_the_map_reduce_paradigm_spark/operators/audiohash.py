@@ -54,7 +54,7 @@ from pyspark.sql import types as T
 
 from ..data import materialize, table
 from ..registry import register
-from .dedup import HAMMING_MAX, hamming_band_pairs
+from .dedup import banding_census, hamming_band_pairs, pack_bits64
 
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
@@ -147,9 +147,6 @@ def decode_pcm(payload: bytes) -> np.ndarray:
     return pcm
 
 
-_BIT_WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
-
-
 def _band_edges(n_freqs: int) -> np.ndarray:
     """66 log-spaced band edges over rFFT bins [1, n_freqs) — bin 0
     (DC) is excluded so a constant offset cannot contribute.  Rounded
@@ -184,10 +181,7 @@ def afp64(pcm: np.ndarray) -> int:
     bits = e[:-1] > e[1:]
     if len(bits) != 64:
         raise ValueError(f"afp: {len(bits)} bands bits, expected 64")
-    val = (
-        np.bitwise_or.reduce(_BIT_WEIGHTS[bits]) if bits.any() else np.uint64(0)
-    )
-    return int(val.astype(np.int64))
+    return pack_bits64(bits)
 
 
 # DataType objects (not DDL strings): house rule, dedup.py.
@@ -265,33 +259,8 @@ def q_multimodal_audiohash_census(
     doc_id arithmetic, so DuckDB predicts the count independently)
     must be FOUND at hamming exactly 0, because sign-of-band-energy-
     difference bits are invariant under uniform gain."""
-    s = _afp_signatures(spark, sf_dir)
-    band = hamming_band_pairs(s, "afp")
-    a, b = s.alias("a"), s.alias("b")
-    brute = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.afp").bitwiseXOR(F.col("b.afp"))).alias(
-                "h_ex"
-            ),
-        )
-        .filter(F.col("h_ex") <= HAMMING_MAX)
-    )
-    both = band.join(brute, ["doc_a", "doc_b"], "full_outer")
-    lossless = both.agg(
-        F.coalesce(
-            F.bool_and(
-                F.col("hamming").isNotNull()
-                & F.col("h_ex").isNotNull()
-                & (F.col("hamming") == F.col("h_ex"))
-            ),
-            F.lit(True),
-        ).alias("banding_lossless")
-    )
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    td = (
+    twins = (
         docs.alias("x")
         .join(
             docs.alias("y"),
@@ -302,14 +271,6 @@ def q_multimodal_audiohash_census(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
     )
-    found = td.join(
-        band.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
-    )
-    counts = td.agg(F.count("*").alias("n_twins")).crossJoin(
-        found.agg(F.count("*").alias("n_found"))
-    )
-    return counts.crossJoin(lossless).select(
-        F.col("n_twins").cast("long").alias("n_gain_twin_pairs"),
-        (F.col("n_found") == F.col("n_twins")).alias("twins_found_h0"),
-        "banding_lossless",
-    )
+    return banding_census(
+        _afp_signatures(spark, sf_dir), "afp", twins
+    ).withColumnRenamed("n_twin_pairs", "n_gain_twin_pairs")

@@ -619,6 +619,75 @@ def simhash_of(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+_BIT_WEIGHTS64 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def pack_bits64(bits: "np.ndarray") -> int:
+    """64 booleans -> SIGNED int64 (Spark LongType), bit i = bits[i].
+    The one packing convention every hamming family (simhash, pHash,
+    audio fingerprint) must share so bit_count(xor) distances are
+    comparable and the banding operates on the same lanes."""
+    val = (
+        np.bitwise_or.reduce(_BIT_WEIGHTS64[bits])
+        if bits.any()
+        else np.uint64(0)
+    )
+    return int(val.astype(np.int64))
+
+
+def banding_census(
+    s: DataFrame, sig_col: str, twins: DataFrame
+) -> DataFrame:
+    """The shared guarantee check of the hamming families, one row:
+
+    * ``banding_lossless`` — the banded candidate join equals a
+      BRUTE-FORCE all-pairs hamming scan over the signature table
+      (same pairs, same distances; the census's deliberate n² expense,
+      verification only);
+    * ``n_twin_pairs`` / ``twins_found_h0`` — every pair in ``twins``
+      (doc_a, doc_b; the caller's closed-form fixture pairs whose
+      signatures must be IDENTICAL, e.g. codec or gain twins) was
+      found at hamming exactly 0.
+
+    Callers rename the columns to their family-specific oracle names.
+    """
+    band = hamming_band_pairs(s, sig_col)
+    a, b = s.alias("a"), s.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+            ).alias("h_ex"),
+        )
+        .filter(F.col("h_ex") <= HAMMING_MAX)
+    )
+    both = band.join(brute, ["doc_a", "doc_b"], "full_outer")
+    lossless = both.agg(
+        F.coalesce(
+            F.bool_and(
+                F.col("hamming").isNotNull()
+                & F.col("h_ex").isNotNull()
+                & (F.col("hamming") == F.col("h_ex"))
+            ),
+            F.lit(True),
+        ).alias("banding_lossless")
+    )
+    found = twins.join(
+        band.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
+    )
+    counts = twins.agg(F.count("*").alias("n_twins")).crossJoin(
+        found.agg(F.count("*").alias("n_found"))
+    )
+    return counts.crossJoin(lossless).select(
+        F.col("n_twins").cast("long").alias("n_twin_pairs"),
+        (F.col("n_found") == F.col("n_twins")).alias("twins_found_h0"),
+        "banding_lossless",
+    )
+
+
 def combo_chunks(s: DataFrame, sig_col: str) -> DataFrame:
     """(doc_id, <sig_col>, cv): each signature exploded into its 10
     two-block combination keys — the banding table a stored dedup

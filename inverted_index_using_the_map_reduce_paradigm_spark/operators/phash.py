@@ -50,7 +50,13 @@ from pyspark.sql import types as T
 
 from ..data import materialize, table
 from ..registry import register
-from .dedup import HAMMING_MAX, combo_chunks, hamming_band_pairs
+from .dedup import (
+    HAMMING_MAX,
+    banding_census,
+    combo_chunks,
+    hamming_band_pairs,
+    pack_bits64,
+)
 from .multimodal import _PNG_SIG, _png_chunk, _png_parse, _ppm_header
 
 # pandas UDFs below run in Python workers; ship by value (house
@@ -169,7 +175,6 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 _DCT = _dct_matrix(HASH_SIDE)
-_BIT_WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
 
 def _area_resize(img: np.ndarray, side: int = HASH_SIDE) -> np.ndarray:
@@ -206,11 +211,7 @@ def phash64(gray: np.ndarray) -> int:
     small = _area_resize(np.asarray(gray, dtype=np.float64))
     coef = (_DCT @ small @ _DCT.T)[:8, :8].ravel()
     med = np.median(coef[1:])
-    bits = coef > med
-    val = (
-        np.bitwise_or.reduce(_BIT_WEIGHTS[bits]) if bits.any() else np.uint64(0)
-    )
-    return int(val.astype(np.int64))
+    return pack_bits64(coef > med)
 
 
 # DataType objects (not DDL strings): a string return type would need
@@ -287,53 +288,33 @@ def q_multimodal_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count independently) must be FOUND at hamming exactly 0,
     because pixel-identical images pHash identically regardless of
     codec."""
-    s = _phash_signatures(spark, sf_dir)
-    band = hamming_band_pairs(s, "phash")
-    a, b = s.alias("a"), s.alias("b")
-    brute = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
-            ).alias("h_ex"),
-        )
-        .filter(F.col("h_ex") <= HAMMING_MAX)
-    )
-    both = band.join(brute, ["doc_a", "doc_b"], "full_outer")
-    lossless = both.agg(
-        F.coalesce(
-            F.bool_and(
-                F.col("hamming").isNotNull()
-                & F.col("h_ex").isNotNull()
-                & (F.col("hamming") == F.col("h_ex"))
-            ),
-            F.lit(True),
-        ).alias("banding_lossless")
-    )
+    return banding_census(
+        _phash_signatures(spark, sf_dir), "phash", _twin_pairs(spark, sf_dir)
+    ).withColumnRenamed("n_twin_pairs", "n_raster_twin_pairs")
+
+
+def _twin_pairs(
+    spark: SparkSession, sf_dir: str, delta_only: bool = False
+) -> DataFrame:
+    """The closed-form raster-twin pairs (variants 0 and 1 of one
+    img_id — consecutive ids, a % 3 == 0), optionally restricted to
+    pairs touching the delta batch; pure doc_id arithmetic, mirrored
+    exactly by the censuses' DuckDB oracles."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    td = (
-        docs.alias("x")
-        .join(
-            docs.alias("y"),
-            (F.col("y.doc_id") == F.col("x.doc_id") + 1)
-            & (F.col("x.doc_id") % PHASH_VARIANTS == 0),
+    cond = (F.col("y.doc_id") == F.col("x.doc_id") + 1) & (
+        F.col("x.doc_id") % PHASH_VARIANTS == 0
+    )
+    if delta_only:
+        cond = cond & (
+            (F.col("x.doc_id") % DELTA_PERIOD == 0)
+            | (F.col("y.doc_id") % DELTA_PERIOD == 0)
         )
+    return (
+        docs.alias("x")
+        .join(docs.alias("y"), cond)
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-    )
-    found = td.join(
-        band.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
-    )
-    counts = td.agg(F.count("*").alias("n_twins")).crossJoin(
-        found.agg(F.count("*").alias("n_found"))
-    )
-    return counts.crossJoin(lossless).select(
-        F.col("n_twins").cast("long").alias("n_raster_twin_pairs"),
-        (F.col("n_found") == F.col("n_twins")).alias("twins_found_h0"),
-        "banding_lossless",
     )
 
 
@@ -343,10 +324,13 @@ def q_multimodal_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental_dedup; MinHash: incremental_near_dedup; pHash: this).
 # --------------------------------------------------------------------------
 
-def _is_delta() -> "F.Column":
-    # every 5th doc is the arriving batch; a function (not a module-
-    # level Column) because Column construction needs a live session
-    return F.col("doc_id") % 5 == 0
+DELTA_PERIOD = 5  # every 5th doc is the arriving CDC batch
+
+
+def _is_delta(col: str = "doc_id") -> "F.Column":
+    # a function (not a module-level Column) because Column
+    # construction needs a live session
+    return F.col(col) % DELTA_PERIOD == 0
 
 
 @register(
@@ -370,12 +354,16 @@ def q_incremental_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY the full ``multimodal_phash_dedup`` pairs restricted to
     pairs touching the delta — the batch/incremental equivalence the
     census hash-checks."""
+    return _incremental_pairs(_phash_signatures(spark, sf_dir))
+
+
+def _incremental_pairs(s: DataFrame) -> DataFrame:
+    """Delta-vs-(base + earlier-delta) banded pairs over one signature
+    table (see q_incremental_phash_dedup for the contract)."""
     # the stored tables a production pipeline persists at ingest: the
     # signature store and its banding; materialized because multiple
     # join branches consume them (see hamming_band_pairs)
-    chunks = materialize(
-        combo_chunks(_phash_signatures(spark, sf_dir), "phash")
-    )
+    chunks = materialize(combo_chunks(s, "phash"))
     d = chunks.filter(_is_delta())
     b = chunks.filter(~_is_delta())
     x, y = d.alias("x"), b.alias("y")
@@ -428,10 +416,14 @@ def q_incremental_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full_outer hash-checked); (2) the raster twins (variants 0/1 of
     one img_id) that touch the delta — pure doc_id arithmetic, DuckDB
     predicts the count — must each be found at hamming 0."""
-    inc = q_incremental_phash_dedup(spark, sf_dir)
-    full = q_multimodal_phash_dedup(spark, sf_dir)
+    # ONE signature build feeds both sides (the decode+pHash pass over
+    # the corpus is the dominant cost; review r13)
+    sig = _phash_signatures(spark, sf_dir)
+    inc = _incremental_pairs(sig)
+    full = hamming_band_pairs(sig, "phash")
     touching = full.filter(
-        (F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0)
+        (F.col("doc_a") % DELTA_PERIOD == 0)
+        | (F.col("doc_b") % DELTA_PERIOD == 0)
     )
     both = inc.withColumnRenamed("hamming", "h_inc").join(
         touching.withColumnRenamed("hamming", "h_full"),
@@ -448,19 +440,7 @@ def q_incremental_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True),
         ).alias("incremental_equals_restricted_full")
     )
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    td = (
-        docs.alias("x")
-        .join(
-            docs.alias("y"),
-            (F.col("y.doc_id") == F.col("x.doc_id") + 1)
-            & (F.col("x.doc_id") % PHASH_VARIANTS == 0)
-            & ((F.col("x.doc_id") % 5 == 0) | (F.col("y.doc_id") % 5 == 0)),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-    )
+    td = _twin_pairs(spark, sf_dir, delta_only=True)
     found = td.join(
         inc.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
     )

@@ -1617,6 +1617,30 @@ def _pca_model(
     return mean, comps, eig, n
 
 
+
+
+def _pca_projection(mean: "np.ndarray", comps: "np.ndarray") -> F.Column:
+    """The literal-folded projection expression BOTH the operator and
+    the census use — one shared construction, so the census verifies
+    exactly the expression that ships (a mis-folded literal cannot
+    desynchronize the two)."""
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    comp_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in comps]
+    )
+    centered = F.zip_with(
+        _emb_double("embedding"), mean_lit, lambda x, m: x - m
+    )
+    return F.transform(
+        comp_lits,
+        lambda c: F.aggregate(
+            F.zip_with(centered, c, lambda x, wgt: x * wgt),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ),
+    )
+
+
 @register(
     "embedding_pca",
     oracle=None,  # eigendecomposition is not portable SQL; the
@@ -1634,24 +1658,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen projection — no UDF, no shuffle, no second pass."""
     mean, comps, _eig, _n = _pca_model(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
-    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
-    comp_lits = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in row])
-            for row in comps
-        ]
-    )
-    centered = F.zip_with(
-        _emb_double("embedding"), mean_lit, lambda x, m: x - m
-    )
-    proj = F.transform(
-        comp_lits,
-        lambda c: F.aggregate(
-            F.zip_with(centered, c, lambda x, wgt: x * wgt),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        ),
-    )
+    proj = _pca_projection(mean, comps)
     return emb.select(
         "vec_id",
         F.concat_ws(
@@ -1690,21 +1697,7 @@ def q_pca_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     noninc = bool(np.all(np.diff(eig) <= 1e-12))
     emb = table(spark, sf_dir, "embeddings")
-    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
-    comp_lits = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in comps]
-    )
-    centered = F.zip_with(
-        _emb_double("embedding"), mean_lit, lambda x, m: x - m
-    )
-    proj = F.transform(
-        comp_lits,
-        lambda c: F.aggregate(
-            F.zip_with(centered, c, lambda x, wgt: x * wgt),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        ),
-    )
+    proj = _pca_projection(mean, comps)
     stats = (
         emb.select(F.posexplode(proj).alias("k", "p"))
         .groupBy("k")
@@ -1722,11 +1715,9 @@ def q_pca_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in stats
     )
     return (
-        emb.agg(F.count("*").cast("long").alias("n_vectors"))
-        .crossJoin(
-            emb.agg(
-                F.max(F.size("embedding")).cast("long").alias("n_dims")
-            )
+        emb.agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.max(F.size("embedding")).cast("long").alias("n_dims"),
         )
         .select(
             "n_vectors",

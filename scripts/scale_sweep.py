@@ -77,6 +77,11 @@ DEFAULT_QUERIES = [
     "sequence_packing",
     "corpus_pipeline",
     "word_count_salted",
+    "doc_commonness_salted",
+    "multimodal_phash_dedup",
+    "multimodal_audiohash_dedup",
+    "multimodal_video_dedup",
+    "incremental_phash_dedup",
     # embeddings family
     "similarity_search",
     "similarity_search_rp",
@@ -85,6 +90,7 @@ DEFAULT_QUERIES = [
     "kmeans_clusters",
     "embedding_near_dup_rp",
     "semantic_dedup",
+    "embedding_pca",
     # events family
     "events_sessionize",
     "hll_union_rollup",

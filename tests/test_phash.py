@@ -121,10 +121,14 @@ def test_incremental_equals_full_restricted_to_delta(spark):
         (r.doc_a, r.doc_b): r.hamming
         for r in qs["incremental_phash_dedup"].fn(spark, SF).collect()
     }
+    from inverted_index_using_the_map_reduce_paradigm_spark.operators.phash import (
+        DELTA_PERIOD,
+    )
+
     full = {
         (r.doc_a, r.doc_b): r.hamming
         for r in qs["multimodal_phash_dedup"].fn(spark, SF).collect()
-        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+        if r.doc_a % DELTA_PERIOD == 0 or r.doc_b % DELTA_PERIOD == 0
     }
     assert inc == full and len(inc) > 0
     row = qs["incremental_phash_census"].fn(spark, SF).collect()[0]
