@@ -146,6 +146,7 @@ def load_all() -> dict[str, Query]:
             training,
             census,
             html,
+            tables,
             phash,
             audiohash,
             videohash,

@@ -1032,13 +1032,18 @@ def test_substring_dedup_single_span_pass_no_join(spark):
 
 def test_containment_dedup_single_shingle_pass_shared_with_jaccard(spark):
     """containment_dedup rides the same shingle_pair_counts core as
-    ngram_jaccard_dedup: the final adaptive plan must evaluate the
-    shingle UDF once (AQE reuses the exploded-shingle exchange for
-    both self-join sides) and score containment as pure arithmetic on
-    the pair aggregate — no second corpus pass, no extra join."""
+    ngram_jaccard_dedup, and that core MATERIALIZES the exploded
+    signature table before the self-join (the signature-store rule —
+    a Python UDF's resultId defeats canonical-plan reuse, so the
+    un-materialized form re-ran tokenize+shingle on both join sides).
+    The executed join plan must therefore contain ZERO Python eval
+    nodes, read the materialized store (Scan ExistingRDD) on both
+    sides, and score containment as pure arithmetic on the pair
+    aggregate — no second corpus pass, no extra join."""
     df = load_all()["containment_dedup"].fn(spark, SF)
     plan = audit.final_adaptive_plan(df).split("== Initial Plan ==")[0]
-    assert audit.python_eval_count(plan) == 1, plan
+    assert audit.python_eval_count(plan) == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
     assert "least(" in plan  # containment denominator, post-aggregate
 
 
