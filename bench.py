@@ -179,7 +179,14 @@ def requalify(names: list[str]) -> int:
     splice the new medians into BENCH_DETAIL.json, leaving every other
     sample untouched.  The splice is logged in the record itself
     (``requalified`` list) so the judge can see which samples were
-    re-measured and when."""
+    re-measured and when.
+
+    A name that is registered+benchable but has NO committed sample yet
+    is a QUALIFICATION: newly added queries enter the record through
+    the same idle-start protocol (old_median logged as null) instead of
+    waiting for a full-run refresh that a host slow phase can veto for
+    days.  Qualification also refreshes ``bench_excluded`` so the
+    record's denominator stays auditable as the registry grows."""
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -200,9 +207,16 @@ def requalify(names: list[str]) -> int:
         )
         return 1
     qs = load_all()
-    missing = [n for n in names if n not in qs or n not in committed["queries"]]
+    missing = [n for n in names if n not in qs]
     if missing:
         print(f"requalify: unknown queries {missing}", file=sys.stderr)
+        return 2
+    unbenchable = [n for n in names if not qs[n].bench]
+    if unbenchable:
+        print(
+            f"requalify: not benchable (bench=False): {unbenchable}",
+            file=sys.stderr,
+        )
         return 2
     spark = get_spark("repo_spark_bench_requalify")
     canary_sec, canary_par_sec = _host_speed_canary()
@@ -212,7 +226,7 @@ def requalify(names: list[str]) -> int:
         warm = run_once(df)
         samples = sorted(run_once(df) for _ in range(RUNS))
         new_median = round(statistics.median(samples), 4)
-        old = committed["queries"][name]
+        old = committed["queries"].get(name)  # None == fresh qualification
         committed["queries"][name] = new_median
         committed["conditions"][name] = {
             "runs": [round(s, 4) for s in samples],
@@ -240,6 +254,7 @@ def requalify(names: list[str]) -> int:
     # of the resampling instead of only its result (old_median per
     # sample is already in the `requalified` log)
     committed["sec_per_query_pre_requalify"] = committed.get("sec_per_query")
+    committed["bench_excluded"] = bench_excluded(qs)
     committed["sec_per_query"] = round(
         sum(committed["queries"].values()) / max(len(committed["queries"]), 1),
         3,

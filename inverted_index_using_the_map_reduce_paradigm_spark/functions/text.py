@@ -253,3 +253,45 @@ SQL_TOKENS = (
 
 def sql_tokens(col: str = "text") -> str:
     return SQL_TOKENS.format(col=col)
+
+
+# --------------------------------------------------------------------------
+# Unicode canonicalization for homoglyph-aware dedup
+# --------------------------------------------------------------------------
+
+# Zero-width characters that make visually-identical texts hash apart
+# (ZWSP, ZWNJ, ZWJ, BOM) and the common Cyrillic->Latin confusable
+# pairs from the public Unicode confusables table (UTS #39) — the
+# homoglyph classes that dominate crawled spam/plagiarism twins.
+ZERO_WIDTH = "\u200b\u200c\u200d\ufeff"
+CONFUSABLES = {
+    "а": "a",  # CYRILLIC SMALL A
+    "е": "e",  # CYRILLIC SMALL IE
+    "о": "o",  # CYRILLIC SMALL O
+    "р": "p",  # CYRILLIC SMALL ER
+    "с": "c",  # CYRILLIC SMALL ES
+    "х": "x",  # CYRILLIC SMALL HA
+    "у": "y",  # CYRILLIC SMALL U
+}
+
+
+def canonical_text(col: F.Column) -> F.Column:
+    """Homoglyph/zero-width canonical form, entirely JVM-side: one
+    ``translate`` maps confusables to their Latin skeleton, a second
+    deletes zero-width characters (``translate`` drops source chars
+    with no replacement).  Pure codegen — no UDF, no regex backtracking
+    — so it fuses into the scan at 100 TB."""
+    c = F.translate(col, "".join(CONFUSABLES), "".join(CONFUSABLES.values()))
+    return F.translate(c, ZERO_WIDTH, "")
+
+
+def sql_canonical(col: str = "text") -> str:
+    """The exact DuckDB equivalent as a nested ``replace`` chain (same
+    character map, applied one-for-one), kept adjacent so the dialects
+    cannot drift."""
+    expr = col
+    for src, dst in CONFUSABLES.items():
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    for zw in ZERO_WIDTH:
+        expr = f"replace({expr}, chr({ord(zw)}), '')"
+    return expr

@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..data import materialize, table
-from ..functions.text import sql_tokens, tokens_of
+from ..functions.text import canonical_text, sql_canonical, sql_tokens, tokens_of
 from ..registry import register
 
 # The SimHash pandas_udf below runs in Python workers; ship it by value
@@ -1302,3 +1302,82 @@ def jaccard_pairs_prefix(
     return verified.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# homoglyph_dedup — Unicode-canonical exact dedup (zero-width + confusables)
+# --------------------------------------------------------------------------
+
+# Twin synthesis (fixture apparatus, same pattern as the codec twins in
+# multimodal_dedup): every 23rd document gets a visually-identical twin
+# with a zero-width space injected after the first character and its
+# Latin aeopcxy mapped to the Cyrillic confusables.  sha256 dedup would
+# sail past these; canonical dedup must collapse each twin onto its
+# source.
+HOMOGLYPH_TWIN_MOD = 23
+HOMOGLYPH_TWIN_OFFSET = 1_000_000
+
+
+def _homoglyph_twins(docs: DataFrame) -> DataFrame:
+    from ..functions.text import CONFUSABLES
+
+    latin = "".join(CONFUSABLES.values())
+    cyr = "".join(CONFUSABLES)
+    return docs.filter(F.col("doc_id") % HOMOGLYPH_TWIN_MOD == 0).select(
+        (F.col("doc_id") + HOMOGLYPH_TWIN_OFFSET).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 1),
+            F.lit("\u200b"),
+            F.translate(F.expr("substring(text, 2)"), latin, cyr),
+        ).alias("text"),
+    )
+
+
+@register(
+    "homoglyph_dedup",
+    oracle=f"""
+WITH twins AS (
+  SELECT doc_id + {HOMOGLYPH_TWIN_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {HOMOGLYPH_TWIN_MOD} = 0
+),
+u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM twins
+),
+g AS (SELECT {sql_canonical("text")} AS c, count(*) AS n FROM u GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+   count(*) AS n_groups,
+   CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
+FROM g
+""",
+    description="homoglyph/zero-width canonical dedup: perturbed twins collapse onto their sources",
+    tags=("dedup", "text", "hygiene"),
+)
+def q_homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after Unicode canonicalization: zero-width
+    characters stripped and Cyrillic->Latin confusables mapped
+    (functions/text.py:canonical_text — UTS #39's skeleton idea
+    restricted to an explicit deterministic table), so
+    visually-identical spam/plagiarism twins hash together where
+    raw sha256 dedup keeps them apart.  The synthesized twins are
+    perturbed IN the query and must collapse back onto their
+    sources; the oracle applies the identical character map as a
+    replace chain, so the pair is exact for any corpus content.
+
+    Scale: canonicalization is two ``translate`` calls fused into
+    the scan (whole-stage codegen, no UDF); the dedup itself is the
+    standard sha256 hash-partitioned groupBy — one corpus shuffle
+    of (hash, 1) pairs, identical posture to ``exact_dedup``."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.unionByName(_homoglyph_twins(docs))
+    g = u.groupBy(
+        F.sha2(canonical_text(F.col("text")), 256).alias("h")
+    ).agg(F.count("*").alias("n"))
+    return g.agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias(
+            "n_dup_docs"
+        ),
+    )
+

@@ -519,6 +519,28 @@ def stored_index_dir(spark: SparkSession, sf_dir: str, kind: str = "flat") -> st
         docs = table(spark, sf_dir, "documents")
         if kind == "flat":
             write_parquet_index(build_index(docs), base)
+        elif kind == "bloomed":
+            # the flat index fragmented into ~4 hash-bucketed files per
+            # letter directory (the 100 TB shape: a letter dir is many
+            # files) + the per-file bloom sidecar for within-directory
+            # skipping (sources/sinks.py:write_bloom_sidecar)
+            from ..sources.sinks import write_bloom_sidecar
+
+            idx = build_index(docs)
+            # explicit 4-partition range split on the word-hash bucket
+            # (an unpinned repartition gets AQE-coalesced back to one
+            # file per letter at fixture scale); each bucket partition
+            # then writes one file into every letter directory it
+            # holds words for -> up to 4 files per letter dir
+            (
+                idx.withColumn("_b", F.pmod(F.xxhash64("word"), F.lit(4)))
+                .repartitionByRange(4, "_b")
+                .drop("_b")
+                .write.mode("overwrite")
+                .partitionBy("letter")
+                .parquet(base)
+            )
+            write_bloom_sidecar(spark, base)
         elif kind == "positional":
             pidx = build_positional_index(docs).withColumn(
                 "letter", F.substring("word", 1, 1)
@@ -558,6 +580,43 @@ def q_term_lookup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = lookup_term(spark, stored_index_dir(spark, sf_dir, "flat"), TERM)
     return idx.select(
+        "word",
+        F.concat_ws(" ", F.transform("postings", lambda d: d.cast("string"))).alias(
+            "postings"
+        ),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        "letter",
+    )
+
+
+@register(
+    "bloom_pruned_lookup",
+    oracle=f"""
+{SQL_TOKS_CTE}
+SELECT word,
+       array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ' ') AS postings,
+       count(DISTINCT doc_id) AS doc_freq,
+       substr(word, 1, 1) AS letter
+FROM toks WHERE word = '{TERM}' GROUP BY word
+""",
+    description="term lookup with per-file bloom skipping inside the letter partition",
+    tags=("reference", "query", "storage", "scale"),
+)
+def q_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as ``term_lookup_stored``, one pruning level
+    deeper: after the letter predicate prunes to one partition
+    directory, the per-file bloom sidecar (sources/sinks.py) skips
+    the directory's files whose word bloom lacks the term — at 100 TB
+    a letter directory is thousands of files and the sidecar probe is
+    a metadata-sized read, so lookup IO drops from O(letter dir) to
+    O(candidate files).  No false negatives by construction (build
+    and probe share the hash family; pinned in tests alongside the
+    skip ratio)."""
+    from ..sources.sinks import bloom_pruned_lookup
+
+    idx_dir = stored_index_dir(spark, sf_dir, "bloomed")
+    hit = bloom_pruned_lookup(spark, idx_dir, idx_dir + "_bloom", TERM)
+    return hit.select(
         "word",
         F.concat_ws(" ", F.transform("postings", lambda d: d.cast("string"))).alias(
             "postings"

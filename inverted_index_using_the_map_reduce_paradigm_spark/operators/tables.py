@@ -368,3 +368,64 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_sum_dec").cast("double").alias("sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# change feed between two table versions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "table_change_feed",
+    oracle=f"""
+WITH merged AS ({_SQL_MERGED}),
+v0 AS (SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderkey % {INSERT_MOD} <> 0),
+v2 AS (SELECT * FROM merged WHERE o_orderkey % {DELETE_MOD} <> 0),
+j AS (
+  SELECT COALESCE(v0.o_orderkey, v2.o_orderkey) AS k,
+         CASE WHEN v0.o_orderkey IS NULL THEN 'inserted'
+              WHEN v2.o_orderkey IS NULL THEN 'deleted'
+              WHEN v0.o_totalprice <> v2.o_totalprice THEN 'updated'
+              ELSE 'unchanged' END AS change
+  FROM v0 FULL OUTER JOIN v2 ON v0.o_orderkey = v2.o_orderkey
+)
+SELECT change, count(*) AS n_rows, min(k) AS min_key, max(k) AS max_key
+FROM j GROUP BY change
+""",
+    description="tlog change feed v0 -> v2: inserted/updated/deleted/unchanged census from two snapshot reads",
+    tags=("storage", "acid", "cdc", "maintenance"),
+)
+def q_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between two committed versions of the maintenance
+    table — the read a downstream incremental consumer (index rebuild,
+    dedup refresh, MV update) runs so it reprocesses ONLY the delta.
+    Computed from two time-travel snapshots with one full-outer
+    equi-join on the table key (value-hash compare classifies
+    inserted / updated / deleted / unchanged), then rolled up.
+
+    Scale: both snapshot reads are metadata-planned pruned scans; the
+    join co-partitions on the key.  A log-native change feed (reading
+    only the add/remove files of the intervening commits) is the
+    cheaper path when the versions are adjacent — the snapshot-diff
+    form used here is the general one that also works across
+    compactions, which rewrite files without changing rows."""
+    t = TlogTable(spark, _tlog_base(spark, sf_dir))
+    v0 = t.snapshot(0).select(
+        "o_orderkey", F.col("o_totalprice").alias("_p0")
+    )
+    v2 = t.snapshot(2).select(
+        "o_orderkey", F.col("o_totalprice").alias("_p2")
+    )
+    j = v0.join(v2, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("_p0").isNull(), "inserted")
+        .when(F.col("_p2").isNull(), "deleted")
+        .when(F.col("_p0") != F.col("_p2"), "updated")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -265,3 +265,85 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-file bloom sidecar: data skipping BELOW the letter partition level
+# --------------------------------------------------------------------------
+
+# Letter partitioning prunes a term lookup to one directory, but at
+# 100 TB a letter directory holds thousands of files; the bloom sidecar
+# skips files WITHIN the directory.  One sidecar row per data file
+# carries the set of occupied bit positions of a k-hash bloom over the
+# file's words — stored sparse (int array) because the per-file
+# vocabulary is far below the bit width, which also makes membership a
+# plain array_contains conjunction.  The sidecar is metadata-sized
+# (KBs per file), the same class of artifact as parquet footers.
+BLOOM_BITS = 8192
+BLOOM_HASHES = 3
+
+
+def bloom_positions(col: F.Column) -> list[F.Column]:
+    """The k bit positions of a word — xxhash64 with k distinct literal
+    salts, reduced mod the bit width.  Computed identically at build
+    and probe time, JVM-side both times."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BLOOM_BITS)).cast("int")
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def write_bloom_sidecar(spark, index_dir: str) -> str:
+    """Build the per-file word bloom for a stored parquet index: one
+    scan of the index's word column tagged with ``input_file_name``,
+    exploded to bit positions, set-aggregated per file.  Returns the
+    sidecar directory (``<index_dir>_bloom``)."""
+    idx = (
+        spark.read.parquet(index_dir)
+        .select("word")
+        .withColumn("file", F.input_file_name())
+    )
+    bits = idx.select(
+        "file", F.explode(F.array(*bloom_positions(F.col("word")))).alias("bit")
+    )
+    sidecar = bits.groupBy("file").agg(F.collect_set("bit").alias("bits"))
+    out = index_dir.rstrip("/") + "_bloom"
+    sidecar.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def bloom_candidate_files(spark, sidecar_dir: str, term: str) -> list[str]:
+    """Files that MIGHT contain ``term`` — every file whose bloom has
+    all k of the term's bit positions set.  No false negatives by
+    construction (build and probe share ``bloom_positions``); false
+    positives only cost a wasted file read.  The collect is
+    sidecar-sized (one row per candidate FILE, not per row)."""
+    side = spark.read.parquet(sidecar_dir)
+    cond = F.lit(True)
+    for p in bloom_positions(F.lit(term)):
+        cond = cond & F.array_contains("bits", p)
+    return sorted(r.file for r in side.filter(cond).select("file").collect())
+
+
+def bloom_pruned_lookup(spark, index_dir: str, sidecar_dir: str,
+                        term: str) -> DataFrame:
+    """Term lookup reading ONLY the bloom-candidate files.  basePath
+    keeps the letter partition column alive on the direct file read;
+    the word predicate still pushes into each candidate's scan."""
+    # partition pruning composes with bloom skipping: the letter
+    # predicate is applied to the candidate PATHS (what Catalyst's
+    # PartitionFilters would do), so a bloom false positive in another
+    # letter directory never costs a read
+    files = [
+        f
+        for f in bloom_candidate_files(spark, sidecar_dir, term)
+        if f"/letter={term[:1]}/" in f
+    ]
+    if not files:
+        schema = spark.read.parquet(index_dir).schema
+        return spark.createDataFrame([], schema).filter(F.col("word") == term)
+    return (
+        spark.read.option("basePath", index_dir)
+        .parquet(*files)
+        .filter(F.col("word") == term)
+    )
