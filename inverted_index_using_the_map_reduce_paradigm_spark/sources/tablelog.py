@@ -358,14 +358,21 @@ class TlogTable:
         unstated = [p for p, a in live.items() if key not in a.get("stats", {})]
         if not rows:
             return sorted(unstated)
+        # key-typed bounds: integer keys range-join as longs, string
+        # keys lexicographically (exact as long as the writer did not
+        # truncate the footer min/max — parquet truncates binary stats
+        # only past ~4 KiB, far beyond any key this engine stores; a
+        # general implementation would widen a truncated upper bound,
+        # Iceberg-style, before trusting it)
+        ktype = dict(source.dtypes)[key]
         files = self.spark.createDataFrame(
-            rows, schema="path string, _kmin long, _kmax long"
+            rows, schema=f"path string, _kmin {ktype}, _kmax {ktype}"
         )
         # stats side is tiny (one row per live file) and the distinct
         # source keys broadcast against it; the non-equi range condition
         # is a BroadcastNestedLoop over metadata-sized inputs — never
         # over data
-        keys = source.select(F.col(key).cast("long").alias("_k")).distinct()
+        keys = source.select(F.col(key).alias("_k")).distinct()
         hit = files.join(
             keys,
             (F.col("_k") >= F.col("_kmin")) & (F.col("_k") <= F.col("_kmax")),
@@ -381,14 +388,23 @@ class TlogTable:
         key: str,
         stats_cols: tuple[str, ...] = (),
         cluster_files: int = 0,
+        combine: dict | None = None,
     ) -> int:
         """Copy-on-write upsert: source rows replace same-key target
         rows, new keys insert.  Only files whose key range overlaps a
         source key are rewritten; every other live file survives the
-        commit untouched (pinned by tests/test_tablelog.py)."""
+        commit untouched (pinned by tests/test_tablelog.py).
+
+        ``combine`` upgrades replace-semantics to AGGREGATE-merge per
+        column: ``{col: fn(src_col, tgt_col) -> Column}`` is applied
+        when BOTH sides have the key (either side alone passes
+        through), e.g. ``array_union`` for posting lists or ``+`` for
+        counters — the upsert shape incremental index maintenance
+        needs, still within the same one-join copy-on-write commit."""
         read_version = self.latest_version()
         matched = self.matched_files(source, key)
         cols = [c for c in self.schema().fieldNames() if c != key]
+        combine = combine or {}
         src = source.select(
             F.col(key), *[F.col(c).alias(f"_s_{c}") for c in cols]
         )
@@ -397,10 +413,19 @@ class TlogTable:
                 *(self._abs(p) for p in matched)
             )
             j = target.join(src, key, "full_outer")
-            merged = j.select(
-                F.col(key),
-                *[F.coalesce(f"_s_{c}", c).alias(c) for c in cols],
-            )
+
+            def out_col(c: str) -> F.Column:
+                s, t = F.col(f"_s_{c}"), F.col(c)
+                if c in combine:
+                    return (
+                        F.when(s.isNull(), t)
+                        .when(t.isNull(), s)
+                        .otherwise(combine[c](s, t))
+                        .alias(c)
+                    )
+                return F.coalesce(s, t).alias(c)
+
+            merged = j.select(F.col(key), *[out_col(c) for c in cols])
         else:
             merged = src.select(
                 F.col(key), *[F.col(f"_s_{c}").alias(c) for c in cols]

@@ -167,3 +167,34 @@ def test_history_audit(spark, tmp_path):
     ops = [h["op"] for h in t.history()]
     assert ops == ["create", "merge", "delete"]
     assert t.history()[0]["rows_added"] == 20
+
+
+def test_aggregate_merge_combines_instead_of_replacing(spark, tmp_path):
+    t = TlogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [("a", [1, 3], 2), ("b", [2], 1)],
+            "k string, postings array<long>, n long",
+        ),
+        stats_cols=("k",),
+    )
+    src = spark.createDataFrame(
+        [("a", [2, 5], 2), ("c", [9], 1)],
+        "k string, postings array<long>, n long",
+    )
+    t.merge(
+        src,
+        "k",
+        stats_cols=("k",),
+        combine={
+            "postings": lambda s, t_: F.array_sort(F.array_union(s, t_)),
+            "n": lambda s, t_: s + t_,
+        },
+    )
+    rows = {r.k: (list(r.postings), r.n) for r in t.snapshot().collect()}
+    assert rows == {
+        "a": ([1, 2, 3, 5], 4),  # both sides -> combined
+        "b": ([2], 1),           # target-only -> untouched
+        "c": ([9], 1),           # source-only -> inserted
+    }
