@@ -265,11 +265,47 @@ class TlogTable:
                 raise ConcurrentCommit(f"lost the commit race for v{nxt}")
         raise ConcurrentCommit(f"no free version after {COMMIT_RETRIES} tries")
 
+    def txn_state(self, version: int | None = None,
+                  use_checkpoint: bool = True) -> dict[str, int]:
+        """{app_id -> highest committed batch} at ``version`` — the
+        idempotence watermark for ``append_txn``.  Resolves exactly
+        like ``live_files``: newest checkpoint's consolidated txn map
+        plus the delta commits after it."""
+        if version is None:
+            vs = self._versions()
+            if not vs:
+                return {}
+            version = vs[-1]
+        start = 0
+        txn: dict[str, int] = {}
+        if use_checkpoint:
+            best = -1
+            for n in os.listdir(self.log_dir):
+                if n.endswith(".checkpoint.json"):
+                    v = int(n.split(".")[0])
+                    if best < v <= version:
+                        best = v
+            if best >= 0:
+                with open(self._checkpoint_path(best)) as f:
+                    txn = dict(json.load(f).get("txn", {}))
+                start = best + 1
+        for v in range(start, version + 1):
+            t = self._read_commit(v).get("txn")
+            if t:
+                txn[t["app"]] = max(txn.get(t["app"], -1), t["batch"])
+        return txn
+
     def _write_checkpoint(self, version: int) -> None:
         # checkpoint resolution must not consult checkpoints (it IS one)
         live = self.live_files(version, use_checkpoint=False)
-        body = json.dumps({"version": version, "adds": list(live.values())},
-                          sort_keys=True)
+        body = json.dumps(
+            {
+                "version": version,
+                "adds": list(live.values()),
+                "txn": self.txn_state(version, use_checkpoint=False),
+            },
+            sort_keys=True,
+        )
         tmp = self._checkpoint_path(version) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(body)
@@ -340,6 +376,44 @@ class TlogTable:
     def append(self, df: DataFrame, stats_cols: tuple[str, ...] = ()) -> int:
         adds = self._write_data(df, stats_cols)
         return self._commit({"op": "append", "adds": adds, "removes": []})
+
+    def append_txn(
+        self,
+        df: DataFrame,
+        app_id: str,
+        batch_id: int,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int | None:
+        """Idempotent append, the exactly-once streaming-sink contract
+        (Delta's txnAppId/txnVersion pattern): the commit carries
+        ``(app_id, batch_id)``, and a batch at or below the app's
+        committed watermark is a NO-OP — so a foreachBatch retry or a
+        post-crash micro-batch replay cannot double-write.  The check
+        and the commit race safely: the watermark is re-read each time
+        the O_EXCL commit loses, and a skipped replay removes the data
+        files it staged (they were never referenced by any commit)."""
+        if batch_id <= self.txn_state().get(app_id, -1):
+            return None
+        adds = self._write_data(df, stats_cols)
+        record = {
+            "op": "append",
+            "adds": adds,
+            "removes": [],
+            "txn": {"app": app_id, "batch": int(batch_id)},
+        }
+        for _ in range(COMMIT_RETRIES):
+            vs = self._versions()
+            nxt = (vs[-1] + 1) if vs else 0
+            if batch_id <= self.txn_state().get(app_id, -1):
+                for a in adds:  # unreferenced staging leftovers
+                    try:
+                        os.remove(self._abs(a["path"]))
+                    except OSError:
+                        pass
+                return None
+            if self._try_commit(nxt, record):
+                return nxt
+        raise ConcurrentCommit(f"no free version after {COMMIT_RETRIES} tries")
 
     def matched_files(self, source: DataFrame, key: str) -> list[str]:
         """Live files whose footer [min, max] range on ``key`` contains

@@ -839,6 +839,94 @@ def q_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# stream_tlog_upsert — exactly-once ingestion into the ACID tlog table
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_tlog_upsert",
+    # every document appended exactly once DESPITE each micro-batch
+    # being delivered twice (the deliberate duplicate delivery below):
+    # the txn watermark turns the replay into a no-op, so the store
+    # census equals the plain batch census
+    oracle="""
+SELECT count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+""",
+    description="exactly-once streaming sink: txn-tagged idempotent appends into the tlog table (every batch delivered twice)",
+    bench=False,
+    tags=("streaming", "sink", "storage", "acid"),
+)
+def q_stream_tlog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the transaction-log table with the
+    exactly-once contract PROVEN inside the query: ``foreachBatch``
+    appends each micro-batch via ``TlogTable.append_txn`` (the commit
+    carries (app_id, batch_id) — Delta's txnAppId/txnVersion pattern),
+    then immediately delivers the SAME batch again.  The replay must
+    come back as a no-op (asserted per batch), so the final store holds
+    every document exactly once — which is exactly what the oracle
+    checks, since a double-write would double the census sums.
+
+    Scale: each commit is one O_EXCL log write + parquet appends; the
+    idempotence watermark resolves from the newest checkpoint's
+    consolidated txn map plus the deltas after it (same metadata-only
+    resolution as the live-file set), so a long-running stream never
+    replays the whole log per batch."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.tablelog import TlogTable
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tlogsink_{_uuid.uuid4().hex[:8]}"
+    )
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    TlogTable.create(
+        spark,
+        store,
+        spark.createDataFrame([], "doc_id long, n_chars long"),
+    )
+    app = "stream_tlog_upsert"
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", _DOCS_GLOB)
+        .option("maxFilesPerTrigger", _SINGLE_BATCH_FILES)
+        .parquet(sf_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t = TlogTable(batch_df.sparkSession, store)
+        payload = batch_df.select("doc_id", "n_chars")
+        first = t.append_txn(payload, app, batch_id, stats_cols=("doc_id",))
+        assert first is not None, f"batch {batch_id} must commit once"
+        replay = t.append_txn(payload, app, batch_id, stats_cols=("doc_id",))
+        assert replay is None, f"batch {batch_id} replay must be a no-op"
+
+    q = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    global _LAST_FED_BATCHES
+    _LAST_FED_BATCHES = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    t = TlogTable(spark, store)
+    return t.snapshot().agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
 # stream_cms_sketch — Count-Min sketch maintained by streaming state
 # --------------------------------------------------------------------------
 

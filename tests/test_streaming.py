@@ -1491,3 +1491,19 @@ def test_gate_nested_type_probe(spark):
     assert _nested_type_probe_ok() is True
     assert _nested_type_probe_ok() is True  # cached, no duplicate-file error
     assert transform_with_state_available() is True
+
+
+def test_stream_tlog_upsert_exactly_once_across_forced_batches(spark, tmp_path):
+    """The tlog streaming sink's exactly-once contract under a REAL
+    multi-batch split: 4 files fed one per trigger, every micro-batch
+    deliberately delivered twice inside the sink (append_txn replay
+    must no-op), final store census equal to the plain batch census.
+    A double-write would double sum_doc_id and fail the equality; a
+    dropped batch would lower n_docs."""
+    qs = load_all()
+    batch = as_set(qs["stream_tlog_upsert"].fn(spark, SF))
+    src = _split_fixture(spark, tmp_path, "documents", "doc_id")
+    with _force_multi_batch():
+        multi = as_set(qs["stream_tlog_upsert"].fn(spark, src))
+        assert _engine._LAST_FED_BATCHES >= 3
+    assert multi == batch

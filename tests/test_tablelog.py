@@ -198,3 +198,32 @@ def test_aggregate_merge_combines_instead_of_replacing(spark, tmp_path):
         "b": ([2], 1),           # target-only -> untouched
         "c": ([9], 1),           # source-only -> inserted
     }
+
+
+def test_append_txn_is_idempotent_per_batch(spark, tmp_path):
+    t = TlogTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([], "k long, v long"),
+    )
+    one = spark.createDataFrame([(1, 1)], "k long, v long")
+    assert t.append_txn(one, "app", 0) is not None
+    assert t.append_txn(one, "app", 0) is None          # replay no-ops
+    assert t.append_txn(one, "app", 1) is not None      # next batch lands
+    # a fresh handle (post-crash restart) sees the same watermark
+    t2 = TlogTable(spark, t.path)
+    assert t2.append_txn(one, "app", 1) is None
+    assert t2.append_txn(one, "other_app", 0) is not None  # per-app scope
+    assert t2.snapshot().count() == 3
+
+
+def test_txn_state_checkpoint_equals_replay(spark, tmp_path):
+    t = TlogTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([], "k long, v long"),
+    )
+    one = spark.createDataFrame([(1, 1)], "k long, v long")
+    for b in range(2 * CHECKPOINT_EVERY):
+        t.append_txn(one, "app", b)
+    assert t.txn_state(use_checkpoint=True) == t.txn_state(
+        use_checkpoint=False
+    ) == {"app": 2 * CHECKPOINT_EVERY - 1}
