@@ -469,6 +469,11 @@ class TlogTable:
         source key are rewritten; every other live file survives the
         commit untouched (pinned by tests/test_tablelog.py).
 
+        Precondition (standard MERGE): ``key`` is unique on both sides
+        — a duplicate source key would match one target row twice and
+        multiply it through the full-outer join, same as SQL MERGE's
+        "multiple rows matched" error class.
+
         ``combine`` upgrades replace-semantics to AGGREGATE-merge per
         column: ``{col: fn(src_col, tgt_col) -> Column}`` is applied
         when BOTH sides have the key (either side alone passes

@@ -227,3 +227,24 @@ def test_txn_state_checkpoint_equals_replay(spark, tmp_path):
     assert t.txn_state(use_checkpoint=True) == t.txn_state(
         use_checkpoint=False
     ) == {"app": 2 * CHECKPOINT_EVERY - 1}
+
+
+def test_snapshot_census_prunes_columns(spark):
+    """The registered tlog census reads 2 of orders' 6 columns; the
+    snapshot read must column-prune at the scan (ReadSchema), not
+    materialize the full row — the difference between scanning 2 and 6
+    column chunks per file at 100 TB."""
+    from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
+    from inverted_index_using_the_map_reduce_paradigm_spark.registry import (
+        load_all,
+    )
+
+    df = load_all()["table_merge_upsert"].fn(spark, "/root/testdata/sf0.001")
+    plan = audit.physical_plan(df)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"o_orderkey", "o_totalprice"}, s
