@@ -527,3 +527,86 @@ def q_index_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "letter",
     )
 
+
+
+# --------------------------------------------------------------------------
+# deletion vectors: merge-on-read delete == copy-on-write result
+# --------------------------------------------------------------------------
+
+DV_DELETE_MOD = 3
+
+_DV_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _dv_base(spark: SparkSession, sf_dir: str) -> str:
+    """orders table, deleted merge-on-read (v1 = deletion vector, no
+    data file touched) then folded (v2 = compact_dvs rewrites only the
+    masked files)."""
+    fp = table_fingerprint(sf_dir, "orders")
+    got = _DV_DIRS.get((sf_dir, fp))
+    if got is not None:
+        return got
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_tlogdv_{os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+        fp,
+    )
+    orders = table(spark, sf_dir, "orders")
+    t = TlogTable.create(
+        spark,
+        base,
+        orders.repartitionByRange(4, "o_orderkey"),
+        stats_cols=("o_orderkey",),
+    )
+    t.delete_where_dv(F.col("o_orderkey") % DV_DELETE_MOD == 0)
+    t.compact_dvs(stats_cols=("o_orderkey",), cluster_files=4)
+    _DV_DIRS[(sf_dir, fp)] = base
+    return base
+
+
+_SQL_DV_CENSUS = f"""
+SELECT '{{phase}}' AS phase, count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders WHERE o_orderkey % {DV_DELETE_MOD} <> 0
+"""
+
+
+@register(
+    "table_delete_vectors",
+    oracle=f"""
+{_SQL_DV_CENSUS.format(phase="mor")}
+UNION ALL {_SQL_DV_CENSUS.format(phase="folded")}
+""",
+    description="merge-on-read delete via deletion vectors: masked read and post-fold read both equal the SQL delete",
+    tags=("storage", "acid", "maintenance", "scale"),
+)
+def q_table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read delete path (Delta deletion vectors / Iceberg
+    position deletes): v1 deletes the %3 slice by writing ONLY a
+    (file, row_index) sidecar — zero data files rewritten, so a
+    selective delete on a 100 TB table is delete-sized, not
+    rewrite-sized — and the snapshot read anti-joins the vector out at
+    scan time (the DV side broadcasts; the data side never shuffles).
+    v2 folds the vectors in (compact_dvs rewrites only masked files),
+    ending read amplification.  Both phase censuses must equal the
+    plain SQL delete — the masked read IS the deleted table, not an
+    approximation of it."""
+    t = TlogTable(spark, _dv_base(spark, sf_dir))
+
+    def census(version: int, phase: str) -> DataFrame:
+        return (
+            t.snapshot(version)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast(D182))
+                .cast("double")
+                .alias("sum_price"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .select(F.lit(phase).alias("phase"), "*")
+        )
+
+    return census(1, "mor").unionByName(census(2, "folded"))

@@ -361,12 +361,20 @@ class TlogTable:
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest).  The file
         list is frozen at commit time, so this read is repeatable
-        regardless of concurrent writes — snapshot isolation."""
+        regardless of concurrent writes — snapshot isolation.  Pending
+        deletion vectors are anti-joined out at scan time (merge-on-
+        read); when none are pending the plan is the bare parquet
+        scan."""
+        if version is None:
+            version = self.latest_version()
         live = self.live_files(version)
         if not live:
             return self.spark.createDataFrame([], self.schema())
-        return self.spark.read.schema(self.schema()).parquet(
+        base = self.spark.read.schema(self.schema()).parquet(
             *(self._abs(p) for p in live)
+        )
+        return self._mask_dvs(base, version).select(
+            *self.schema().fieldNames()
         )
 
     # ------------------------------------------------------------------
@@ -488,9 +496,14 @@ class TlogTable:
             F.col(key), *[F.col(c).alias(f"_s_{c}") for c in cols]
         )
         if matched:
-            target = self.spark.read.schema(self.schema()).parquet(
-                *(self._abs(p) for p in matched)
-            )
+            # DV-masked raw read: a row deleted merge-on-read must not
+            # resurrect through the rewrite of its file
+            target = self._mask_dvs(
+                self.spark.read.schema(self.schema()).parquet(
+                    *(self._abs(p) for p in matched)
+                ),
+                read_version,
+            ).select(*self.schema().fieldNames())
             j = target.join(src, key, "full_outer")
 
             def out_col(c: str) -> F.Column:
@@ -530,13 +543,25 @@ class TlogTable:
         pruning would be a superset), untouched files stay live."""
         read_version = self.latest_version()
         live = self.live_files(read_version)
-        snap = self.snapshot(read_version).withColumn(
-            "_file", F.input_file_name()
-        )
-        hit_names = {
-            os.path.basename(r._file)
-            for r in snap.filter(condition).select("_file").distinct().collect()
-        }
+        if live:
+            base = self.spark.read.schema(self.schema()).parquet(
+                *(self._abs(p) for p in live)
+            )
+            # tag with the scan's file BEFORE the DV mask joins — a
+            # virtual scan column does not survive a join
+            keyed = base.select(
+                "*", F.input_file_name().alias("_file")
+            )
+            keyed = self._mask_dvs(keyed, read_version)
+            hit_names = {
+                os.path.basename(r._file)
+                for r in keyed.filter(condition)
+                .select("_file")
+                .distinct()
+                .collect()
+            }
+        else:
+            hit_names = set()
         hit = sorted(p for p in live if os.path.basename(p) in hit_names)
         if not hit:
             return self._commit(
@@ -544,8 +569,13 @@ class TlogTable:
                 read_version=read_version,
             )
         kept = (
-            self.spark.read.schema(self.schema())
-            .parquet(*(self._abs(p) for p in hit))
+            self._mask_dvs(
+                self.spark.read.schema(self.schema()).parquet(
+                    *(self._abs(p) for p in hit)
+                ),
+                read_version,
+            )
+            .select(*self.schema().fieldNames())
             .filter(~condition)
         )
         adds = self._write_data(
@@ -576,6 +606,132 @@ class TlogTable:
         adds = self._write_data(df, stats_cols)
         return self._commit(
             {"op": "compact", "adds": adds, "removes": sorted(live)},
+            read_version=read_version,
+        )
+
+    # ------------------------------------------------------------------
+    # deletion vectors (merge-on-read deletes)
+    # ------------------------------------------------------------------
+
+    def _dv_paths(self, version: int | None = None) -> list[str]:
+        """Deletion-vector files accumulated up to ``version`` (each a
+        parquet of (file, row_index) pairs).  Rows naming a no-longer-
+        live file are inert — a rewrite (merge/compact) retires a DV
+        simply by retiring the file it masks."""
+        if version is None:
+            version = self.latest_version()
+        out: list[str] = []
+        for v in range(version + 1):
+            out.extend(self._read_commit(v).get("dv_adds", []))
+        return out
+
+    def delete_where_dv(self, condition) -> int:
+        """Merge-on-read delete: instead of rewriting every file that
+        contains a match (copy-on-write ``delete_where``), write a
+        DELETION VECTOR — the (file, row_index) positions of matching
+        rows, found via the parquet reader's ``_metadata.row_index``
+        virtual column — and leave every data file untouched.
+
+        This is the Delta deletion-vector / Iceberg position-delete
+        design: a delete of 0.01% of a 100 TB table costs one scan +
+        a delete-sized sidecar write, not a rewrite of every touched
+        file; readers anti-join the (delete-sized, broadcastable) DV
+        at scan time.  The trade is read-amplification until the next
+        compaction folds the DVs in — exactly the copy-on-write vs
+        merge-on-read knob real table formats expose."""
+        read_version = self.latest_version()
+        base = self.spark.read.schema(self.schema()).parquet(
+            *(self._abs(p) for p in self.live_files(read_version))
+        )
+        # key rows by (file, row_index) BEFORE any join — _metadata is
+        # a scan-relation virtual column and does not survive joins
+        keyed = base.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_row"),
+        )
+        dvs = self._dv_paths(read_version)
+        if dvs:  # don't re-delete already-DV'd rows
+            dv = self.spark.read.schema(
+                "file string, row_index long"
+            ).parquet(*(self._abs(p) for p in dvs))
+            keyed = keyed.join(
+                dv,
+                (keyed["_dv_file"] == dv["file"])
+                & (keyed["_dv_row"] == dv["row_index"]),
+                "left_anti",
+            )
+        hits = keyed.filter(condition).select(
+            F.col("_dv_file").alias("file"),
+            F.col("_dv_row").alias("row_index"),
+        )
+        dv_rel = f"dv-{uuid.uuid4().hex}.parquet"
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        parts = [n for n in os.listdir(staging) if n.endswith(".parquet")]
+        os.replace(os.path.join(staging, parts[0]), self._abs(dv_rel))
+        shutil.rmtree(staging)
+        return self._commit(
+            {"op": "delete_dv", "adds": [], "removes": [],
+             "dv_adds": [dv_rel]},
+            read_version=read_version,
+        )
+
+    def _mask_dvs(self, df: DataFrame, version: int | None) -> DataFrame:
+        dvs = self._dv_paths(version)
+        if not dvs:
+            return df
+        dv = self.spark.read.schema("file string, row_index long").parquet(
+            *(self._abs(p) for p in dvs)
+        )
+        keyed = df.withColumns(
+            {
+                "_dv_file": F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+                "_dv_row": F.col("_metadata.row_index"),
+            }
+        )
+        return keyed.join(
+            dv,
+            (keyed["_dv_file"] == dv["file"])
+            & (keyed["_dv_row"] == dv["row_index"]),
+            "left_anti",
+        ).drop("_dv_file", "_dv_row")
+
+    def compact_dvs(self, stats_cols: tuple[str, ...] = (),
+                    cluster_files: int = 0) -> int | None:
+        """Fold pending deletion vectors into the data: rewrite ONLY
+        the files a DV actually masks (from the DV's own file column —
+        delete-sized metadata), dropping masked rows; untouched files
+        stay live.  After this commit the DVs are inert (their target
+        files are no longer live) and reads are amplification-free
+        again."""
+        read_version = self.latest_version()
+        dvs = self._dv_paths(read_version)
+        if not dvs:
+            return None
+        live = self.live_files(read_version)
+        dv = self.spark.read.schema("file string, row_index long").parquet(
+            *(self._abs(p) for p in dvs)
+        )
+        masked_names = {r.file for r in dv.select("file").distinct().collect()}
+        hit = sorted(p for p in live if os.path.basename(p) in masked_names)
+        if not hit:
+            return None
+        kept = self._mask_dvs(
+            self.spark.read.schema(self.schema()).parquet(
+                *(self._abs(p) for p in hit)
+            ),
+            read_version,
+        ).select(*self.schema().fieldNames())
+        adds = self._write_data(
+            self._clustered(kept, cluster_files, stats_cols), stats_cols
+        )
+        return self._commit(
+            {"op": "compact_dv", "adds": adds, "removes": hit},
             read_version=read_version,
         )
 

@@ -99,6 +99,36 @@ def main() -> None:
         "full_replay_ms": round(replay_ms, 2),
     }
 
+    # ---- deletion vectors vs copy-on-write: bytes written by a 1%
+    # delete (DV writes a delete-sized sidecar; COW rewrites every
+    # file containing a match — with a spread predicate that is the
+    # whole table)
+    t2 = TlogTable.create(
+        spark,
+        os.path.join(base, "orders_dv"),
+        orders.repartitionByRange(32, "o_orderkey"),
+        stats_cols=("o_orderkey",),
+    )
+    table_bytes = sum(a["bytes"] for a in t2.live_files().values())
+    v = t2.delete_where_dv(F.col("o_orderkey") % 100 == 0)  # ~1%, all files
+    dv_rel = t2._read_commit(v)["dv_adds"][0]
+    dv_bytes = os.path.getsize(t2._abs(dv_rel))
+    t3 = TlogTable.create(
+        spark,
+        os.path.join(base, "orders_cow"),
+        orders.repartitionByRange(32, "o_orderkey"),
+        stats_cols=("o_orderkey",),
+    )
+    cv = t3.delete_where(F.col("o_orderkey") % 100 == 0,
+                         stats_cols=("o_orderkey",))
+    cow_bytes = sum(a["bytes"] for a in t3._read_commit(cv)["adds"])
+    out["deletion_vectors"] = {
+        "table_bytes": table_bytes,
+        "dv_sidecar_bytes": dv_bytes,
+        "cow_rewrite_bytes": cow_bytes,
+        "dv_fraction_of_cow": round(dv_bytes / cow_bytes, 4),
+    }
+
     # ---- bloom sidecar at a REALISTIC vocabulary (the fixture corpus
     # has a few dozen distinct words, so its letter dirs hold 1-2 files
     # and there is nothing to skip; a crawled corpus has millions).

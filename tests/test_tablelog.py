@@ -248,3 +248,49 @@ def test_snapshot_census_prunes_columns(spark):
     for s in schemas:
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"o_orderkey", "o_totalprice"}, s
+
+
+def test_deletion_vector_touches_no_data_file(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    before = t.live_files()
+    v = t.delete_where_dv(F.col("k") % 3 == 0)
+    c = t._read_commit(v)
+    assert c["adds"] == [] and c["removes"] == []   # zero data files
+    assert c["dv_adds"], "must record the vector sidecar"
+    assert t.live_files() == before                  # live set unchanged
+    rows = [k for k, _ in _rows(t.snapshot())]
+    assert rows and all(k % 3 for k in rows)
+    assert t.snapshot(0).count() == 400              # time travel intact
+
+
+def test_merge_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=30, files=2)
+    t.delete_where_dv(F.col("k") == 3)
+    # source touches key 4 (same file as key 3) — the rewrite must
+    # keep 3 dead
+    t.merge(spark.createDataFrame([(4, -4)], "k long, v long"), "k")
+    rows = dict(_rows(t.snapshot()))
+    assert rows[4] == -4 and 3 not in rows
+
+
+def test_compact_dvs_rewrites_only_masked_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    before = set(t.live_files())
+    t.delete_where_dv(F.col("k") < 10)   # masks exactly one range file
+    pre_fold = _rows(t.snapshot())
+    v = t.compact_dvs(stats_cols=("k",))
+    assert v is not None
+    after = set(t.live_files())
+    assert len(before & after) == len(before) - 1, (
+        "only the masked file may be rewritten"
+    )
+    assert _rows(t.snapshot()) == pre_fold           # fold is identity
+    assert t.compact_dvs() is None                   # nothing left to fold
+
+
+def test_dv_then_cow_delete_compose(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=60, files=2)
+    t.delete_where_dv(F.col("k") % 2 == 0)
+    t.delete_where(F.col("k") < 10)
+    rows = [k for k, _ in _rows(t.snapshot())]
+    assert rows == [k for k in range(60) if k % 2 and k >= 10]
