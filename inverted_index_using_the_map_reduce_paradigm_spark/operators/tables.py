@@ -610,3 +610,79 @@ def q_table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return census(1, "mor").unionByName(census(2, "folded"))
+
+
+# --------------------------------------------------------------------------
+# additive schema evolution
+# --------------------------------------------------------------------------
+
+_EVOLVE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _evolve_base(spark: SparkSession, sf_dir: str) -> str:
+    """v0 = even-key orders WITHOUT o_orderpriority; v1 = odd-key
+    orders WITH it (additive evolution)."""
+    fp = table_fingerprint(sf_dir, "orders")
+    got = _EVOLVE_DIRS.get((sf_dir, fp))
+    if got is not None:
+        return got
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_tlogevo_{os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+        fp,
+    )
+    orders = table(spark, sf_dir, "orders")
+    t = TlogTable.create(
+        spark,
+        base,
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        stats_cols=("o_orderkey",),
+    )
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        stats_cols=("o_orderkey",),
+        evolve_schema=True,
+    )
+    _EVOLVE_DIRS[(sf_dir, fp)] = base
+    return base
+
+
+@register(
+    "table_schema_evolution",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY' ELSE o_orderpriority END
+         AS priority,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY priority
+""",
+    description="additive schema evolution: pre-evolution files read back null-backfilled under the widened schema",
+    tags=("storage", "acid", "maintenance"),
+)
+def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A column added mid-table-life without rewriting history: the
+    evolving append records the widened schema in its commit, the
+    parquet reader resolves old files by name and null-backfills the
+    new column, and a time-travel read below the evolution commit
+    still sees the narrow schema (pinned in tests).  At 100 TB this is
+    the difference between a metadata commit and rewriting every file
+    ever written.  The census buckets pre-evolution rows as LEGACY via
+    the read-time null — matching the SQL replay exactly."""
+    t = TlogTable(spark, _evolve_base(spark, sf_dir))
+    return (
+        t.snapshot()
+        .groupBy(
+            F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("priority")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast(D182))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -162,8 +162,19 @@ class TlogTable:
         with open(self._commit_path(version)) as f:
             return json.load(f)
 
-    def schema(self) -> StructType:
-        return StructType.fromJson(json.loads(self._read_commit(0)["schema"]))
+    def schema(self, version: int | None = None) -> StructType:
+        """Table schema as of ``version`` — the newest commit at or
+        below it that carries a schema (commit 0 always does; an
+        evolving append adds one).  Time-travel reads therefore see
+        the schema their snapshot was written under."""
+        if version is None:
+            vs = self._versions()
+            version = vs[-1] if vs else 0
+        for v in range(version, -1, -1):
+            c = self._read_commit(v)
+            if "schema" in c:
+                return StructType.fromJson(json.loads(c["schema"]))
+        raise FileNotFoundError(f"no schema recorded at or below v{version}")
 
     def history(self) -> list[dict]:
         """One row per commit: op + add/remove/row counts (audit
@@ -367,23 +378,47 @@ class TlogTable:
         scan."""
         if version is None:
             version = self.latest_version()
+        schema = self.schema(version)
         live = self.live_files(version)
         if not live:
-            return self.spark.createDataFrame([], self.schema())
-        base = self.spark.read.schema(self.schema()).parquet(
+            return self.spark.createDataFrame([], schema)
+        base = self.spark.read.schema(schema).parquet(
             *(self._abs(p) for p in live)
         )
-        return self._mask_dvs(base, version).select(
-            *self.schema().fieldNames()
-        )
+        return self._mask_dvs(base, version).select(*schema.fieldNames())
 
     # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------
 
-    def append(self, df: DataFrame, stats_cols: tuple[str, ...] = ()) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+        evolve_schema: bool = False,
+    ) -> int:
+        """Blind append.  With ``evolve_schema``, the batch may ADD
+        columns: the commit records the widened schema, older files
+        read back with the new columns null-backfilled (the parquet
+        reader resolves by name), and a time-travel read below this
+        commit still uses the old schema.  Only additive evolution is
+        accepted — a dropped or retyped column is a rewrite, not an
+        append, and is rejected loudly."""
+        record: dict = {"op": "append", "removes": []}
+        if evolve_schema:
+            cur = {f.name: f.dataType for f in self.schema().fields}
+            new = {f.name: f.dataType for f in df.schema.fields}
+            bad = [n for n, t in cur.items() if new.get(n) != t]
+            if bad:
+                raise ValueError(
+                    f"schema evolution is additive-only; existing columns "
+                    f"changed or missing: {bad}"
+                )
+            if len(new) > len(cur):
+                record["schema"] = df.schema.json()
         adds = self._write_data(df, stats_cols)
-        return self._commit({"op": "append", "adds": adds, "removes": []})
+        record["adds"] = adds
+        return self._commit(record)
 
     def append_txn(
         self,

@@ -294,3 +294,26 @@ def test_dv_then_cow_delete_compose(spark, tmp_path):
     t.delete_where(F.col("k") < 10)
     rows = [k for k, _ in _rows(t.snapshot())]
     assert rows == [k for k in range(60) if k % 2 and k >= 10]
+
+
+def test_schema_evolution_is_additive_and_versioned(spark, tmp_path):
+    t = TlogTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+    )
+    with pytest.raises(ValueError):  # retype rejected
+        t.append(
+            spark.createDataFrame([(2, "x")], "k long, v string"),
+            evolve_schema=True,
+        )
+    with pytest.raises(ValueError):  # drop rejected
+        t.append(spark.createDataFrame([(2,)], "k long"), evolve_schema=True)
+    t.append(
+        spark.createDataFrame([(2, 20, "b")], "k long, v long, tag string"),
+        evolve_schema=True,
+    )
+    rows = {r.k: (r.v, r.tag) for r in t.snapshot().collect()}
+    assert rows == {1: (10, None), 2: (20, "b")}  # null-backfilled
+    # time travel below the evolution commit keeps the narrow schema
+    assert t.snapshot(0).columns == ["k", "v"]
+    assert t.snapshot().columns == ["k", "v", "tag"]
