@@ -75,6 +75,23 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", bucket.alias("bucket"), F.explode(shingles_of(F.col("text"))).alias("shingle")
     )
+    # signature-store rule (see dedup.shingle_pair_counts): the shingle
+    # UDF's resultId defeats canonical-plan reuse, so WITHOUT this the
+    # train and eval branches each re-run tokenize+shingle over the
+    # whole corpus (2 ArrowEvalPython nodes in the executed plan).
+    # Materialize the exploded table once — val-split rows dropped
+    # first, they feed neither side — and both branches read the store.
+    # Measured honestly: at sf0.1 the TIMED path is neutral (~2.0 s
+    # either way — the shingle-keyed join and the two distinct
+    # aggregates dominate, not the UDF); the win is the halved
+    # corpus-sized Python pass, which is what matters when the corpus
+    # is 100 TB and the join output is contamination-sized.
+    sh = materialize(
+        sh.filter(
+            (F.col("bucket") < _TRAIN_PCT)
+            | (F.col("bucket") >= _TRAIN_PCT + _VAL_PCT)
+        )
+    )
     train = sh.filter(F.col("bucket") < _TRAIN_PCT).select("doc_id", "shingle")
     eval_ = sh.filter(F.col("bucket") >= _TRAIN_PCT + _VAL_PCT).select(
         F.col("doc_id").alias("eval_doc"), "shingle"
