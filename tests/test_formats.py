@@ -486,7 +486,11 @@ def test_warc_stream_source_is_exactly_once_across_arrivals(spark, tmp_path):
     finally:
         q.stop()
     assert n1 < 500 and len(rows) == 500
-    assert sum(batches) == 500 and len(batches) == 2
+    # exactly-once is the SUM and the distinct set, not the trigger
+    # count: the 5 late shards may legitimately span two triggers when
+    # the copy loop races the source's listing poll (observed flake
+    # under load), so pin >= 2 arrivals instead of exactly 2
+    assert sum(batches) == 500 and len(batches) >= 2
     assert len({r.doc_id for r in rows}) == 500  # no shard replayed
 
 
