@@ -548,8 +548,18 @@ def minhash_pairs(docs: DataFrame, band_cap: int = HOT_BAND_CAP) -> DataFrame:
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sets = _shingle_sets(docs.join(cand_ids, "doc_id", "left_semi")).select(
-        "doc_id", "shingles", "n_sh"
+    # r13 (optimization round, guide §4.4-class defect): the verify
+    # join consumes ``sets`` TWICE (doc_a side and doc_b side), and the
+    # shingle pandas UDF's resultId defeats canonical-plan reuse, so
+    # each side re-ran scan + semi-join + shingle UDF — two extra
+    # ArrowEvalPython passes in the executed plan.  Materialize the
+    # candidate-bounded shingle store once (the same signature-store
+    # rule as shingle_pair_counts / contamination_check); both join
+    # sides read the checkpointed table: 4 Python eval nodes -> 2.
+    sets = materialize(
+        _shingle_sets(docs.join(cand_ids, "doc_id", "left_semi")).select(
+            "doc_id", "shingles", "n_sh"
+        )
     )
     verified = (
         cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a").withColumnRenamed("n_sh", "na"), "doc_a")

@@ -656,9 +656,14 @@ def q_similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             _r(cosine_similarity(F.col("qe"), F.col("e"))).alias("cosine"),
         )
-        # a (query, neighbor) pair can surface via several probed cells
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("cosine").alias("cosine"))
+        # r13 (optimization round): NO dedup needed — a (query,
+        # neighbor) pair matches exactly once by construction: the
+        # candidate side carries its single HOME cell (argmin) and the
+        # query side's nprobe probed cells are argsort indices, i.e.
+        # DISTINCT, so at most one join row per pair exists.  The old
+        # groupBy(query_id, neighbor_id) "dedup" was a full extra
+        # exchange of the candidate stream for a no-op (pinned by
+        # test_similarity.py::test_ivf_candidate_pairs_are_unique).
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -924,9 +929,14 @@ def q_similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         coded.join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        # a pair can surface via several probed cells; `cell` is the
-        # candidate's HOME cell (one per vec_id), identical across dups
-        .dropDuplicates(["query_id", "vec_id"])
+        # r13 (optimization round): no dedup — each candidate has ONE
+        # home cell and each query's probed cells are DISTINCT argsort
+        # indices, so a (query, vec) pair joins exactly once (pinned by
+        # test_similarity.py::test_ivf_candidate_pairs_are_unique).
+        # The old dropDuplicates ran first() over the array columns,
+        # which hash aggregation cannot buffer -> TWO SortAggregates,
+        # two full candidate-stream sorts and an extra
+        # (query_id, vec_id) exchange, all for a no-op.
         .select(
             "query_id", "qe", F.col("vec_id").alias("neighbor_id"), "cell", "codes"
         )
@@ -1054,7 +1064,11 @@ def q_similarity_search_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFr
     cand = (
         coded.join(F.broadcast(qdf), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
+        # r13: no dedup — probed cells are distinct per query and the
+        # stored index holds each vec_id in exactly one cell partition,
+        # so a (query, vec) pair joins once; the old dropDuplicates
+        # cost two SortAggregates + an exchange (see the in-memory
+        # variant's note and test_ivf_candidate_pairs_are_unique)
         .select(
             "query_id", "qe", F.col("vec_id").alias("neighbor_id"), "cell", "codes"
         )
@@ -1487,12 +1501,13 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the model state (K x dim doubles) stays a DataFrame
     end to end — no driver collect anywhere in the loop (contrast the
     IVF quantizer, which trains on a bounded driver sample by design).
-    Per pass: centroids BROADCAST to a single corpus scan (assignment
-    is array-local math + a per-vector struct-min argmin AGGREGATE —
-    the K candidate rows collapse in the map-side partial agg, so the
-    vec_id exchange moves one row per vector, not K, with no sort),
-    and the update is a (K x dim)-group partial aggregation — shuffle
-    output is model-sized, not corpus-sized.
+    Per pass: the model BROADCASTS as ONE row of K (cluster, centroid)
+    structs and assignment is a fully row-local ``array_min`` argmin —
+    zero exchanges, no aggregate, the pass fuses onto the corpus scan
+    (r13: the previous struct-min aggregate shuffled one row per
+    vector per pass; that corpus-sized vec_id exchange is gone).  The
+    update is a (K x dim)-group partial aggregation — shuffle output
+    is model-sized, not corpus-sized.
     Lineage depth is fixed (KMEANS_ITERS), so no checkpoint is needed;
     a tunable-iteration variant would localCheckpoint like
     near_dup_clusters."""
@@ -1515,39 +1530,80 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster", F.col("e").alias("c"))
     )
+    # r13 (optimization round, guide §2.4): the model rides as ONE row
+    # holding all K (cluster, centroid) structs end to end.
+    cents_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cs")
+    )
     assigned = None
     for it in range(1, KMEANS_ITERS + 1):
-        scored = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "e", "cluster", _euclid(F.col("e"), F.col("c")).alias("dist")
+        # Per-vector argmin is a row-local ``array_min`` over the K
+        # candidate structs — struct comparison is field-order
+        # lexicographic, so (dist ASC, cluster ASC) is exactly the
+        # deterministic tie-break the oracle uses.  The previous shape
+        # (explode the broadcast to K candidate ROWS, struct-min
+        # AGGREGATE by vec_id) shuffled one row per vector per pass;
+        # this one shuffles NOTHING for assignment — KMEANS_ITERS
+        # corpus-sized exchanges become zero, and each pass is a
+        # narrow map over the scan.
+        best = F.array_min(
+            F.transform(
+                "cs",
+                lambda s: F.struct(
+                    _euclid(F.col("e"), s["c"]).alias("dist"),
+                    s["cluster"].alias("cluster"),
+                ),
+            )
         )
-        # per-vector argmin as a struct-min AGGREGATE, not a row_number
-        # window: the K candidate rows collapse in the map-side partial
-        # agg, so the vec_id exchange carries one row per vector instead
-        # of K (and needs no sort).  Struct comparison is field-order
-        # lexicographic — (dist ASC, cluster ASC) is exactly the
-        # deterministic tie-break the oracle uses; `e` rides along in
-        # the tail position where it is never compared (cluster ids are
-        # unique per candidate).
+        # the named non-cheap alias is not inlined back by
+        # CollapseProject, so the K-candidate scan runs once per row
+        # even though two fields are read from it
         assigned = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cluster", "e")).alias("b"))
+            e.crossJoin(F.broadcast(cents_row))
+            .withColumn("b", best)
             .select(
                 "vec_id",
-                F.col("b.e").alias("e"),
+                "e",
                 F.col("b.cluster").alias("cluster"),
                 F.col("b.dist").alias("dist"),
             )
         )
         if it < KMEANS_ITERS:
-            cents = (
+            # Centroid update: ONE model-sized exchange (the per-
+            # (cluster, dim) partial-aggregated means) plus the single-
+            # row fold that rebuilds the broadcast value — the previous
+            # groupBy(cluster) middle step was a third exchange and two
+            # more stages per pass for the same K x dim numbers.  The
+            # nested rebuild keeps only PRESENT clusters (array_distinct
+            # over the sorted means), exactly like the old
+            # groupBy(cluster) — an emptied cluster drops out of the
+            # model, matching the oracle's GROUP BY over assignments.
+            # array_sort orders by (cluster, dim), so per-cluster dim
+            # arrays come out dim-ascending and clusters ascending.
+            means = (
                 assigned.select("cluster", F.posexplode("e").alias("dim", "x"))
                 .groupBy("cluster", "dim")
                 .agg(F.round(F.avg("x"), KMEANS_CROUND).alias("cx"))
-                .groupBy("cluster")
-                .agg(
-                    F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s")
-                )
-                .select("cluster", F.transform("s", lambda r: r.cx).alias("c"))
+            )
+            cents_row = means.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cluster", "dim", "cx"))
+                ).alias("acc")
+            ).select(
+                F.transform(
+                    F.array_distinct(
+                        F.transform("acc", lambda s: s["cluster"])
+                    ),
+                    lambda k: F.struct(
+                        k.alias("cluster"),
+                        F.transform(
+                            F.filter(
+                                F.col("acc"), lambda s: s["cluster"] == k
+                            ),
+                            lambda s: s["cx"],
+                        ).alias("c"),
+                    ),
+                ).alias("cs")
             )
     return assigned.select("vec_id", "cluster", _r(F.col("dist")).alias("dist"))
 

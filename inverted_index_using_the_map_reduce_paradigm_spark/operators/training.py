@@ -96,6 +96,15 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_ = sh.filter(F.col("bucket") >= _TRAIN_PCT + _VAL_PCT).select(
         F.col("doc_id").alias("eval_doc"), "shingle"
     )
+    # r13 (optimization round, guide §2.4 "an orderBy used only to make
+    # output deterministic"): the final global sort was presentation
+    # only — the oracle SQL has no ORDER BY, the driver/parity
+    # comparison sorts rows itself (parity.normalize), and no consumer
+    # takes a LIMIT off the order.  It cost a rangepartitioning
+    # exchange + sort over the whole contaminated-doc result — at
+    # 100 TB a full extra shuffle of the output, for nothing.  It was
+    # one of only 3 global sorts registry-wide (the other two feed
+    # LIMITs and stay).  Result SET unchanged, hash-identical.
     return (
         train.join(eval_, "shingle")
         .groupBy("doc_id")
@@ -103,7 +112,6 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shingle").alias("n_shared_ngrams"),
             F.countDistinct("eval_doc").alias("n_eval_docs"),
         )
-        .orderBy(F.desc("n_shared_ngrams"), F.asc("doc_id"))
     )
 
 
@@ -505,9 +513,26 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value, and no raw-occurrence row survives past the first
     # exchange.
     bgd = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
-    bgd = bgd.withColumn(
-        "n_pair", F.sum("c").over(Window.partitionBy("w1", "w2"))
-    ).withColumn("n_head", F.sum("c").over(Window.partitionBy("w1")))
+    # r13 (optimization round, guide §2.4): both model windows share ONE
+    # w1-keyed exchange + (w1, w2) sort — n_pair is the sum over the
+    # ORDER-BY PEER GROUP (RANGE CURRENT ROW..CURRENT ROW = all rows
+    # with equal w2 inside the w1 partition), which is exactly the old
+    # partitionBy(w1, w2) sum over the same rows; n_head rides the same
+    # partitioning unordered.  The previous two-window form shuffled the
+    # distinct per-doc bigram stream TWICE (once on (w1, w2), once on
+    # w1) — at 100 TB that stream is near corpus-sized, so this removes
+    # a full corpus-scale exchange + sort.  Skew ceiling is unchanged:
+    # the n_head window already concentrated each hot head word into
+    # one partition; n_pair now rides that same partition instead of a
+    # finer one.
+    w_pair = (
+        Window.partitionBy("w1")
+        .orderBy("w2")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    bgd = bgd.withColumn("n_pair", F.sum("c").over(w_pair)).withColumn(
+        "n_head", F.sum("c").over(Window.partitionBy("w1"))
+    )
     # vocab rides the SAME named token array (array-local distinct
     # before the explode, as tokenize_documents_distinct would)
     vocab = docs.select(

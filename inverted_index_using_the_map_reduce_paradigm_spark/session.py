@@ -19,6 +19,57 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# One initial shuffle partition per this many input bytes.  16 MiB is a
+# quarter of the guide's 64-128 MiB post-coalesce target (§2.2): start
+# finer than the goal so AQE's coalescing (which can only MERGE, never
+# split, non-skew partitions) has room to land on it, without starting
+# hundreds of times too fine.
+_BYTES_PER_INITIAL_PARTITION = 16 << 20
+
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes under ``path`` — a stat walk, O(#files) driver-side
+    like data.table_fingerprint, never a data read."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.stat(os.path.join(dirpath, fn)).st_size
+            except OSError:
+                pass
+    return total
+
+
+def initial_partitions(cpus: int, data_bytes: int | None = None) -> int:
+    """Scale-ADAPTIVE initial shuffle-partition count (r13 optimization
+    round, guide §2.2 + §1.2): the useful width of a shuffle tracks the
+    DATA VOLUME, not a constant.  The previous fixed ``4 * cpus`` was
+    sized for the measured x256 cliff (ngram_jaccard_dedup: 70.5 s at
+    32 partitions vs 44.4 s at 128 — per-partition join state outgrew
+    the task) but taxed every small-input query with 4x more shuffle
+    blocks than its data could fill — measured at bench scale: a plain
+    1M-row/1000-group aggregate reads ~2.2 s with initialPartitionNum
+    128 vs ~1.1 s at 32, pure AQE-coalesce and block bookkeeping
+    overhead.  Derive it instead: one initial partition per 16 MiB of
+    input, floored at the core count (never less parallel than the
+    machine), capped at 32x cores (the same upper-bound role the old
+    constant played, two decades higher).  The x256 corpus (2.6 GB)
+    lands at ~166 >= the measured-needed 128, so the cliff protection
+    is PRESERVED by derivation instead of by constant; scripts that
+    build their own larger corpora (scale_sweep) re-derive per
+    multiplier via this function and set the runtime conf.  Override
+    with ``SPARK_GRAFT_INITIAL_PARTITIONS`` when benching partitioning
+    itself."""
+    env = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if env:
+        return int(env)
+    if data_bytes is None:
+        from .data import DEFAULT_SF_DIR
+
+        data_bytes = _dir_bytes(DEFAULT_SF_DIR)
+    return int(min(max(cpus, data_bytes // _BYTES_PER_INITIAL_PARTITION), 32 * cpus))
+
+
 def get_spark(app_name: str = "repo_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     cpus = cpu_count()
     if shuffle_partitions is None:
@@ -32,19 +83,18 @@ def get_spark(app_name: str = "repo_spark", *, shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # ---- shuffle sizing --------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Start shuffles at 4x the static count and let AQE's
-        # coalescing shrink small ones back to ~cores: at benchmark
-        # scale the final partition counts (and timings) are unchanged,
-        # but when the data outgrows the JVM the core-sized static
-        # count is the cliff — per-partition join state grows linearly
-        # with the corpus until tasks hit allocation retries (measured:
-        # ngram_jaccard_dedup at 256x bench scale, 70.5 s at 32
-        # partitions vs 44.4 s at 128 — linear marginal restored; see
-        # SCALE.md x256 notes).  On a real cluster this is exactly the
-        # recommended AQE posture: high initial bound, runtime decides.
+        # Scale-adaptive initial bound (r13): derived from the input
+        # volume under $SPARK_GRAFT_SF_DIR — one initial partition per
+        # 16 MiB, floored at cores, capped at 32x cores — instead of
+        # the previous fixed 4x cores.  See initial_partitions() for
+        # the measurements on both sides (the x256 ngram_jaccard cliff
+        # that sets the upper need, and the small-input AQE-coalesce
+        # overhead that the constant was taxing).  On a real cluster
+        # this is the same recommended AQE posture: a high,
+        # DATA-DERIVED initial bound; runtime decides the final widths.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(4 * shuffle_partitions),
+            str(initial_partitions(cpus)),
         )
         # ---- python <-> jvm data path ----------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

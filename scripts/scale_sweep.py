@@ -204,6 +204,20 @@ def main() -> int:
     for name in names:
         results[name] = {}
         for m in args.mults:
+            # the session derives its initial shuffle-partition bound
+            # from $SPARK_GRAFT_SF_DIR (r13); this sweep reads its own
+            # larger corpora, so re-derive per multiplier — it is a
+            # runtime SQL conf, applied at planning time
+            from inverted_index_using_the_map_reduce_paradigm_spark.session import (
+                _dir_bytes,
+                cpu_count,
+                initial_partitions,
+            )
+
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(initial_partitions(cpu_count(), _dir_bytes(dirs[m]))),
+            )
             df = qs[name].fn(spark, dirs[m])
             warm = run_once(df)
             runs = 3 if warm >= 0.3 else 1

@@ -657,20 +657,21 @@ def test_doc_entropy_final_agg_rides_window_partitioning(spark):
 
 
 def test_kmeans_broadcasts_centroids_every_pass(spark):
-    """Lloyd assignment must broadcast the model (K x dim) to the
-    corpus scan each pass — one BroadcastNestedLoopJoin per iteration,
-    never a shuffled join or an unbroadcast cartesian product."""
+    """Lloyd assignment must broadcast the model (one row of K
+    centroid structs) to the corpus scan each pass — one
+    BroadcastNestedLoopJoin per iteration, never a shuffled join or an
+    unbroadcast cartesian product — and the argmin must be row-local
+    (r13: ``array_min`` over the K candidate structs), so assignment
+    adds ZERO corpus-sized exchanges: no vec_id exchange anywhere."""
     from inverted_index_using_the_map_reduce_paradigm_spark.operators.similarity import KMEANS_ITERS
 
     plan = physical_plan(spark, "kmeans_clusters")
     assert plan.count("BroadcastNestedLoopJoin") == KMEANS_ITERS
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # argmin is a struct-min AGGREGATE (K rows collapse in the partial
-    # agg before the vec_id exchange), not a row_number window — the
-    # only Window left is the K-row centroid seeding
+    # the only Window left is the K-row centroid seeding
     assert plan.count("Window") == 1
-    assert plan.count("Exchange hashpartitioning(vec_id") == KMEANS_ITERS
+    assert plan.count("Exchange hashpartitioning(vec_id") == 0
 
 
 def test_time_decay_single_user_shuffle_with_broadcast_ref(spark):

@@ -366,3 +366,32 @@ def test_pca_model_deterministic_across_fits(spark):
     assert np.array_equal(m1, m2)
     assert np.array_equal(c1, c2)
     assert np.array_equal(e1, e2)
+
+
+def test_ivf_candidate_pairs_are_unique(spark):
+    """r13 optimization invariant: the IVF-family candidate joins need
+    NO dedup — each corpus vector carries exactly one HOME cell
+    (argmin) and each query probes DISTINCT cells (argsort indices),
+    so a (query, neighbor) pair can match at most once.  The old
+    dropDuplicates/groupBy "dedup" steps cost an extra exchange (and,
+    over the array payload columns, two SortAggregates) for a no-op;
+    this pins the invariant their removal relies on, end to end: a
+    duplicated candidate would surface as a duplicated (query_id,
+    neighbor_id) output row in ivf, and as duplicate shortlist rows in
+    the ivfpq variants."""
+    qs = load_all()
+    for name in (
+        "similarity_search_ivf",
+        "similarity_search_ivfpq",
+        "similarity_search_ivfpq_stored",
+    ):
+        rows = qs[name].fn(spark, SF).collect()
+        pairs = [(r.query_id, r.neighbor_id) for r in rows]
+        assert len(pairs) == len(set(pairs)), (name, len(pairs), len(set(pairs)))
+        # the per-query rank sequence must stay dense 1..k — a dup
+        # candidate would also corrupt the kernel's shortlist ordering
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), (name, q)
