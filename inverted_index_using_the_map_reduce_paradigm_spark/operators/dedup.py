@@ -421,9 +421,17 @@ def substring_dup_profile(docs: DataFrame) -> DataFrame:
         "doc_id", "n_tok", "pos",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + SUBSTR_K - 1)).alias("cp"),
     )
+    # r13 (optimization round, guide §2.3): ONE distinct aggregate, not
+    # two — positions are unique per doc by construction (posexplode
+    # emits each once; the window filter only drops rows) and every
+    # span explodes to exactly SUBSTR_K coverage rows, so
+    # countDistinct(pos) == count(*) / SUBSTR_K, exactly.  Two distinct
+    # aggregates forced an Expand that DOUBLED the duplicated-coverage
+    # stream through the doc_id exchange; with one distinct Spark plans
+    # a plain two-phase aggregate on (doc_id, cp) instead.
     out = cov.groupBy("doc_id").agg(
         F.first("n_tok").alias("n_tokens"),
-        F.countDistinct("pos").alias("n_dup_spans"),
+        (F.count("*") / SUBSTR_K).cast("long").alias("n_dup_spans"),
         F.countDistinct("cp").alias("n_dup_tokens"),
     )
     return out.select(

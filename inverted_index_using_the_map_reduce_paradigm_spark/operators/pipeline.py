@@ -403,12 +403,24 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") > F.col("m"))
         .select("doc_id", "text")
     )
-    exact_kept = gated.groupBy(F.sha2("text", 256)).agg(
-        F.min("doc_id").alias("k_doc")
-    ).select("k_doc")
-    survivors = gated.join(
-        exact_kept, gated["doc_id"] == exact_kept["k_doc"]
-    ).select("doc_id", "text")
+    # r13 (optimization round, guide §2.4): exact dedup as ONE content-
+    # hash window instead of aggregate + join-back.  The old shape
+    # evaluated ``gated`` twice (the quality gate — a full scan +
+    # tokenize-sized expression — ran once under the keys aggregate and
+    # once under the join's probe side) and paid a SortMergeJoin with
+    # two exchanges; the window form evaluates the gate ONCE and moves
+    # the corpus through a single sha-keyed exchange.  row_number()==1
+    # in doc_id order is exactly "keep min(doc_id) per content hash"
+    # (doc_id is unique), and the hash partition is bounded by
+    # duplicate multiplicity — the same key the old aggregate used.
+    from pyspark.sql.window import Window
+
+    w_sha = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    survivors = (
+        gated.withColumn("rn", F.row_number().over(w_sha))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
 
     # Materialize the near-dup pair set ONCE before the iterative
     # clustering (same as q_near_dup_clusters): without this, every

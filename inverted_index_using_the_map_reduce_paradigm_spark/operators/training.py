@@ -1200,7 +1200,16 @@ def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pair = (
+    # r13 (optimization round, guide §2.4/§3.3): the edge list feeds
+    # THREE join aliases, and each of the per-corner union branches
+    # below re-planned the whole wedge join — the executed plan held
+    # NINE copies of the scan+tokenize+pair-aggregate subtree (runtime
+    # ReuseExchange recovered some, but three corpus tokenize passes
+    # survived).  The edge list is bounded state (vocabulary pairs
+    # thresholded at >= TRI_MIN_PAIR shared docs — the same class as
+    # near_dup_clusters' pair set), so materialize it ONCE; every
+    # consumer reads the store and the corpus is scanned exactly once.
+    pair = materialize(
         varr.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count("*").alias("n"))
@@ -1221,10 +1230,11 @@ def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.w2").alias("c"),
         )
     )
+    # one corner stream via explode instead of a 3-way union — the
+    # union form executed the triangle join once PER CORNER; explode of
+    # [a, b, c] is row-for-row the same stream off a single execution
     per = (
-        tri.select(F.col("a").alias("word"))
-        .unionByName(tri.select(F.col("b").alias("word")))
-        .unionByName(tri.select(F.col("c").alias("word")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n_triangles"))
     )
