@@ -240,12 +240,21 @@ def q_multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard 1.0, one-frame trims at 7/8 — both byte-invisible to
     ``multimodal_dedup``."""
     s = _video_signatures(spark, sf_dir)
-    ex = _drop_hot_keys(
-        s.select(
-            "doc_id", "n_frames", F.explode("fhashes").alias("fhash")
-        ),
-        ["fhash"],
-        HOT_FRAME_CAP,
+    # r13 (optimization round): materialize the exploded, hot-capped
+    # frame-hash table once — the self-join's two aliases each re-ran
+    # the explode + count-window + filter subtree (the exchange below
+    # the window was runtime-reused, but the sort + window above it
+    # executed per side).  The table is store-sized (<= N_FRAMES rows
+    # per clip off the already-checkpointed signature store), the same
+    # bounded-state class the store itself is in.
+    ex = materialize(
+        _drop_hot_keys(
+            s.select(
+                "doc_id", "n_frames", F.explode("fhashes").alias("fhash")
+            ),
+            ["fhash"],
+            HOT_FRAME_CAP,
+        )
     )
     x, y = ex.alias("x"), ex.alias("y")
     pairs = (
