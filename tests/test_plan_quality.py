@@ -1587,3 +1587,36 @@ def test_hamming_families_run_signature_kernel_zero_times_in_join(spark):
         df = qs[name].fn(spark, SF)
         plan = audit.physical_plan(df)
         assert audit.python_eval_count(plan) == 0, (name, plan[:1500])
+
+
+def test_initial_shuffle_partitions_derive_from_input_volume(spark):
+    """r13 optimization-round pin: the AQE initial shuffle-partition
+    bound is DERIVED from input volume (one per 16 MiB), floored at the
+    core count and capped at 32x cores — not a constant tuned for
+    either local mode or a cluster.  The x256-corpus derivation must
+    stay >= the measured-needed 128 (SCALE.md: ngram_jaccard_dedup
+    70.5 s at 32 partitions vs 44.4 s at 128), and the bench fixtures
+    must derive the plain core count (the measured small-input
+    AQE-overhead fix)."""
+    import os
+
+    from inverted_index_using_the_map_reduce_paradigm_spark.session import (
+        _dir_bytes,
+        initial_partitions,
+    )
+
+    assert os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS") is None
+    # fixture scale: floor at cores
+    assert initial_partitions(32, _dir_bytes("/root/testdata/sf0.1")) == 32
+    assert initial_partitions(32, _dir_bytes("/root/testdata/sf0.001")) == 32
+    # the measured x256 cliff stays covered by derivation
+    assert initial_partitions(32, 2_600_000_000) >= 128
+    # cluster posture: grows with data, capped at 32x cores
+    assert initial_partitions(512, 100 * 2**40) == 32 * 512
+    # the running session actually carries the derived value
+    got = int(
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    )
+    from inverted_index_using_the_map_reduce_paradigm_spark.session import cpu_count
+
+    assert got >= cpu_count()
