@@ -30,7 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
-from inverted_index_using_the_map_reduce_paradigm_spark.session import get_spark
+from inverted_index_using_the_map_reduce_paradigm_spark.session import cpu_count, get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -222,7 +222,9 @@ def requalify(names: list[str]) -> int:
     canary_sec, canary_par_sec = _host_speed_canary()
     log = committed.setdefault("requalified", [])
     for name in names:
+        t_build = time.perf_counter()
         df = qs[name].fn(spark, SF_DIR)
+        build_sec = round(time.perf_counter() - t_build, 4)
         warm = run_once(df)
         samples = sorted(run_once(df) for _ in range(RUNS))
         new_median = round(statistics.median(samples), 4)
@@ -231,6 +233,7 @@ def requalify(names: list[str]) -> int:
         committed["conditions"][name] = {
             "runs": [round(s, 4) for s in samples],
             "warm": round(warm, 4),
+            "build_sec": build_sec,
             "load1_before": load_start,
             "load1_after": round(os.getloadavg()[0], 2),
         }
@@ -396,6 +399,12 @@ def main() -> None:
         t0 = time.perf_counter()
         load_before = round(os.getloadavg()[0], 2)
         df = q.fn(spark, SF_DIR)
+        # build_sec (r14, VERDICT r13 #3): wall time of q.fn itself.  A
+        # query that materializes a store at plan-build (localCheckpoint
+        # inside q.fn) moves that work OUT of the timed noop region; the
+        # record must carry it so a "speedup" whose work moved to build
+        # is visible in the artifact instead of needing a forensic diff.
+        build_sec = round(time.perf_counter() - t0, 4)
         warm = run_once(df)  # warm-up (also JIT + file listing)
         # The plan is built ONCE and re-executed per timed run (the noop
         # write re-runs the whole job each time); re-building via q.fn
@@ -409,6 +418,7 @@ def main() -> None:
         conditions[name] = {
             "runs": [round(s, 4) for s in samples],
             "warm": round(warm, 4),
+            "build_sec": build_sec,
             "load1_before": load_before,
             "load1_after": round(os.getloadavg()[0], 2),
         }
@@ -529,6 +539,9 @@ def main() -> None:
         "host_canary_par32_sec": canary_par_sec,
         "load1_end": round(os.getloadavg()[0], 2),
         "ncpus": os.cpu_count(),
+        # the EFFECTIVE core count ($SPARK_GRAFT_CPUS, i.e. local[N]) —
+        # r13's 32-vs-8-core forensics had to infer this from context
+        "cpus": cpu_count(),
         "queries": timings,
         "conditions": conditions,
         # surfaced here too (not just the driver line) so the record is
@@ -547,6 +560,24 @@ def main() -> None:
     # file after driver runs.
     with open(os.path.join(repo, "BENCH_DRIVER.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-run history (r14, VERDICT r13 #6): BENCH_DRIVER.json is
+    # overwritten by every full run, which made the r13 32-core-stall
+    # forensics an archaeology dig.  Append each full run's summary +
+    # per-query medians as ONE line here so any past run can be read
+    # back from git without reconstructing it.
+    hist = {
+        "started_at": started_at,
+        "sf": sf,
+        "cpus": cpu_count(),
+        "sec_per_query": out["sec_per_query"],
+        "canary_norm_sec_per_query": out.get("canary_norm_sec_per_query"),
+        "host_canary_par32_sec": canary_par_sec,
+        "load1": [load_start, round(os.getloadavg()[0], 2)],
+        "n_benched": len(timings),
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+    }
+    with open(os.path.join(repo, "BENCH_HISTORY.jsonl"), "a") as f:
+        f.write(json.dumps(hist, separators=(",", ":")) + "\n")
     reason = detail_guard(committed, sf, canary_par_sec, load_start, timings)
     if reason:
         out["detail_preserved"] = f"BENCH_DETAIL.json kept: {reason}"

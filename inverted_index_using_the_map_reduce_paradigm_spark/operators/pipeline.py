@@ -1571,22 +1571,24 @@ FROM documents
 """,
     description=(
         "custom Python DataSource: format('warc') scan of .warc.gz"
-        " shards, one InputPartition per archive"
+        " shards, byte-range member-resync splits"
     ),
     tags=("pipeline", "source", "ingest", "udf"),
 )
 def q_warc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registers the WARC Python DataSource and scans a sharded
     .warc.gz fixture with `spark.read.format("warc")`: partition
-    planning yields one split per archive file (the FileScan model —
-    a 100 TB crawl is thousands of shards fanning out across
-    executors with zero coordination, enabled by WARC's
-    member-per-record gzip framing), and each split decodes through
-    the dependency-free gzip/WARC stack.  The oracle predicts every
-    (shard, doc, uri, length, sha) row from the documents table, so
-    partition planning, record parsing and doc-id recovery are all
-    driver-hash load-bearing.  The shard build is deterministic
-    driver-side scaffolding; the operator under test is the scan."""
+    planning yields one split per archive file PLUS byte-range splits
+    inside large archives (r14 — gzip-member resync, the Avro range
+    pattern; Spark's FilePartition sizing rule decides the split size),
+    so a 100 TB crawl fans out across executors whether it arrives as
+    thousands of shards or a few huge archives.  Member decode rides
+    zlib (native); WARC/1.0 record parsing is the hand-rolled parser.
+    The oracle predicts every (shard, doc, uri, length, sha) row from
+    the documents table, so partition planning, member resync, record
+    parsing and doc-id recovery are all driver-hash load-bearing.  The
+    shard build is deterministic driver-side scaffolding; the operator
+    under test is the scan."""
     import hashlib as _h
 
     from ..sources.warc_source import WarcDataSource, build_warc_shards

@@ -945,35 +945,59 @@ LIMIT {PATH_TOP}
 )
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence mining lite — which event-type journeys do sessions
-    actually take?  Sessions come from the native ``session_window``
-    (same {GAP_MIN}-minute gap as events_sessionize); each session's
-    path is its first {PATH_MAX_STEPS} event types in (ts, event_id)
-    order, and the result is the top-{PATH_TOP} paths with session and
-    distinct-user counts.
+    actually take?  Sessions use the same {GAP_MIN}-minute inactivity
+    gap as events_sessionize; each session's path is its first
+    {PATH_MAX_STEPS} event types in (ts, event_id) order, and the
+    result is the top-{PATH_TOP} paths with session and distinct-user
+    counts.
 
-    100 TB shape: ONE corpus shuffle (user_id for the session window);
-    the path is assembled array-locally inside the session aggregate —
-    ``array_sort(collect_list(struct))`` holds one session's events,
-    whose size the {GAP_MIN}-minute gap bounds organically — and the
-    path rollup shuffles session-count rows, then TakeOrdered replaces
-    a global sort for the top-{PATH_TOP}."""
+    100 TB shape (r14, VERDICT r13 item 8 — guide §5, smaller per-group
+    state): ONE corpus shuffle (user_id), then sessionization is pure
+    STREAMING window work — lag flags a gap, a running sum numbers the
+    sessions, row_number caps each session at {PATH_MAX_STEPS} rows
+    BEFORE anything is buffered.  The previous ``session_window`` +
+    ``collect_list(struct)`` shape held every event of a session in the
+    object-agg buffer and sliced afterwards — unbounded state under a
+    no-gap hot key (a bot session never closes) and the repo's worst
+    measured slow-phase amplifier (41.9 s stall vs 0.58 s median, r13).
+    Now the aggregate buffers at most {PATH_MAX_STEPS} (rank, type)
+    structs per session, the windows stream, and the only remaining
+    per-group state is O(1).  The path rollup shuffles session-count
+    rows, then TakeOrdered replaces a global sort for the
+    top-{PATH_TOP}.  (events_sessionize remains the native
+    ``session_window`` demonstration.)"""
     ev = table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_user)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type", new_session.alias("new_session")
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    first_steps = numbered.withColumn(
+        "rn", F.row_number().over(w_sess)
+    ).filter(F.col("rn") <= PATH_MAX_STEPS)
     path = F.concat_ws(
         ">",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("ts", "event_id", "event_type"))
-                ),
-                lambda r: r.event_type,
-            ),
-            1,
-            PATH_MAX_STEPS,
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+            lambda r: r.event_type,
         ),
     )
-    sessions = ev.groupBy(
-        F.session_window("ts", f"{GAP_MIN} minutes").alias("sw"), "user_id"
-    ).agg(path.alias("path"))
+    sessions = first_steps.groupBy("user_id", "session_no").agg(path.alias("path"))
     return (
         sessions.groupBy("path")
         .agg(

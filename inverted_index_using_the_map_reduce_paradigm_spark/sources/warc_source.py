@@ -2,14 +2,28 @@
 
 `spark.read.format("warc").option("path", dir)` scans a directory of
 `.warc.gz` files (the Common Crawl layout: one gzip member per WARC
-record, concatenated) as a DataFrame.  The split model mirrors
-FileScan: ONE InputPartition PER ARCHIVE FILE, so a directory of
-thousands of shards fans out across executors with no coordination —
-the member-per-record gzip framing means a reader never needs bytes
-from another file, which is exactly why the format scales to 100 TB
-crawls.  Record parsing rides the dependency-free multi-member gzip
-walk + WARC/1.0 parser in operators/multimodal.py (hand-rolled
-inflate, CRC-32, header fields).
+record, concatenated) as a DataFrame.
+
+Split model (r14, VERDICT r13 item 5 — the Avro byte-range pattern):
+one InputPartition per archive file, PLUS byte-range splits inside
+files larger than the split size, exactly Spark's own FilePartition
+sizing rule — ``maxSplitBytes = min(maxPartitionBytes,
+max(openCost, totalBytes / minPartitionNum))`` — so both shapes scale:
+thousands of shards fan out one-split-per-file with no coordination,
+and a directory of FEW large archives (the r13 bench fixture: 8 shards
+on 32 cores, measured 8<->32-core scaling ratio ~1.0) still fills the
+cluster.  A range reader RESYNCS to the next gzip member boundary
+(magic scan + trial decode — the member-per-record framing is exactly
+why WARC supports this) and owns every member whose FIRST byte lies in
+its range, so each record is read exactly once and a member straddling
+``end`` still belongs to the range that contains its start.
+
+Member decode in the source rides zlib (guide §4.2: hand bulk bytes to
+native code — the scan is the operator here, and pure-Python inflate
+made every split CPU-bound on decompression).  The dependency-free
+hand-rolled gzip/WARC stack in operators/multimodal.py remains the
+codec-tier workload (inflate_roundtrip and friends) and the WARC/1.0
+record parser here is still that module's.
 
 The fixture builder (`build_warc_shards`) writes deterministic shards
 from the documents parquet — driver-side scaffolding for tests and
@@ -37,7 +51,6 @@ from pyspark.sql.datasource import (
 # module-level so cloudpickle ships these by value with the reader
 # (workers import nothing package-relative at read time)
 from ..operators.multimodal import (  # noqa: E402
-    _gzip_members,
     _parse_warc_record,
     encode_warc_gz,
 )
@@ -65,8 +78,84 @@ def _want_body(options: dict) -> bool:
 
 
 class WarcShardPartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, start: int = 0, end: int | None = None) -> None:
         self.path = path
+        self.start = start
+        self.end = end  # None == end of file
+
+
+_GZ_MAGIC = b"\x1f\x8b\x08"  # magic + CM=deflate
+_READ_CHUNK = 1 << 20
+
+# Spark FilePartition sizing defaults, scaled for a Python source: the
+# open cost floors the split so thousands of small shards still plan
+# one split per file rather than sub-file confetti.
+_DEFAULT_SPLIT_MIB = 32.0
+_OPEN_COST_BYTES = 64 << 10
+
+
+def _iter_member_range(path: str, start: int, end: int | None):
+    """Yield ``(offset, inflated_bytes)`` for every gzip member whose
+    FIRST byte lies in ``[start, end)`` of the multi-member archive at
+    ``path``.  ``start > 0`` resyncs: scan for the gzip magic and
+    confirm a candidate by trial-decoding the whole member (zlib
+    verifies CRC-32 + ISIZE; a false magic hit inside compressed bytes
+    fails the trial and the scan moves on).  A member straddling
+    ``end`` is decoded to completion — it belongs to the range that
+    contains its start, the same ownership rule as Avro/Hadoop range
+    readers, so consecutive ranges partition the record stream
+    exactly."""
+    import zlib
+
+    with open(path, "rb") as fh:
+        fh.seek(0, os.SEEK_END)
+        size = fh.tell()
+        limit = size if end is None else min(end, size)
+        pos = start
+        if pos > 0:  # resync to the first member boundary at/after pos
+            fh.seek(pos)
+            window = fh.read(min(limit - pos + len(_GZ_MAGIC), size - pos))
+            found = -1
+            at = 0
+            while True:
+                hit = window.find(_GZ_MAGIC, at)
+                if hit < 0 or pos + hit >= limit:
+                    return  # no member starts in this range
+                cand = pos + hit
+                # trial decode: a genuine boundary inflates cleanly
+                # through the CRC-checked trailer
+                try:
+                    d = zlib.decompressobj(wbits=31)
+                    fh.seek(cand)
+                    ok = False
+                    while not d.eof:
+                        chunk = fh.read(_READ_CHUNK)
+                        if not chunk:
+                            break
+                        d.decompress(chunk)
+                    ok = d.eof
+                except zlib.error:
+                    ok = False
+                if ok:
+                    found = cand
+                    break
+                at = hit + 1
+            pos = found
+        while pos < limit:
+            fh.seek(pos)
+            d = zlib.decompressobj(wbits=31)
+            parts = []
+            fed = 0
+            while not d.eof:
+                chunk = fh.read(_READ_CHUNK)
+                if not chunk:
+                    raise ValueError(
+                        f"truncated gzip member at offset {pos} of {path}"
+                    )
+                parts.append(d.decompress(chunk))
+                fed += len(chunk)
+            yield pos, b"".join(parts)
+            pos += fed - len(d.unused_data)
 
 
 class WarcReader(DataSourceReader):
@@ -76,20 +165,59 @@ class WarcReader(DataSourceReader):
             raise ValueError("warc source requires .option('path', dir)")
         self.dir = path
         self.with_body = _want_body(options)
+        self.split_bytes = int(
+            float(options.get("split_mib", str(_DEFAULT_SPLIT_MIB))) * (1 << 20)
+        )
+        # default resolved lazily in partitions() — driver-side only;
+        # the stream path constructs readers on workers, which must not
+        # import package-relative modules (shipped by value)
+        mp = options.get("min_partitions")
+        self.min_partitions = max(int(mp), 1) if mp is not None else None
 
-    def partitions(self):  # one split per archive — the FileScan model
+    def partitions(self):
+        """One split per archive, plus byte-range splits inside files
+        larger than the effective split size — Spark's FilePartition
+        sizing (min(maxPartitionBytes, max(openCost,
+        total/minPartitionNum))), so few-large-archive directories
+        still fan out across every core (the r13 bench fixture planned
+        8 splits on 32 cores and scaled ~1.0 from 8 to 32 cores)."""
         files = sorted(
             f for f in os.listdir(self.dir) if f.endswith(".warc.gz")
         )
         if not files:
             raise ValueError(f"no .warc.gz files under {self.dir}")
-        return [WarcShardPartition(os.path.join(self.dir, f)) for f in files]
+        paths = [os.path.join(self.dir, f) for f in files]
+        sizes = {p: os.path.getsize(p) for p in paths}
+        total = sum(sizes.values())
+        mp = self.min_partitions
+        if mp is None:
+            # session.cpu_count() inlined: partition planning for a
+            # Python data source runs in a plan worker where
+            # package-relative imports do not resolve (this module
+            # ships by value)
+            mp = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        split = min(
+            self.split_bytes,
+            max(_OPEN_COST_BYTES, total // mp),
+        )
+        parts: list[WarcShardPartition] = []
+        for p in paths:
+            size = sizes[p]
+            if size <= split:
+                parts.append(WarcShardPartition(p))
+                continue
+            lo = 0
+            while lo < size:
+                hi = min(lo + split, size)
+                parts.append(WarcShardPartition(p, lo, hi))
+                lo = hi
+        return parts
 
     def read(self, partition: WarcShardPartition):
-        with open(partition.path, "rb") as f:
-            payload = f.read()
         shard = os.path.basename(partition.path)
-        for member in _gzip_members(payload):
+        start = getattr(partition, "start", 0) or 0
+        end = getattr(partition, "end", None)
+        for _off, member in _iter_member_range(partition.path, start, end):
             headers, body = _parse_warc_record(member)
             if headers.get("WARC-Type") != "response":
                 continue  # warcinfo and request records carry no doc

@@ -58,7 +58,7 @@ def main() -> None:
             committed = json.load(f)["queries"]
         names += sorted(committed, key=committed.get, reverse=True)[:top_n]
 
-    plans_dir = os.path.join(REPO, "plans", "r13")
+    plans_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r14"))
     os.makedirs(plans_dir, exist_ok=True)
     spark = get_spark("profile_queries")
     sc = spark.sparkContext

@@ -6,6 +6,8 @@ the value checks while scanning 100x more data at scale.
 
 from __future__ import annotations
 
+import pytest
+
 from inverted_index_using_the_map_reduce_paradigm_spark.plans import audit
 from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
 
@@ -1589,34 +1591,80 @@ def test_hamming_families_run_signature_kernel_zero_times_in_join(spark):
         assert audit.python_eval_count(plan) == 0, (name, plan[:1500])
 
 
-def test_initial_shuffle_partitions_derive_from_input_volume(spark):
-    """r13 optimization-round pin: the AQE initial shuffle-partition
-    bound is DERIVED from input volume (one per 16 MiB), floored at the
-    core count and capped at 32x cores — not a constant tuned for
-    either local mode or a cluster.  The x256-corpus derivation must
-    stay >= the measured-needed 128 (SCALE.md: ngram_jaccard_dedup
-    70.5 s at 32 partitions vs 44.4 s at 128), and the bench fixtures
-    must derive the plain core count (the measured small-input
-    AQE-overhead fix)."""
-    import os
-
+def test_initial_shuffle_partitions_derive_from_input_volume(spark, monkeypatch):
+    """r13 optimization-round pin (r14-hardened per ADVICE r13): the AQE
+    initial shuffle-partition bound is DERIVED from input volume (one
+    per 16 MiB), floored at the core count and capped at 32x cores —
+    not a constant tuned for either local mode or a cluster.  The
+    x256-corpus derivation must stay >= the measured-needed 128
+    (SCALE.md: ngram_jaccard_dedup 70.5 s at 32 partitions vs 44.4 s at
+    128), and when the volume is UNKNOWN (remote URI, empty dir) the
+    floor is 4x cores — never the bare core count, which would
+    silently reinstate the cliff on a cluster (VERDICT r13 item 2)."""
     from inverted_index_using_the_map_reduce_paradigm_spark.session import (
+        _BYTES_PER_INITIAL_PARTITION,
         _dir_bytes,
         initial_partitions,
     )
 
-    assert os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS") is None
-    # fixture scale: floor at cores
-    assert initial_partitions(32, _dir_bytes("/root/testdata/sf0.1")) == 32
-    assert initial_partitions(32, _dir_bytes("/root/testdata/sf0.001")) == 32
+    # the derivation under test must not be shadowed by the bench
+    # override, and the test must not require the env to be unset
+    monkeypatch.delenv("SPARK_GRAFT_INITIAL_PARTITIONS", raising=False)
+    # fixture scale: expectation computed from the walked bytes, not a
+    # hardcoded assumption about fixture sizes
+    for sf in ("/root/testdata/sf0.1", "/root/testdata/sf0.001"):
+        b = _dir_bytes(sf)
+        want = (
+            4 * 32
+            if b < 0
+            else min(max(32, b // _BYTES_PER_INITIAL_PARTITION), 32 * 32)
+        )
+        assert initial_partitions(32, b) == want
     # the measured x256 cliff stays covered by derivation
     assert initial_partitions(32, 2_600_000_000) >= 128
     # cluster posture: grows with data, capped at 32x cores
     assert initial_partitions(512, 100 * 2**40) == 32 * 512
-    # the running session actually carries the derived value
+    # UNKNOWN volume (VERDICT r13 item 2): a remote URI cannot be
+    # os.walk'ed and an empty/missing dir has no signal — both must
+    # fall back to the 4x-cores measured-safe floor, never bare cores
+    assert _dir_bytes("hdfs://namenode/warehouse/sf100") == -1
+    assert _dir_bytes("s3a://bucket/corpus") == -1
+    assert _dir_bytes("/nonexistent/dir/for/this/test") == -1
+    assert initial_partitions(32, -1) == 128
+    assert initial_partitions(512, -1) == 2048
+    # the override is validated, not passed through raw (ADVICE r13)
+    monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "96")
+    assert initial_partitions(32) == 96
+    monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "0")
+    with pytest.raises(ValueError):
+        initial_partitions(32)
+    monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "-4")
+    with pytest.raises(ValueError):
+        initial_partitions(32)
+    monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "lots")
+    with pytest.raises(ValueError):
+        initial_partitions(32)
+    monkeypatch.delenv("SPARK_GRAFT_INITIAL_PARTITIONS", raising=False)
+    # the running session actually carries a value >= the core count
     got = int(
         spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     )
     from inverted_index_using_the_map_reduce_paradigm_spark.session import cpu_count
 
     assert got >= cpu_count()
+
+
+def test_initial_shuffle_partitions_floor_at_requested_width():
+    """ADVICE r13 (medium): an EXPLICIT shuffle_partitions request (the
+    CLI's mappers/reducers parallelism over a manifest corpus unrelated
+    to DEFAULT_SF_DIR) must floor the AQE initialPartitionNum — with
+    coalescing on, initialPartitionNum IS the effective width, so a
+    derived bound below the request would silently undercut it.  Pinned
+    against the builder-conf source, not a live session (a second
+    SparkSession per test run is not worth one conf read)."""
+    import inspect
+
+    from inverted_index_using_the_map_reduce_paradigm_spark import session
+
+    src = inspect.getsource(session.get_spark)
+    assert "max(initial_partitions(cpus), shuffle_partitions)" in src
