@@ -89,7 +89,20 @@ def initial_partitions(cpus: int, data_bytes: int | None = None) -> int:
     walk cannot see, empty or not-yet-generated directory) the floor is
     ``4 * cpus``, never ``cpus``: silently reinstating the x256 cliff
     on a cluster because os.walk returned nothing is exactly the
-    failure mode the 100 TB posture exists to avoid."""
+    failure mode the 100 TB posture exists to avoid.
+
+    r14 expansion-awareness (precautionary): input bytes UNDERSTATE
+    what an explode-heavy shuffle carries (shingle/pair joins multiply
+    volume 10-50x), so once the input is non-trivial (derived > cores)
+    the result never sits below 4x cores — the constant the historical
+    x256 cliff measurement sized (SCALE.md r7: 70.5 s at 32 partitions
+    vs 44.4 s at 128, pre-materialize query shape).  The r14 x256
+    re-measurement could not REPRODUCE that cliff in the current
+    materialized-store shape (52-vs-128 interleaved A/B reads 116 vs
+    134 s with 2-3x within-arm host-phase spread — SCALE.md r14), so
+    the floor is kept as cheap insurance, not as a measured win: extra
+    initial partitions cost bounded block bookkeeping, the cliff's
+    failure mode did not."""
     env = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     if env:
         try:
@@ -121,7 +134,12 @@ def initial_partitions(cpus: int, data_bytes: int | None = None) -> int:
             file=sys.stderr,
         )
         return 4 * cpus
-    return int(min(max(cpus, data_bytes // _BYTES_PER_INITIAL_PARTITION), 32 * cpus))
+    derived = int(data_bytes) // _BYTES_PER_INITIAL_PARTITION
+    if derived <= cpus:
+        return cpus  # small input: the A/B-validated bench-scale value
+    # non-trivial input: never below the 4x-cores cliff band (see the
+    # x256 measurements in the docstring)
+    return int(min(max(4 * cpus, derived), 32 * cpus))
 
 
 def get_spark(app_name: str = "repo_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
@@ -173,6 +191,17 @@ def get_spark(app_name: str = "repo_spark", *, shuffle_partitions: int | None = 
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # ---- pause tolerance (r14) --------------------------------------
+        # In local mode the executor IS the driver JVM, so a long GC or
+        # host pause makes the executor miss heartbeats and the
+        # HeartbeatReceiver then kills the application's ONLY executor —
+        # observed twice on the x256 sweep (140-170 s freezes -> job
+        # death mid-run).  The heartbeat carries no liveness signal
+        # between threads of one process; raise the tolerance so a pause
+        # degrades to slowness instead of job failure.  On a cluster
+        # these are the standard long-GC-pause settings.
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "600s")
         # ---- determinism for oracle comparison -------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # ---- local-mode memory (driver == the one JVM) -----------------

@@ -26,10 +26,28 @@ from inverted_index_using_the_map_reduce_paradigm_spark.registry import load_all
 SF = "/root/testdata/sf0.001"
 
 
-ORACLE_QUERIES = [(n, q) for n, q in load_all().items() if q.oracle]
+# Census queries are VERIFICATION rows (brute-force n² re-checks of a
+# banded/bucketed production path — the same taxonomy bench_excluded
+# documents); their parity runs are the most expensive tests in the
+# suite (r14 durations: 19-40 s each, ~250 s total) while re-verifying
+# the CHECKER, not the engine.  Mark them `slow` so the default suite
+# fits the round driver's verify window (VERDICT r13 item 4); the full
+# tier still runs with `pytest -m "slow or not slow"` (the builder's
+# in-session gate before committing operator changes), and the driver's
+# own oracle sampling checks census rows independently of this suite.
+ORACLE_QUERIES = [
+    pytest.param(
+        n,
+        q,
+        id=n,
+        marks=(pytest.mark.slow,) if "census" in q.tags else (),
+    )
+    for n, q in load_all().items()
+    if q.oracle
+]
 
 
-@pytest.mark.parametrize("name,q", ORACLE_QUERIES, ids=[n for n, _ in ORACLE_QUERIES])
+@pytest.mark.parametrize("name,q", ORACLE_QUERIES)
 def test_parity(spark, name, q):
     got = normalize(q.fn(spark, SF).toPandas())
     con = duck_con(SF)

@@ -18,6 +18,26 @@ def physical_plan(spark, name: str) -> str:
     return audit.physical_plan(load_all()[name].fn(spark, SF))
 
 
+@pytest.fixture(scope="module")
+def registry_dfs(spark):
+    """Every registered query's DataFrame, built ONCE and shared by the
+    registry-wide gates below.  q.fn is expensive for many queries
+    (signature-store materialization, quantizer training, fixture
+    staging), and the r14 durations profile showed the three gates each
+    rebuilding all 256 of them dominated the whole suite (294 s +
+    241 s + 48 s of 2,517 s); one shared build keeps the gates'
+    coverage identical at a third of the cost (VERDICT r13 item 4 —
+    fit the suite inside the driver's verify window)."""
+    return {name: q.fn(spark, SF) for name, q in sorted(load_all().items())}
+
+
+@pytest.fixture(scope="module")
+def registry_plans(registry_dfs):
+    return {
+        name: audit.physical_plan(df) for name, df in registry_dfs.items()
+    }
+
+
 def test_tpch_q1_pushes_filter_and_prunes_columns(spark):
     plan = physical_plan(spark, "tpch_q1")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -750,7 +770,7 @@ def test_signature_store_queries_run_the_udf_zero_times_per_execution(spark):
         assert "Scan ExistingRDD" in plan, name
 
 
-def test_udf_pass_budget_whole_family(spark):
+def test_udf_pass_budget_whole_family(spark, registry_dfs, registry_plans):
     """r7 tokenize-once, registry-wide: every query that evaluates a
     Python kernel (Arrow UDF / MapInPandas / cogroup) may run at most
     the stated number of Python passes in its FINAL adaptive plan.  A
@@ -821,10 +841,11 @@ def test_udf_pass_budget_whole_family(spark):
     ]
     for name in known_udf_queries:
         want = budget.get(name, 1)
-        df = load_all()[name].fn(spark, SF)
-        got = audit.python_eval_count(audit.physical_plan(df))
+        got = audit.python_eval_count(registry_plans[name])
         if got > want:  # static text overstates: AQE reuses exchanges
-            got = audit.python_eval_count(audit.final_adaptive_plan(df))
+            got = audit.python_eval_count(
+                audit.final_adaptive_plan(registry_dfs[name])
+            )
         assert got <= want, f"{name}: {got} Python passes, want <= {want}"
 
 
@@ -916,7 +937,7 @@ def test_inverted_index_arrow_runs_the_python_fast_path(spark):
     assert len(hash_ex) == 1 and "word" in hash_ex[0]
 
 
-def test_no_query_broadcasts_an_unbounded_fact_side(spark):
+def test_no_query_broadcasts_an_unbounded_fact_side(registry_dfs, registry_plans):
     """Registry-wide gate closing the recurring r4/r5 finding class: no
     registered query may carry a compile-time broadcast hint whose
     input is fact-table-derived without a cardinality bound (global or
@@ -928,8 +949,7 @@ def test_no_query_broadcasts_an_unbounded_fact_side(spark):
     allow = {}  # r11: tpch_q20 de-hinted; the gate now has ZERO exceptions
     bad = {}
     round_robins = {}
-    for name, q in load_all().items():
-        df = q.fn(spark, SF)
+    for name, df in registry_dfs.items():
         violations = audit.broadcast_hint_violations(df)
         if len(violations) > allow.get(name, 0):
             bad[name] = violations
@@ -947,7 +967,7 @@ def test_no_query_broadcasts_an_unbounded_fact_side(spark):
         # fan-out are 'embedding_near_dup' and 'rp_near_dup_census' —
         # exactly the exempted names below.
         if name not in {"embedding_near_dup", "rp_near_dup_census"} and (
-            "RoundRobinPartitioning" in audit.physical_plan(df)
+            "RoundRobinPartitioning" in registry_plans[name]
         ):
             round_robins[name] = True
     assert not bad, bad
@@ -1213,7 +1233,7 @@ def test_epoch_shuffle_single_docid_scan_one_corpus_shuffle(spark):
     assert "partial_count" in plan, plan
 
 
-def test_no_scan_evaluates_heavy_exprs_for_inferred_nullchecks(spark):
+def test_no_scan_evaluates_heavy_exprs_for_inferred_nullchecks(registry_plans):
     """Registry-wide gate for the derived-key null-check defect
     (found on token_budget_select and quality_filter in r7): a join or
     null-rejecting filter keyed on an expression-derived column makes
@@ -1224,10 +1244,9 @@ def test_no_scan_evaluates_heavy_exprs_for_inferred_nullchecks(spark):
     isnotnull-wrapped form is waste.  Fix offenders with
     coalesce(expr, sentinel) to make the derived column non-nullable."""
     offenders = {}
-    for name, q in sorted(load_all().items()):
+    for name, plan in registry_plans.items():
         if "stream" in name:
             continue
-        plan = audit.physical_plan(q.fn(spark, SF))
         hits = audit.inferred_nullcheck_scan_waste(plan)
         if hits:
             offenders[name] = hits[0]
@@ -1614,13 +1633,16 @@ def test_initial_shuffle_partitions_derive_from_input_volume(spark, monkeypatch)
     # hardcoded assumption about fixture sizes
     for sf in ("/root/testdata/sf0.1", "/root/testdata/sf0.001"):
         b = _dir_bytes(sf)
-        want = (
-            4 * 32
-            if b < 0
-            else min(max(32, b // _BYTES_PER_INITIAL_PARTITION), 32 * 32)
-        )
-        assert initial_partitions(32, b) == want
-    # the measured x256 cliff stays covered by derivation
+        if 0 <= b <= 32 * _BYTES_PER_INITIAL_PARTITION:
+            assert initial_partitions(32, b) == 32
+        else:
+            assert initial_partitions(32, b) >= 4 * 32
+    # the measured x256 cliff stays covered by derivation — and the
+    # expansion-aware band (r14): a non-trivial input must never derive
+    # BETWEEN cores and 4x cores (845 MB derived 52 under the raw
+    # 16 MiB rule and froze the x256 sweep JVM in a 168 s GC pause;
+    # 128 measured 44.4 s — SCALE.md)
+    assert initial_partitions(32, 845_000_000) == 128
     assert initial_partitions(32, 2_600_000_000) >= 128
     # cluster posture: grows with data, capped at 32x cores
     assert initial_partitions(512, 100 * 2**40) == 32 * 512
